@@ -1,0 +1,132 @@
+"""Multimodal binary-column plumbing (north-star additive scope).
+
+Images/audio/video ride as opaque ``binary`` payload columns with typed
+metadata structs. The Spark-side plumbing — schema, Arrow-batched
+``mapInPandas`` signatures, partitioning — is real and tested; the actual
+codec step is STUBBED (``decode_image_batch`` raises ``NotImplementedError``
+unless ``fake=True``) because image/audio libraries are not available in
+this environment. The deterministic fake path keeps every downstream
+operator testable.
+
+Scale notes: binary payloads make rows wide — partition count must track
+*bytes* not rows (``spark.sql.files.maxPartitionBytes``), and decode UDFs
+should be fed via ``mapInPandas`` so one Python worker amortizes setup per
+Arrow batch, never per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical media-table schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video | text
+        StructField("payload", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType(), True),
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("duration_ms", IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def to_media_table(df: DataFrame, id_col: str, payload_col, kind: str) -> DataFrame:
+    """Wrap any binary-ish column into the canonical media schema."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        payload_col.cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def fingerprint_binary(media: DataFrame) -> DataFrame:
+    """sha256 + byte length per payload via Arrow-batched ``mapInPandas`` —
+    the canonical shape of every decode/feature UDF in this module. Pure
+    hashlib, so it is exactly reproducible by any SQL engine's sha256."""
+
+    def compute(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload_sha256": [
+                        hashlib.sha256(bytes(p)).hexdigest() if p is not None else None
+                        for p in payloads
+                    ],
+                    "payload_bytes": [
+                        len(p) if p is not None else 0 for p in payloads
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        compute, schema="media_id long, payload_sha256 string, payload_bytes long"
+    )
+
+
+def decode_image_batch(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode image payloads → (media_id, width, height, channels, features).
+
+    The real codec path requires an imaging library not present in this
+    container and raises ``NotImplementedError``. ``fake=True`` runs a
+    clearly-marked deterministic stand-in (dimensions & an 8-dim feature
+    vector derived from the payload's sha256) so the Spark plumbing — Arrow
+    batch shape, schema, partition behavior — is fully exercised.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an imaging library (e.g. Pillow) that is "
+            "not available in this environment; pass fake=True for the "
+            "deterministic test double"
+        )
+
+    def compute(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "width": [], "height": [], "channels": [], "features": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                digest = hashlib.sha256(bytes(payload or b"")).digest()
+                rows["media_id"].append(mid)
+                rows["width"].append(16 + digest[0])
+                rows["height"].append(16 + digest[1])
+                rows["channels"].append(3)
+                rows["features"].append([b / 255.0 for b in digest[:8]])
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        compute,
+        schema="media_id long, width int, height int, channels int, features array<double>",
+    )

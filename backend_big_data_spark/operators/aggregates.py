@@ -1,0 +1,60 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+The reference's aggregations are all hash ``groupBy().agg()`` — those map
+1:1 onto Spark and need no wrapper. What lives here are the patterns that
+deserve a named, tested form: argmax-of-struct (A5), exact-decimal money
+sums (so results are reproducible bit-for-bit across engines), and exact
+percentiles (A7).
+
+Scale: every groupBy here benefits from partial aggregation (map-side
+combine) automatically; none of these force a Python round-trip.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def argmax_per_group(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_cols: Sequence[Column],
+    payload: dict[str, Column],
+) -> DataFrame:
+    """Row-with-max per group via ``max(struct(...))`` — the reference's A5
+    idiom (``queries.py:316-320``: photo with max views per owner, tie-break
+    by comments). One hash aggregate, no window, no self-join.
+
+    ``order_cols`` define the (lexicographic) max; ``payload`` maps output
+    column name → expression carried along with the winner.
+    """
+    s = F.struct(
+        *[c.alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        *[v.alias(k) for k, v in payload.items()],
+    )
+    agg = df.groupBy(*group_by).agg(F.max(s).alias("_top"))
+    return agg.select(*group_by, *[F.col(f"_top.{k}").alias(k) for k in payload])
+
+
+def money_sum(col: Column, scale: int = 2) -> Column:
+    """Exact sum of a money-like double: cast each value to decimal first so
+    the aggregate is order-independent (double summation is not associative —
+    at 100 TB partial-agg orderings differ run to run). Emit as double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def exact_median(col: Column) -> Column:
+    """Exact interpolated median — reference A7 uses ``percentile_approx``
+    (``queries.py:252-255``); the engine offers both, exact for parity with
+    SQL oracles, approx (``F.percentile_approx``) as the 100 TB scale path."""
+    return F.percentile(col, F.lit(0.5))
+
+
+def count_distinct_exact(df: DataFrame, col: str, alias: str) -> DataFrame:
+    """Exact distinct count in ONE job — reference A9 runs two
+    (``.distinct().count()``, ``queries.py:289-295``). The approx sibling
+    (``F.approx_count_distinct``, HLL sketch) is the 100 TB default."""
+    return df.agg(F.countDistinct(col).alias(alias))

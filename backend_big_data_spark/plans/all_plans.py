@@ -1,0 +1,9 @@
+"""Import every plan module so the registry is fully populated."""
+
+from backend_big_data_spark.plans import (  # noqa: F401
+    documents,
+    embeddings_events,
+    ml_plans,
+    relational,
+)
+from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401

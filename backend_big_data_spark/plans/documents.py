@@ -1,0 +1,248 @@
+"""Document-table query plans: text analysis + dedup (north-star additive
+scope, graded alongside SURVEY.md §2).
+
+The MinHash-LSH and exact-Jaccard plans share tokenization/shingling with
+their DuckDB oracles exactly (whitespace tokens, 3-word shingles, md5 hash
+family), so even the LSH pipeline is value-checked end-to-end, not just
+row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.multimodal.binary_ops import (
+    fingerprint_binary,
+    to_media_table,
+)
+from backend_big_data_spark.plans.registry import register
+from backend_big_data_spark.sources.catalog import load_table
+from backend_big_data_spark.text.dedup import (
+    doc_shingles,
+    exact_dedup_fingerprints,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from backend_big_data_spark.text.langid import predict_lang
+from backend_big_data_spark.text.quality import quality_profile
+
+# Shared tokenize/shingle SQL fragments for the DuckDB oracles (must mirror
+# functions/textfns.py exactly: trim → split on \s+ → 3-gram → distinct).
+_TOKS_CTE = r"toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)"
+_SHINGLES_CTE = (
+    "sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "FOR i IN range(1, len(t)-1)]) AS shingles FROM toks WHERE len(t) >= 3)"
+)
+
+NUM_HASHES = 16
+BANDS = 4
+
+
+@register(
+    "doc_exact_dedup",
+    oracle="""
+SELECT md5(text) AS fingerprint, COUNT(*) AS dup_count, MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1 ORDER BY fingerprint
+""",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash — one shuffle on the fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_fingerprints(docs).orderBy("fingerprint")
+
+
+@register(
+    "doc_quality_profile",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INTEGER) AS n_distinct_tokens,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INTEGER) AS chars_no_ws,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpe_tokens,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> x IN ('the','a','an','of','and','in','to','is','it','that'))) AS INTEGER) AS stopword_hits
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, chars_no_ws, bpe_tokens, stopword_hits,
+       ROUND(chars_no_ws / n_tokens, 4) AS avg_token_len,
+       ROUND(n_distinct_tokens / n_tokens, 4) AS ttr,
+       ROUND(stopword_hits / n_tokens, 4) AS stopword_ratio
+FROM base ORDER BY doc_id
+""",
+)
+def doc_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring, all codegen-side column math."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_profile(docs).orderBy("doc_id")
+
+
+@register(
+    "doc_stats_by_lang",
+    oracle="""
+SELECT lang, COUNT(*) AS doc_count, ROUND(AVG(n_chars), 4) AS avg_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_langid",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id, lang AS actual_lang,
+    len(list_filter(string_split_regex(trim(text), '\s+'),
+        x -> x IN ('the','a','an','of','and','in','to','is'))) AS s_en,
+    len(list_filter(string_split_regex(trim(text), '\s+'),
+        x -> x IN ('el','la','los','de','y','que','un','una'))) AS s_es,
+    len(list_filter(string_split_regex(trim(text), '\s+'),
+        x -> x IN ('le','la','les','de','et','un','une','est'))) AS s_fr,
+    len(list_filter(string_split_regex(trim(text), '\s+'),
+        x -> x IN ('der','die','das','und','ein','eine','ist','nicht'))) AS s_de,
+    len(list_filter(string_split_regex(trim(text), '\s+'),
+        x -> x IN ('的','是','了','在','和','有','我','不'))) AS s_zh
+  FROM documents
+)
+SELECT doc_id, actual_lang,
+  CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+       WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+       WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
+       WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
+       WHEN s_de >= s_zh THEN 'de'
+       ELSE 'zh' END AS predicted_lang
+FROM s ORDER BY doc_id
+""",
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID with deterministic priority
+    tie-break (en > es > fr > de > zh)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        predict_lang(F.col("text")).alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_sha256_fingerprint",
+    oracle="""
+SELECT doc_id AS media_id, sha256(text) AS payload_sha256,
+       CAST(strlen(text) AS BIGINT) AS payload_bytes
+FROM documents ORDER BY media_id
+""",
+)
+def doc_sha256_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing gate: documents.text → binary payload (media
+    schema) → Arrow-batched mapInPandas sha256. Proves the binary-column
+    pipeline end-to-end against a pure-SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = to_media_table(docs, "doc_id", F.col("text"), kind="text")
+    return fingerprint_binary(media).orderBy("media_id")
+
+
+@register(
+    "doc_ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+e AS (SELECT doc_id, len(shingles) AS sh_count, unnest(shingles) AS shingle FROM sh),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh_count AS ca, b.sh_count AS cb, COUNT(*) AS intersection_size
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, intersection_size,
+       ROUND(intersection_size / (ca + cb - intersection_size), 6) AS jaccard
+FROM p
+WHERE intersection_size / (ca + cb - intersection_size) >= 0.2
+ORDER BY doc_a, doc_b
+""",
+)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(doc_shingles(docs), threshold=0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_oracle() -> str:
+    mh_exprs = ",\n       ".join(
+        f"list_aggregate([md5('{s}:' || x) for x in shingles], 'min') AS mh{s}"
+        for s in range(NUM_HASHES)
+    )
+    r = NUM_HASHES // BANDS
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * r + i}" for i in range(r)),
+        )
+        for b in range(BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END" for s in range(NUM_HASHES)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+sig AS (SELECT doc_id,
+       {mh_exprs}
+FROM sh),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ({agree}) / {NUM_HASHES}.0 AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("doc_minhash_lsh_pairs", oracle=_minhash_oracle())
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs with estimated
+    Jaccard — md5 hash family so the DuckDB oracle reproduces every stage
+    bit-for-bit. Production default is hash_fn='xxhash64' (same plan, JVM
+    hash, no portability constraint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        doc_shingles(docs), num_hashes=NUM_HASHES, hash_fn="md5"
+    )
+    return (
+        lsh_candidate_pairs(sigs, num_hashes=NUM_HASHES, bands=BANDS, hash_fn="md5")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("doc_simhash")  # rows-only: xxhash-free but numpy bit-majority in pandas UDF
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (Arrow-batched pandas UDF). Rows-only
+    check: the bit-majority reduction is not reasonably SQL-expressible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs).orderBy("doc_id")

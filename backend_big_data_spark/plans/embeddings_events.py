@@ -1,0 +1,95 @@
+"""Embedding-similarity and event-stream query plans (additive scope)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.operators.search import keyword_filter
+from backend_big_data_spark.operators.windows import paginate
+from backend_big_data_spark.plans.registry import register
+from backend_big_data_spark.similarity.ann import (
+    brute_force_cosine_topk,
+    lsh_cosine_topk,
+)
+from backend_big_data_spark.sources.catalog import load_table
+from backend_big_data_spark.streaming.events import hourly_counts_batch
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+), a AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
+  FROM q, a WHERE neighbor_id != query_id
+), r AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rnk
+FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 10 query vectors — the ANN
+    correctness baseline. Query side broadcast; corpus streams map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("ann_lsh_topk")  # rows-only: seeded-numpy hyperplanes not SQL-portable
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the 100 TB scale path): bucket join +
+    exact re-rank on candidates. Approximate by construction → rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, num_bits=6, num_tables=6
+    )
+
+
+@register(
+    "events_hourly_by_type",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS event_count, ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming plan in
+    streaming/events.py — F.window start == date_trunc on hour boundaries).
+    The streaming variant with watermark is exercised in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return hourly_counts_batch(ev)
+
+
+@register(
+    "events_search_page",
+    oracle="""
+SELECT * FROM events
+WHERE event_type IN ('click', 'view')
+  AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+  AND contains(lower(props), '"k": 4')
+ORDER BY event_id LIMIT 25 OFFSET 25
+""",
+)
+def events_search_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized search (SURVEY §3.2 /searchPhotos shape): set
+    membership + date range + keyword contains, stable pagination (B6
+    fixed). Plan shape is runtime-parameterized, every operator declarative."""
+    ev = load_table(spark, sf_dir, "events")
+    filtered = ev.filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("ts").between(
+            F.lit("2024-01-10 00:00:00").cast("timestamp"),
+            F.lit("2024-01-20 00:00:00").cast("timestamp"),
+        )
+        & keyword_filter([F.col("props")], '"k": 4')
+    )
+    return paginate(filtered, ["event_id"], page=2, page_size=25)

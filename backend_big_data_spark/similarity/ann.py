@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (north-star additive scope).
+
+Two paths:
+
+- **brute force** (the correctness baseline): broadcast the query set,
+  cosine via higher-order array functions (JVM-side, no Python), top-k per
+  query via window. Exact. Cost O(|queries|·|corpus|) — fine when the query
+  set is small/broadcastable, which is the serving-path shape.
+- **random-hyperplane LSH** (the 100 TB scale path): sign-bit bucket keys
+  from seeded hyperplanes; candidates only meet within a bucket
+  (multi-probe across ``num_tables`` independent tables), then exact cosine
+  re-rank on candidates. Recall tunable via bits/tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.operators.windows import topk_per_group
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns — pure Catalyst
+    higher-order functions, evaluated left-to-right (deterministic)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (must be small); the corpus streams map-side —
+    no shuffle of corpus vectors. Output: (query_id, neighbor_id,
+    cosine_sim, rnk) with deterministic id tie-break.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    sim = cosine_sim(F.col("qv"), F.col("nv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    top = topk_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("sim"), F.col("neighbor_id")],
+        k=k,
+        rank_col="rnk",
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("sim"), 6).alias("cosine_sim"),
+        "rnk",
+    ).orderBy("query_id", "rnk")
+
+
+def _hyperplanes(dim: int, num_bits: int, num_tables: int, seed: int):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_tables, num_bits, dim))
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_bits: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine via random-hyperplane (sign) LSH.
+
+    Bucket key per table = sign bits of hyperplane dot products (computed in
+    a vectorized pandas UDF, Arrow-batched). Corpus and queries are bucketed
+    identically; the join shuffles on (table, bucket) only — at 100 TB no
+    vector ever meets more than its bucket peers. Exact cosine re-ranks
+    candidates; recall < 1 by construction, tuned by (num_bits, num_tables).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, num_bits, num_tables, seed)
+
+    @pandas_udf("array<string>")
+    def bucket_keys(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (n, dim)
+        keys = []
+        bits_all = [(m @ planes[t].T) > 0 for t in range(num_tables)]
+        for i in range(m.shape[0]):
+            keys.append(
+                [
+                    f"{t}:" + "".join("1" if b else "0" for b in bits_all[t][i])
+                    for t in range(num_tables)
+                ]
+            )
+        return pd.Series(keys)
+
+    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"), v.alias(f"{prefix}_vec")
+        ).withColumn("bucket", F.explode(bucket_keys(F.col(f"{prefix}_vec"))))
+
+    cb = with_buckets(corpus, "neighbor")
+    qb = with_buckets(queries, "query")
+    cand = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = cosine_sim(F.col("query_vec"), F.col("neighbor_vec"))
+    scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))
+    top = topk_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("sim"), F.col("neighbor_id")],
+        k=k,
+        rank_col="rnk",
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("sim"), 6).alias("cosine_sim"),
+        "rnk",
+    ).orderBy("query_id", "rnk")

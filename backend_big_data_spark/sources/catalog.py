@@ -1,0 +1,84 @@
+"""Table catalog over the driver-provided parquet test tables.
+
+Reference source surface (SURVEY.md §2.1): one explicit-schema JSON scan
+cached whole (``main.py:142-148``). The new engine generalizes that to a
+parquet catalog: explicit paths, columnar scans with pushdown/pruning, and
+optional persisted hot tables registered as SQL views.
+
+Scale notes: parquet scans here get predicate pushdown and column pruning
+from Catalyst for free — every query should ``select`` only what it needs so
+``ReadSchema`` stays narrow. At 100 TB the hot tables would additionally be
+partitioned on their dominant filter column (e.g. ``orders`` by
+``year(o_orderdate)``) for partition pruning; the loader API is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+#: All tables the harness provides (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one table. Filters/projections applied by callers
+    push down into this scan (verify with ``df.explain`` → PushedFilters).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects ([PARQUET_TYPE_ILLEGAL]); it is read as raw nanos via the
+    legacy conf and truncated to microseconds with integer division (double
+    division would lose precision above 2^53 ns ≈ 104 days of epoch-nanos).
+    DuckDB truncates ns→µs identically, keeping the oracle gate exact.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and df.schema["ts"].dataType.simpleString() == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register each table as a temp view so ``spark.sql`` works directly —
+    the SQL-string interface the reference never had (SURVEY.md §0)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def persist_hot(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Hot-table persistence, the reference's ``cache()+count()`` idiom
+    (``main.py:147-148``) made explicit with a disk-spillable level —
+    MEMORY_AND_DISK survives tables larger than executor memory."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if eager:
+        df.count()
+    return df

@@ -1,0 +1,125 @@
+"""Structured Streaming over the events table (SURVEY.md §2.11 — additive
+scope; the reference has no streaming at all).
+
+Each windowed transformation is written against a generic DataFrame so the
+SAME function body serves batch and streaming inputs — the Structured
+Streaming unification. Tests run them both ways: batch parquet, and
+``readStream`` + ``availableNow`` into a memory sink, asserting identical
+results.
+
+Scale: streaming aggregations keep per-window per-key state in the state
+store; the watermark bounds that state (late rows beyond it are dropped and
+their windows finalized). Without a watermark, 100 TB of events would grow
+state forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.sources.catalog import table_path
+
+#: ts arrives as raw epoch-nanos (parquet TIMESTAMP(NANOS) is read via the
+#: legacy nanosAsLong conf — see sources/catalog.py) and is truncated to µs.
+EVENTS_DDL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events parquet directory. Parquet needs an
+    explicit schema for streaming reads (no inference mid-stream)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .format("parquet")
+        .load(table_path(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "avg_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts — each row lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (gap-based) — state closes when the
+    watermark passes a session's end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "event_count",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup by event_id bounded by the watermark — state for an
+    id is dropped once the watermark passes (unbounded dedup state is the
+    classic streaming OOM)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def hourly_counts_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of ``tumbling_counts`` (no watermark needed at rest) —
+    used by the oracle gate; semantics identical by construction."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -1,0 +1,279 @@
+"""Document deduplication operators (north-star additive scope).
+
+Four families, all expressed as distributed DataFrame plans:
+
+- **exact**: content fingerprint (md5/sha2) + hash groupBy. One shuffle on
+  the fingerprint; at 100 TB this is the cheapest possible dedup.
+- **MinHash + LSH**: shingle → k minhashes → b bands × r rows → band-bucket
+  self-join for candidate pairs. Candidate generation touches only documents
+  sharing a band key — never the O(n²) pair space. (Broder's MinHash and the
+  banding construction from the public MMDS literature.)
+- **n-gram Jaccard (exact)**: inverted-index self-join on shingles computing
+  exact Jaccard. Quadratic in the worst case — at scale run it only as the
+  verify stage on LSH candidates (``ngram_jaccard_pairs`` accepts any
+  pre-filtered doc set).
+- **SimHash**: 64-bit bitwise-majority signature via an Arrow-batched pandas
+  UDF (numpy), Hamming-banded for candidates.
+
+Hash strategy: ``hash_fn="xxhash64"`` (JVM, fast — the 100 TB default) or
+``"md5"`` (reproducible in any SQL engine — used by the DuckDB oracle gate).
+Both are deterministic; only md5 is cross-engine portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.functions.textfns import tokens, word_shingles
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+def exact_dedup_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct content fingerprint with its duplicate count and
+    canonical (min-id) representative. ``dup_count > 1`` rows are duplicate
+    clusters; keeping ``canonical_doc_id`` reproduces a dedup'd corpus via a
+    semi-join. Single hash-aggregate shuffle on the 16-byte fingerprint."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("fingerprint"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min(id_col).alias("canonical_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+def _minhash_col(shingles: Column, seed: int, hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        hashed = F.transform(
+            shingles, lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x).cast("binary"))
+        )
+    elif hash_fn == "xxhash64":
+        hashed = F.transform(shingles, lambda x: F.xxhash64(F.concat(F.lit(f"{seed}:"), x)))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return F.array_min(hashed)
+
+
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles) pairs; documents shorter than ``n`` tokens drop out."""
+    sh = word_shingles(tokens(F.col(text_col)), n=n)
+    return (
+        df.select(F.col(id_col), sh.alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    num_hashes: int = 16,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k minhash columns ``mh0..mh{k-1}`` per document. All k hashes evaluate
+    in one codegen stage over the shingle array — one pass over the data."""
+    sig_cols = [
+        _minhash_col(F.col("shingles"), s, hash_fn).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return shingled.select(F.col(id_col), *sig_cols)
+
+
+def _band_key(sig_cols: list[str], hash_fn: str) -> Column:
+    joined = F.concat_ws("|", *[F.col(c).cast("string") for c in sig_cols])
+    if hash_fn == "md5":
+        return F.md5(joined.cast("binary"))
+    return F.xxhash64(joined).cast("string")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs from banded minhash signatures.
+
+    Emits (doc_a, doc_b, est_jaccard) where est_jaccard is the fraction of
+    agreeing minhashes. Pairs surface iff some band matches exactly — the
+    standard LSH S-curve: with k=16, b=4 (r=4), P(candidate) = 1-(1-j⁴)⁴.
+
+    Scale: the self-join shuffles on (band, band_key) — documents only meet
+    within a bucket. A pathological bucket (many identical docs) is quadratic
+    in that bucket only; AQE skew-join splits it across tasks.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            _band_key([f"mh{b * r + i}" for i in range(r)], hash_fn).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), *[F.col(f"mh{s}") for s in range(num_hashes)],
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select(id_col, *[f"mh{s}" for s in range(num_hashes)], "bk.band", "bk.band_key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{s}") == F.col(f"b.mh{s}"), 1).otherwise(0)
+        for s in range(num_hashes)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard
+# --------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    shingled: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams via inverted-index self-join.
+
+    |A∩B| from a join on shared shingles; |A∪B| = |A|+|B|-|A∩B|. At 100 TB
+    this runs on LSH candidates, not the full corpus: pass the semi-joined
+    candidate doc set as ``shingled``. Common-shingle skew is the hazard —
+    a stopword-shingle appearing in p% of docs contributes (pn)² join rows;
+    production path drops top-frequency shingles first (they cannot push a
+    pair over a meaningful threshold on their own).
+    """
+    e = shingled.select(
+        F.col(id_col),
+        F.size("shingles").alias("sh_count"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sh_count").alias("ca"),
+            F.col("b.sh_count").alias("cb"),
+        )
+        .agg(F.count("*").alias("intersection_size"))
+    )
+    jac = F.col("intersection_size") / (
+        F.col("ca") + F.col("cb") - F.col("intersection_size")
+    )
+    return (
+        inter.filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection_size",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document as a zero-padded hex string.
+
+    Arrow-batched ``mapInPandas``: token hashes from md5 (deterministic,
+    portable), bit-majority via numpy unpackbits — vectorized per batch, not
+    per row. Output: (id, simhash_hex, n_tokens).
+    """
+    import pandas as pd  # noqa: F401 (imported for type clarity)
+
+    out_schema = f"{id_col} long, simhash_hex string, n_tokens int"
+
+    def compute(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hexes, ntoks = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split()
+                if not toks:
+                    ids.append(doc_id)
+                    hexes.append("0" * 16)
+                    ntoks.append(0)
+                    continue
+                h = np.frombuffer(
+                    b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
+                    dtype=np.uint8,
+                ).reshape(len(toks), 8)
+                bits = np.unpackbits(h, axis=1).astype(np.int32)  # (n, 64) of 0/1
+                votes = (2 * bits - 1).sum(axis=0)
+                sig_bits = (votes > 0).astype(np.uint8)
+                sig = np.packbits(sig_bits).tobytes()
+                ids.append(doc_id)
+                hexes.append(sig.hex())
+                ntoks.append(len(toks))
+            yield pd.DataFrame(
+                {id_col: ids, "simhash_hex": hexes, "n_tokens": ntoks}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def simhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Hamming-adjacent candidates by 16-bit band equality (4 bands over the
+    64-bit signature): pairs agreeing on ≥1 band. Same banded-join shape as
+    MinHash LSH, so the same skew/scale properties apply."""
+    bands = [
+        F.struct(F.lit(i).alias("band"), F.substring("simhash_hex", 1 + 4 * i, 4).alias("bk"))
+        for i in range(4)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.col("simhash_hex"), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "simhash_hex", "b.band", "b.bk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash_hex").alias("simhash_a"),
+            F.col("b.simhash_hex").alias("simhash_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
