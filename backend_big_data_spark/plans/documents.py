@@ -17,7 +17,7 @@ from backend_big_data_spark.multimodal.binary_ops import (
     to_media_table,
 )
 from backend_big_data_spark.plans.registry import register
-from backend_big_data_spark.sources.catalog import load_table
+from backend_big_data_spark.sources.catalog import ensure_parallelism, load_table
 from backend_big_data_spark.text.dedup import (
     doc_shingles,
     exact_dedup_fingerprints,
@@ -77,7 +77,7 @@ FROM base ORDER BY doc_id
 )
 def doc_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring, all codegen-side column math."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return quality_profile(docs).orderBy("doc_id")
 
 
@@ -133,7 +133,7 @@ FROM s ORDER BY doc_id
 def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID with deterministic priority
     tie-break (en > es > fr > de > zh)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("actual_lang"),
@@ -153,7 +153,7 @@ def doc_sha256_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing gate: documents.text → binary payload (media
     schema) → Arrow-batched mapInPandas sha256. Proves the binary-column
     pipeline end-to-end against a pure-SQL oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     media = to_media_table(docs, "doc_id", F.col("text"), kind="text")
     return fingerprint_binary(media).orderBy("media_id")
 
@@ -244,5 +244,5 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures (Arrow-batched pandas UDF). Rows-only
     check: the bit-majority reduction is not reasonably SQL-expressible."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return simhash_signatures(docs).orderBy("doc_id")

@@ -30,8 +30,14 @@ _BASE_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow-batched transfer for every toPandas / pandas UDF boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # 128 MiB scan splits — the parquet-side knob that decides task count.
-    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Scan-split size — the parquet-side knob that decides scan task count.
+    # Production default is 128 MiB; locally the test tables are ~1-11 MiB
+    # single files, so a 128 MiB split serializes every scan onto one core.
+    # 4 MiB keeps local[32] busy; override for cluster deploys.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)
+    ),
+    "spark.sql.files.openCostInBytes": str(1 * 1024 * 1024),
     # Dimension tables (region/nation/part at any SF we serve) broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }

@@ -36,6 +36,14 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Tables worth repartitioning before caching (the fact/compute-heavy side).
+#: Dimension tables stay single-partition — they broadcast anyway.
+_BIG_TABLES = ("customer", "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+#: (session-id, sf_dir, table) → persisted DataFrame. Populated by
+#: ``warm_cache``; ``load_table`` serves from it when present.
+_HOT_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -51,12 +59,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     division would lose precision above 2^53 ns ≈ 104 days of epoch-nanos).
     DuckDB truncates ns→µs identically, keeping the oracle gate exact.
     """
+    cached = _HOT_CACHE.get((id(spark), sf_dir, name))
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and df.schema["ts"].dataType.simpleString() == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def warm_cache(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Load → repartition → persist → materialize every table, after which
+    ``load_table`` serves the cached DataFrames for this (session, sf_dir).
+
+    This is the reference's serving architecture made explicit
+    (``main.py:147-148``: whole dataset cached and eagerly counted at
+    startup, every query scanning the InMemoryRelation). Locally it also
+    buys scan parallelism the files can't provide (single parquet row group
+    ⇒ one scan task no matter the split size); the repartition spreads the
+    in-memory columnar batches across all cores. At 100 TB you would cache
+    only hot tables — the API takes an explicit table list for that reason.
+    """
+    for name in names:
+        key = (id(spark), sf_dir, name)
+        if key in _HOT_CACHE:
+            continue
+        df = load_table(spark, sf_dir, name)
+        if name in _BIG_TABLES:
+            df = ensure_parallelism(df)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        _HOT_CACHE[key] = df
 
 
 def load_tables(
@@ -72,6 +109,21 @@ def register_views(
     the SQL-string interface the reference never had (SURVEY.md §0)."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def ensure_parallelism(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition for compute-bound narrow transforms.
+
+    Small parquet files arrive as one input split, which would serialize
+    expression-heavy per-row work (shingling, hashing, pandas UDFs) onto one
+    core. One cheap shuffle of the raw rows buys full-cluster parallelism
+    for everything downstream. At 100 TB inputs already split ≥ core count,
+    so this becomes a no-op cost-wise (and can be skipped by callers that
+    know their input is large).
+    """
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    return df.repartition(n)
 
 
 def persist_hot(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -65,10 +65,16 @@ def _minhash_col(shingles: Column, seed: int, hash_fn: str) -> Column:
 def doc_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingles) pairs; documents shorter than ``n`` tokens drop out."""
+    """(id, shingles) pairs; documents shorter than ``n`` tokens drop out.
+
+    Input is repartitioned first: shingling is the compute-bound stage of
+    every dedup pipeline and must never run on a single input split."""
+    from backend_big_data_spark.sources.catalog import ensure_parallelism
+
     sh = word_shingles(tokens(F.col(text_col)), n=n)
     return (
-        df.select(F.col(id_col), sh.alias("shingles"))
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), sh.alias("shingles"))
         .filter(F.size("shingles") > 0)
     )
 
@@ -114,6 +120,11 @@ def lsh_candidate_pairs(
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
+    # The signature table is read three times (both join sides + the agree
+    # columns); persist it so shingling/hashing runs once. Spark's cache
+    # manager keys on the canonical plan, so repeated invocations share one
+    # entry. Signatures are tiny relative to the corpus (k hashes/doc).
+    signatures = signatures.persist()
     r = num_hashes // bands
     band_structs = [
         F.struct(
@@ -171,7 +182,7 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.size("shingles").alias("sh_count"),
         F.explode("shingles").alias("shingle"),
-    )
+    ).persist()  # read twice (both self-join sides): shingle once, not twice
     a, b = e.alias("a"), e.alias("b")
     inter = (
         a.join(

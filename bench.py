@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing is per-query wall time of plan construction + execution (collect),
+after one tiny warm-up action so JVM/codegen startup is not billed to the
+first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_region",
+    "revenue_forecast",
+    "orders_by_month",
+    "top_order_per_customer",
+    "customer_spend_ranking",
+    "top3_parts_per_brand",
+    "avg_ship_delay_by_priority",
+    "events_hourly_by_type",
+    "events_search_page",
+    "doc_exact_dedup",
+    "doc_quality_profile",
+    "doc_minhash_lsh_pairs",
+    "doc_ngram_jaccard_pairs",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from backend_big_data_spark.plans.all_plans import QUERIES
+    from backend_big_data_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm up JVM / codegen / parquet footer caches with a trivial job.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Reference serving architecture (main.py:147-148): whole dataset cached
+    # and eagerly materialized at startup; queries run against the cache.
+    from backend_big_data_spark.sources.catalog import warm_cache
+
+    t_cache = time.perf_counter()
+    warm_cache(spark, sf_dir)
+    cache_sec = round(time.perf_counter() - t_cache, 3)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        del rows
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "cache_warm_sec": cache_sec,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
