@@ -29,14 +29,24 @@ EVENTS_DDL = (
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events parquet directory. Parquet needs an
-    explicit schema for streaming reads (no inference mid-stream)."""
+    """Streaming scan of the events parquet table. Parquet needs an explicit
+    schema for streaming reads (no inference mid-stream).
+
+    The testdata lays each table out as ONE ``<name>.parquet`` file, but
+    FileStreamSource requires its base path to be a directory — so stream
+    the parent dir with a ``pathGlobFilter`` selecting just the events file.
+    On a real deployment the table would be a partitioned directory and the
+    glob disappears.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_DDL)
-        .format("parquet")
-        .load(table_path(sf_dir, "events"))
-    )
+    path = table_path(sf_dir, "events")
+    reader = spark.readStream.schema(EVENTS_DDL).format("parquet")
+    import os
+
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.load(path)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -1,0 +1,133 @@
+"""Unit tests: scalar/text column functions + text-analysis operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.functions.scalars import bucketize, haversine_km, photo_url
+from backend_big_data_spark.functions.textfns import (
+    bpe_token_count,
+    char_shingles,
+    tokens,
+    word_shingles,
+)
+from backend_big_data_spark.text.dedup import (
+    doc_shingles,
+    exact_dedup_fingerprints,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from backend_big_data_spark.text.langid import predict_lang
+from backend_big_data_spark.text.quality import quality_profile
+
+
+def test_haversine_paris_london(spark):
+    df = spark.createDataFrame([(48.8566, 2.3522, 51.5074, -0.1278)], "a double, b double, c double, d double")
+    (km,) = df.select(
+        haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+    ).collect()[0]
+    assert abs(km - 343.5) < 2.0  # great-circle Paris-London ≈ 343-344 km
+
+
+def test_photo_url_format(spark):
+    df = spark.createDataFrame([("9", "srv", "123", "sec")], "f string, s string, i string, x string")
+    (url,) = df.select(photo_url(F.col("f"), F.col("s"), F.col("i"), F.col("x")).alias("u")).collect()[0]
+    assert url == "https://farm9.staticflickr.com/srv/123_sec.jpg"
+
+
+def test_bucketize_edges(spark):
+    df = spark.createDataFrame([(i,) for i in [0, 49, 50, 149, 150]], "x int")
+    out = df.select("x", bucketize(F.col("x"), [50, 150], ["s", "m", "l"]).alias("b"))
+    assert {(r.x, r.b) for r in out.collect()} == {
+        (0, "s"), (49, "s"), (50, "m"), (149, "m"), (150, "l"),
+    }
+
+
+def test_shingles_and_tokens(spark):
+    df = spark.createDataFrame([("  a b  c d ",), ("x y",), ("",)], "text string")
+    out = df.select(
+        tokens(F.col("text")).alias("t"),
+        word_shingles(tokens(F.col("text")), 3).alias("w3"),
+        char_shingles(F.col("text"), 5).alias("c5"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert out[0].t == ["a", "b", "c", "d"]
+    assert out[0].w3 == ["a b c", "b c d"]
+    assert out[1].w3 == []  # shorter than n → empty, not null
+    assert out[1].bpe == 2
+    assert len(out[0].c5) > 0 and out[2].c5 == []
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    rows = exact_dedup_fingerprints(df).collect()
+    by_canon = {r.canonical_doc_id: r.dup_count for r in rows}
+    assert by_canon == {1: 2, 3: 1}
+
+
+def _near_dup_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    mutated = base.replace("today", "tonight")
+    other = "completely different words about spark partitions and shuffle behavior entirely"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, mutated), (4, other)], "doc_id long, text string"
+    )
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _near_dup_corpus(spark)
+    for hash_fn in ("md5", "xxhash64"):
+        sigs = minhash_signatures(doc_shingles(docs), 16, hash_fn)
+        pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in
+                 lsh_candidate_pairs(sigs, 16, 4, hash_fn).collect()}
+        assert pairs[(1, 2)] == 1.0  # identical docs: all minhashes agree
+        assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near-dup caught
+        assert not any(4 in p for p in pairs)  # unrelated doc never a candidate
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = _near_dup_corpus(spark)
+    pairs = {(r.doc_a, r.doc_b): (r.intersection_size, r.jaccard)
+             for r in ngram_jaccard_pairs(doc_shingles(docs), 0.2).collect()}
+    assert pairs[(1, 2)][1] == 1.0
+    # base: 15 tokens → 13 3-shingles; the final token appears only in the
+    # last window, so mutating it changes 1 shingle: inter=12,
+    # union=13+13-12=14 → 12/14
+    inter, jac = pairs[(1, 3)]
+    assert inter == 12 and abs(jac - 12 / 14) < 1e-4
+
+
+def test_simhash_properties(spark):
+    docs = _near_dup_corpus(spark)
+    sigs = {r.doc_id: r.simhash_hex for r in simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    ham_near = bin(int(sigs[1], 16) ^ int(sigs[3], 16)).count("1")
+    ham_far = bin(int(sigs[1], 16) ^ int(sigs[4], 16)).count("1")
+    assert ham_near < ham_far  # near-dup closer in Hamming space
+
+
+def test_langid_real_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat and it is happy"),
+            (2, "el gato que vive en la casa de un amigo"),
+            (3, "der hund und die katze sind nicht da"),
+            (4, "xyz qrs tuv"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.p for r in df.select("doc_id", predict_lang(F.col("text")).alias("p")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_quality_profile_hand_computed(spark):
+    df = spark.createDataFrame([(1, "the cat the cat")], "doc_id long, text string")
+    r = quality_profile(df).collect()[0]
+    assert (r.n_chars, r.n_tokens, r.n_distinct_tokens) == (15, 4, 2)
+    assert r.chars_no_ws == 12 and r.bpe_tokens == 4
+    assert r.stopword_hits == 2  # 'the' twice
+    assert r.avg_token_len == 3.0 and r.ttr == 0.5 and r.stopword_ratio == 0.5

@@ -1,0 +1,116 @@
+"""ML + similarity tests (SURVEY.md §5.2): seeded KMeans recovers planted
+blobs; FPGrowth matches hand-computed support/confidence; brute-force ANN is
+exact on crafted vectors; LSH ANN achieves high recall vs brute force."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.ml.clustering import (
+    centroid_landmark_distances,
+    cluster_sizes,
+    kmeans_fit_predict,
+)
+from backend_big_data_spark.ml.fpm import association_rules, frequent_itemsets
+from backend_big_data_spark.similarity.ann import (
+    brute_force_cosine_topk,
+    lsh_cosine_topk,
+)
+
+
+def test_kmeans_recovers_blobs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = [(0.0, 0.0), (10.0, 10.0), (-10.0, 5.0)]
+    pts = [
+        (float(cx + rng.normal(0, 0.3)), float(cy + rng.normal(0, 0.3)))
+        for cx, cy in centers
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    model, labeled = kmeans_fit_predict(df, k=3, feature_cols=["lat", "lon"], seed=42)
+    sizes = [r.point_count for r in cluster_sizes(labeled).collect()]
+    assert sorted(sizes) == [50, 50, 50]
+    found = sorted((round(c[0]), round(c[1])) for c in model.clusterCenters())
+    assert found == sorted((int(x), int(y)) for x, y in centers)
+
+
+def test_centroid_landmark_distances(spark):
+    import numpy as np  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(48.8566 + i * 0.001, 2.3522) for i in range(10)], "lat double, lon double"
+    )
+    model, _ = kmeans_fit_predict(df, k=2, feature_cols=["lat", "lon"], seed=1)
+    landmarks = spark.createDataFrame(
+        [("london", 51.5074, -0.1278)], "name string, lat double, lon double"
+    )
+    rows = centroid_landmark_distances(model, landmarks, "name", "lat", "lon").collect()
+    # both centroids sit in the Paris point cloud → both ~343 km from London
+    assert len(rows) == 2 and all(abs(r.distance_km - 343.5) < 3 for r in rows)
+
+
+def test_fpgrowth_hand_computed(spark):
+    # 4 transactions; {a}: 4/4, {b}: 3/4, {a,b}: 3/4; rule b→a conf 1.0
+    tx = spark.createDataFrame(
+        [(["a", "b"],), (["a", "b", "c"],), (["a"],), (["b", "a"],)],
+        "items array<string>",
+    )
+    fi = {r.itemset: r.freq for r in frequent_itemsets(tx, "items", 0.5, 0.5).collect()}
+    assert fi["a"] == 4 and fi["b"] == 3 and fi["a,b"] == 3
+    rules = {
+        (r.antecedent, r.consequent): (r.confidence, r.support)
+        for r in association_rules(tx, "items", 0.5, 0.5).collect()
+    }
+    assert rules[("b", "a")] == (1.0, 0.75)
+    assert rules[("a", "b")][0] == 0.75
+    filtered = association_rules(tx, "items", 0.5, 0.5, antecedent_contains="b")
+    assert {r.antecedent for r in filtered.collect()} == {"b"}
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_ann_exact(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),   # closest to 0
+        (2, [0.0, 1.0]),   # orthogonal
+        (3, [-1.0, 0.0]),  # opposite
+    ]
+    df = _vec_df(spark, rows)
+    out = brute_force_cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    got = [(r.neighbor_id, r.rnk) for r in out.collect()]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+    sims = {r.neighbor_id: r.cosine_sim for r in out.collect()}
+    assert abs(sims[1] - 0.9 / math.hypot(0.9, 0.1)) < 1e-6
+    assert sims[2] == 0.0 and sims[3] == -1.0
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(5):  # 5 tight neighbors per seed point
+            rows.append((vid, [float(x) for x in (b + rng.normal(0, 0.05, 16))]))
+            vid += 1
+    df = _vec_df(spark, rows)
+    queries = df.filter(F.col("vec_id") % 5 == 0).limit(8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_cosine_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_cosine_topk(df, queries, k=3, num_bits=4, num_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"

@@ -1,0 +1,129 @@
+"""Unit tests for operator combinators (SURVEY.md §5.2: one test per
+inventory row family, tiny inline DataFrames, exact expected rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.operators.aggregates import (
+    argmax_per_group,
+    count_distinct_exact,
+    money_sum,
+)
+from backend_big_data_spark.operators.joins import anti_join, broadcast_join, semi_join
+from backend_big_data_spark.operators.search import (
+    array_membership_filter,
+    date_range_filter,
+    keyword_filter,
+    union_distinct_by_key,
+)
+from backend_big_data_spark.operators.windows import (
+    global_rank,
+    lag_delta,
+    paginate,
+    topk_per_group,
+)
+
+
+def _people(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "g1", 10, 1),
+            ("b", "g1", 30, 2),
+            ("c", "g1", 30, 3),
+            ("d", "g2", 5, 4),
+            ("e", "g2", 7, 5),
+        ],
+        "name string, grp string, score int, id int",
+    )
+
+
+def test_paginate_tiles_ordered_sequence(spark):
+    """Property (B6 fix): pages partition the ordered result exactly."""
+    df = spark.range(0, 97).withColumnRenamed("id", "k")
+    pages = [
+        [r.k for r in paginate(df, ["k"], page=p, page_size=10).collect()]
+        for p in range(1, 11)
+    ]
+    flat = [k for page in pages for k in page]
+    assert flat == list(range(97))
+    assert all(len(p) == 10 for p in pages[:9]) and len(pages[9]) == 7
+
+
+def test_topk_per_group_matches_sorted_head(spark):
+    df = _people(spark)
+    top = topk_per_group(df, ["grp"], [F.desc("score"), F.col("id")], k=2)
+    got = {(r.grp, r.name, r.rnk) for r in top.collect()}
+    assert got == {("g1", "b", 1), ("g1", "c", 2), ("g2", "e", 1), ("g2", "d", 2)}
+
+
+def test_global_rank(spark):
+    df = _people(spark)
+    ranked = global_rank(df, [F.desc("score"), F.col("id")])
+    got = {r.name: r.rank for r in ranked.collect()}
+    assert got == {"b": 1, "c": 2, "a": 3, "e": 4, "d": 5}
+
+
+def test_argmax_per_group_equals_window_argmax(spark):
+    """Property (A5): max-of-struct == row_number-over-window winner."""
+    df = _people(spark)
+    got = argmax_per_group(
+        df,
+        ["grp"],
+        [F.col("score"), F.col("id")],
+        {"winner": F.col("name"), "best_score": F.col("score")},
+    )
+    assert {(r.grp, r.winner, r.best_score) for r in got.collect()} == {
+        ("g1", "c", 30),  # tie on score=30 broken by max id (c)
+        ("g2", "e", 7),
+    }
+
+
+def test_lag_delta(spark):
+    df = _people(spark)
+    out = lag_delta(df, ["grp"], ["id"], F.col("score"), "d")
+    got = {r.name: r.d for r in out.collect()}
+    assert got == {"a": None, "b": 20, "c": 0, "d": None, "e": 2}
+
+
+def test_money_sum_is_exact(spark):
+    df = spark.createDataFrame([(0.1,)] * 10, "x double")
+    (v,) = df.agg(money_sum(F.col("x")).alias("s")).collect()[0]
+    assert v == 1.0  # double-summed 0.1*10 would be 0.9999999999999999
+
+
+def test_count_distinct_exact(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,), (3,), (3,)], "k int")
+    assert count_distinct_exact(df, "k", "n").collect()[0].n == 3
+
+
+def test_semi_anti_broadcast_joins(spark):
+    left = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k int, v string")
+    right = spark.createDataFrame([(1,), (3,)], "k int")
+    assert {r.k for r in semi_join(left, right, "k").collect()} == {1, 3}
+    assert {r.k for r in anti_join(left, right, "k").collect()} == {2}
+    joined = broadcast_join(left, right.withColumn("w", F.lit(9)), "k")
+    assert {(r.k, r.w) for r in joined.collect()} == {(1, 9), (3, 9)}
+
+
+def test_search_filters(spark):
+    df = spark.createDataFrame(
+        [(1, "Deep BLUE sea", ["x", "y"], "2020-01-05"),
+         (2, "green hill", ["y", "z"], "2020-02-05"),
+         (3, "red rock", ["q"], "2020-03-05")],
+        "id int, title string, tags array<string>, d string",
+    ).withColumn("d", F.to_date("d"))
+    assert [r.id for r in df.filter(keyword_filter([F.col("title")], "BLUE")).collect()] == [1]
+    pred = date_range_filter(F.col("d"), "2020-01-15", None)
+    assert {r.id for r in df.filter(pred).collect()} == {2, 3}
+    assert date_range_filter(F.col("d"), None, None) is None
+    # B10 semantics: row matches once even when multiple tags match
+    got = df.filter(array_membership_filter(F.col("tags"), ["y", "z"])).collect()
+    assert sorted(r.id for r in got) == [1, 2]
+
+
+def test_union_distinct_by_key(spark):
+    a = spark.createDataFrame([(1, "p"), (2, "q")], "id int, v string")
+    b = spark.createDataFrame([(2, "q"), (3, "r")], "id int, v string")
+    out = union_distinct_by_key([a, b], "id")
+    assert {(r.id, r.v) for r in out.collect()} == {(1, "p"), (2, "q"), (3, "r")}
