@@ -1,6 +1,7 @@
 """Import every plan module so the registry is fully populated."""
 
 from backend_big_data_spark.plans import (  # noqa: F401
+    advanced,
     documents,
     embeddings_events,
     ml_plans,
