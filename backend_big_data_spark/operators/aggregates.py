@@ -23,20 +23,31 @@ def argmax_per_group(
     group_by: Sequence[str],
     order_cols: Sequence[Column],
     payload: dict[str, Column],
+    extra_aggs: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Row-with-max per group via ``max(struct(...))`` — the reference's A5
     idiom (``queries.py:316-320``: photo with max views per owner, tie-break
     by comments). One hash aggregate, no window, no self-join.
 
     ``order_cols`` define the (lexicographic) max; ``payload`` maps output
-    column name → expression carried along with the winner.
+    column name → expression carried along with the winner. ``extra_aggs``
+    adds ordinary aggregates (sum/count/...) computed in the SAME hash
+    aggregate — the reference's search_owner shape (totals + argmax photo
+    in one groupBy, ``queries.py:311-320``).
     """
     s = F.struct(
         *[c.alias(f"_o{i}") for i, c in enumerate(order_cols)],
         *[v.alias(k) for k, v in payload.items()],
     )
-    agg = df.groupBy(*group_by).agg(F.max(s).alias("_top"))
-    return agg.select(*group_by, *[F.col(f"_top.{k}").alias(k) for k in payload])
+    extra = extra_aggs or {}
+    agg = df.groupBy(*group_by).agg(
+        F.max(s).alias("_top"), *[v.alias(k) for k, v in extra.items()]
+    )
+    return agg.select(
+        *group_by,
+        *[F.col(f"_top.{k}").alias(k) for k in payload],
+        *extra.keys(),
+    )
 
 
 def money_sum(col: Column, scale: int = 2) -> Column:
