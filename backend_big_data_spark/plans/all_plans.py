@@ -4,6 +4,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     advanced,
     documents,
     embeddings_events,
+    extended,
     ml_plans,
     relational,
 )

@@ -1,0 +1,188 @@
+"""Extended coverage plans: supplier analytics (completing the catalog),
+cube grouping sets, sliding-window streaming with a batch-twin oracle, the
+SQL-string frontend, IVF ANN, winnowing fingerprints, and sketch
+aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.plans.advanced import _run_to_table
+from backend_big_data_spark.plans.registry import register
+from backend_big_data_spark.similarity.ann import ivf_cosine_topk
+from backend_big_data_spark.sources.catalog import load_table, register_views
+from backend_big_data_spark.streaming.events import (
+    read_events_stream,
+    sliding_counts,
+)
+from backend_big_data_spark.text.dedup import winnowing_fingerprints
+
+
+@register(
+    "supplier_revenue_by_nation",
+    oracle="""
+SELECT n_name, s_suppkey, s_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS lineitem_count
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, s_suppkey, s_name
+ORDER BY n_name, s_suppkey
+""",
+)
+def supplier_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier revenue with nation rollout — completes catalog
+    coverage (supplier was the one driver table previously unused). The
+    supplier⨝nation dim side is broadcast; lineitem never shuffles for it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dims = supp.join(nation, supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", "s_name", "n_name"
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name", "s_suppkey", "s_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("lineitem_count"),
+        )
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+@register(
+    "orders_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS order_count
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+""",
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping sets in one pass (status, priority, each
+    margin, grand total) — ``df.cube`` expands map-side, one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("order_count"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "order_count",
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+#: One SQL text, two engines: runs verbatim under spark.sql AND DuckDB —
+#: the SQL-string interface the reference never had (SURVEY.md §0).
+_SQL_FRONTEND_QUERY = """
+SELECT n_name, COUNT(*) AS customer_count, ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+@register("sql_frontend_customers_by_nation", oracle=_SQL_FRONTEND_QUERY)
+def sql_frontend_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL frontend: tables registered as views, the query
+    submitted as an ANSI-SQL string — the SAME string is the oracle, proving
+    dialect-portable SQL in and out."""
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(_SQL_FRONTEND_QUERY)
+
+
+@register(
+    "streaming_sliding_halfhour",
+    oracle="""
+SELECT ws AS window_start, event_type, COUNT(*) AS event_count
+FROM (
+  SELECT event_type,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS ws
+  FROM events
+) GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def streaming_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h wide, 30 min slide) over the event STREAM,
+    availableNow → memory sink; the oracle materializes the same two
+    windows per row in SQL. Each event lands in width/slide = 2 windows."""
+    stream = sliding_counts(
+        read_events_stream(spark, sf_dir), width="1 hour", slide="30 minutes"
+    )
+    return _run_to_table(stream, "sliding_oracle", "complete").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register("ann_ivf_topk")  # rows-only: KMeans quantizer is iterative/seeded
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse KMeans quantizer + probe-and-rerank) — the second
+    scale path next to LSH. Approximate by construction → rows-only; the
+    nprobe==nlist exact-degradation invariant is pytest-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, nlist=8, nprobe=3
+    )
+
+
+@register("doc_winnowing")  # rows-only: xxhash64 not portable to DuckDB SQL
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints per document — passage-level
+    containment detection. Output bounded to fingerprint counts per doc."""
+    from backend_big_data_spark.sources.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    fp = winnowing_fingerprints(docs, k=5, window=4)
+    return (
+        fp.groupBy("doc_id")
+        .agg(F.count("*").alias("fingerprint_count"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "events_user_count_sketch",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_user_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type. The 100 TB path is the HLL
+    sketch (``approx_count_distinct``, one pass, fixed memory); it is
+    pytest-checked to within its rsd against this exact form, while the
+    oracle gate gets the exact variant (sketches aren't cross-engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .orderBy("event_type")
+    )

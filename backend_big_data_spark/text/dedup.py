@@ -327,3 +327,47 @@ def simhash_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> Da
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing (rolling-hash document fingerprinting)
+# --------------------------------------------------------------------------
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS algorithm): hash every POSITIONAL character k-gram, slide a window
+    of ``window`` hashes, keep each window's minimum, distinct the kept set.
+    Guarantees: any shared substring of length ≥ k+window-1 contributes at
+    least one shared fingerprint — the standard containment/overlap
+    detector (plagiarism, near-dup at passage granularity).
+
+    All higher-order column expressions (sequence/transform/slice/
+    array_min) — no Python. The positional k-gram hash array materializes
+    in its own projection so the substring+hash work runs once, not once
+    per window (same CSE hazard as ``doc_shingles``).
+
+    Output: (id, fingerprint) exploded — ready for a groupBy-join exactly
+    like ``ngram_jaccard_pairs``' inverted index.
+    """
+    text = F.col(text_col)
+    n_grams = F.length(text) - k + 1
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+        lambda i: F.xxhash64(F.substring(text, i, F.lit(k))),
+    )
+    hashed = df.select(F.col(id_col), gram_hashes.alias("__h")).filter(
+        F.size("__h") > 0
+    )
+    n_windows = F.size(F.col("__h")) - window + 1
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("__h"), i, window)),
+    )
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
