@@ -130,3 +130,80 @@ def decode_image_batch(media: DataFrame, fake: bool = False) -> DataFrame:
         compute,
         schema="media_id long, width int, height int, channels int, features array<double>",
     )
+
+
+def resize_image_batch(
+    media: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize image payloads → (media_id, payload, meta) with updated
+    dimensions. Real codec path STUBBED (no imaging library in this
+    container); ``fake=True`` emits a deterministic payload (sha256 of
+    input ⊕ target dims) with the right schema so partitioning/batching is
+    exercised end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an imaging library (e.g. Pillow); pass "
+            "fake=True for the deterministic test double"
+        )
+
+    def compute(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "width": [], "height": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                seed = hashlib.sha256(
+                    bytes(payload or b"") + f":{width}x{height}".encode()
+                ).digest()
+                out["media_id"].append(mid)
+                out["payload"].append(seed * 4)  # fixed-size fake raster
+                out["width"].append(width)
+                out["height"].append(height)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        compute, schema="media_id long, payload binary, width int, height int"
+    )
+
+
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, fake: bool = False
+) -> DataFrame:
+    """Sample frames from video payloads → one row per sampled frame
+    (media_id, frame_idx, ts_ms, frame). A 1→N generator via mapInPandas
+    (each input row yields several output rows — the Spark-side shape of
+    any demux/decode). Real codec STUBBED; the fake derives a deterministic
+    frame count (1-4) and frame bytes from the payload hash.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video demux requires a codec library (e.g. PyAV); pass "
+            "fake=True for the deterministic test double"
+        )
+
+    def compute(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                digest = hashlib.sha256(bytes(payload or b"")).digest()
+                n_frames = 1 + digest[0] % 4
+                for i in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame"].append(
+                        hashlib.sha256(digest + bytes([i])).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        compute,
+        schema="media_id long, frame_idx int, ts_ms long, frame binary",
+    )

@@ -133,3 +133,47 @@ def hourly_counts_batch(events: DataFrame) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def user_running_totals(events: DataFrame, timeout_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count + value sum, emitted on every update, with
+    processing-time state timeout (state for an idle user is dropped — the
+    bound that keeps 100 TB of users from accumulating forever).
+
+    This is the shape Structured Streaming's built-in aggregations cannot
+    express directly (emit-per-batch running totals with custom state
+    layout); the reference has no streaming at all (SURVEY.md §2.11).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, event_count long, value_sum double"
+    state_schema = "event_count long, value_sum double"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((count, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "event_count": [count], "value_sum": [total]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

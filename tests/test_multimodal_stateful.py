@@ -1,0 +1,80 @@
+"""Tests: multimodal resize/frame-sample plumbing and the custom stateful
+streaming operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.multimodal.binary_ops import (
+    resize_image_batch,
+    sample_video_frames,
+    to_media_table,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    df = spark.createDataFrame(
+        [(1, b"imagebytes-1"), (2, b"imagebytes-2"), (3, None)],
+        "mid long, payload binary",
+    )
+    return to_media_table(df, "mid", F.col("payload"), "image")
+
+
+def test_resize_stubbed_without_fake(media):
+    with pytest.raises(NotImplementedError):
+        resize_image_batch(media, 64, 64, fake=False)
+
+
+def test_resize_fake_is_deterministic(media):
+    a = {r.media_id: bytes(r.payload) for r in resize_image_batch(media, 64, 64, fake=True).collect()}
+    b = {r.media_id: bytes(r.payload) for r in resize_image_batch(media, 64, 64, fake=True).collect()}
+    c = {r.media_id: bytes(r.payload) for r in resize_image_batch(media, 32, 32, fake=True).collect()}
+    assert a == b
+    assert a[1] != c[1]              # dims participate in the fake payload
+    assert a[1] != a[2]              # payload participates
+    out = resize_image_batch(media, 64, 48, fake=True).collect()
+    assert all((r.width, r.height) == (64, 48) for r in out)
+
+
+def test_frame_sampling_one_to_many(media):
+    rows = sample_video_frames(media, every_ms=500, fake=True).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, frames in by_media.items():
+        idxs = sorted(f.frame_idx for f in frames)
+        assert idxs == list(range(len(frames)))       # dense frame indices
+        assert sorted(f.ts_ms for f in frames) == [i * 500 for i in idxs]
+        assert len({bytes(f.frame) for f in frames}) == len(frames)
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from backend_big_data_spark.streaming.events import user_running_totals
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "click", 1.5, "{}"),
+            (2, "2024-01-01 00:01:00", 7, "click", 2.5, "{}"),
+            (3, "2024-01-01 00:02:00", 9, "view", 10.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "ev")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(src)
+    q = (
+        user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.user_id: (r.event_count, r.value_sum) for r in spark.sql("SELECT * FROM running_t").collect()}
+    q.stop()
+    assert rows == {7: (2, 4.0), 9: (1, 10.0)}
