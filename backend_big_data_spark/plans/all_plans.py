@@ -7,5 +7,6 @@ from backend_big_data_spark.plans import (  # noqa: F401
     extended,
     ml_plans,
     relational,
+    tpch_extra,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401

@@ -1,0 +1,150 @@
+"""Lineitem-heavy classics (TPC-H Q3/Q18 shapes) + an explicitly salted
+aggregation — the bench's deep-join and skew-tool coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.operators.skew import salted_agg
+from backend_big_data_spark.plans.registry import register
+from backend_big_data_spark.sources.catalog import load_table
+
+
+@register(
+    "shipping_priority_top10",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on all three tables push into the
+    scans BEFORE the joins (Catalyst predicate pushdown), the filtered
+    customer side broadcasts, and the final top-10 is
+    TakeOrderedAndProject — no global sort."""
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "large_quantity_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 200
+)
+SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders
+JOIN big      ON o_orderkey = big.l_orderkey
+JOIN lineitem ON lineitem.l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: a HAVING-filtered semi-ish self-aggregation of the
+    fact table feeds the main join. The `big` key set is small after the
+    HAVING filter → broadcast; lineitem is touched twice but shuffles only
+    for its own aggregations (both on l_orderkey, so a bucketed-at-rest
+    layout makes them shuffle-free — PERF.md)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 200)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "lineitem_flags_salted",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS line_count,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def lineitem_flags_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salting demo under the oracle gate: (returnflag, linestatus)
+    has ~4 giant groups — the canonical hot-key aggregation. The salted
+    two-phase plan spreads each group over 16 reducers, then re-combines;
+    the oracle proves the rewrite is semantics-preserving (decimal partials
+    make even the sums bit-exact under any re-combination order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "line_count": F.count("*"),
+            "total_qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+        },
+        unique_col=F.concat_ws("|", "l_orderkey", "l_linenumber"),
+        num_salts=16,
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "line_count",
+        F.col("total_qty").cast("double").alias("total_qty"),
+    ).orderBy("l_returnflag", "l_linestatus")

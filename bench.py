@@ -29,6 +29,8 @@ HEADLINE = [
     "customer_spend_ranking",
     "top3_parts_per_brand",
     "avg_ship_delay_by_priority",
+    "shipping_priority_top10",
+    "large_quantity_orders",
     "events_hourly_by_type",
     "events_search_page",
     "orders_rollup",
