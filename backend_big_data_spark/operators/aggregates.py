@@ -69,3 +69,40 @@ def count_distinct_exact(df: DataFrame, col: str, alias: str) -> DataFrame:
     (``.distinct().count()``, ``queries.py:289-295``). The approx sibling
     (``F.approx_count_distinct``, HLL sketch) is the 100 TB default."""
     return df.agg(F.countDistinct(col).alias(alias))
+
+
+def groupwise_minmax_scale(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    out_col: str = "scaled",
+) -> DataFrame:
+    """Per-group min-max scaling via ``applyInPandas`` (grouped-map pandas
+    UDF): each group arrives as ONE pandas DataFrame in an Arrow batch and
+    is normalized in vectorized numpy. This is the canonical shape for
+    per-group Python logic that built-in expressions can't express
+    (sklearn-style transforms, per-entity model scoring).
+
+    For THIS particular transform a pure window formulation exists
+    ((v - min)/(max - min) over a keyed window) and is what the oracle
+    uses — the point here is proving the pandas grouped-map path computes
+    bit-compatible results through the Arrow boundary.
+
+    Scale: one shuffle on the group keys; each group must fit in one
+    worker's memory (min-max needs only two passes — for giant groups use
+    the window form instead).
+    """
+    keys = list(keys)
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} double"]
+    )
+
+    def scale(pdf):
+        v = pdf[value_col]
+        lo, hi = v.min(), v.max()
+        span = hi - lo
+        pdf[out_col] = ((v - lo) / span if span else v * 0.0).round(4)
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(scale, schema=schema)

@@ -186,3 +186,28 @@ def events_user_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("exact_users"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_minmax_scaled",
+    oracle="""
+SELECT event_id, event_type, value,
+       ROUND(CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END, 4) AS scaled
+FROM (
+  SELECT event_id, event_type, value,
+         MIN(value) OVER (PARTITION BY event_type) AS mn,
+         MAX(value) OVER (PARTITION BY event_type) AS mx
+  FROM events
+) ORDER BY event_id
+""",
+)
+def events_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` (per-type min-max scaling) proven
+    bit-compatible with the pure-SQL window formulation through the Arrow
+    boundary."""
+    from backend_big_data_spark.operators.aggregates import groupwise_minmax_scale
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return groupwise_minmax_scale(ev, ["event_type"], "value").orderBy("event_id")

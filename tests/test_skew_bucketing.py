@@ -78,3 +78,64 @@ def test_bucketed_join_has_no_shuffle(spark):
         drop_table(spark, "b_orders")
         drop_table(spark, "b_lineitem")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Partitioned-at-rest fact + filtered dim join → Spark injects a
+    dynamicpruning subquery into the fact scan's PartitionFilters, so only
+    matching partitions are read (the 100 TB partition-layout payoff)."""
+    orders = load_table(spark, SF_SMALL, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    orders.write.partitionBy("order_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(y, "keep") for y in (1995, 1996)], "order_year int, tag string"
+    ).filter(F.col("tag") == "keep")
+    joined = fact.join(dim, "order_year")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    years = {r.order_year for r in joined.select("order_year").distinct().collect()}
+    assert years == {1995, 1996}
+
+
+def test_streaming_foreachbatch_checkpoint_resume(spark, tmp_path):
+    """Checkpointed file-source stream into a parquet sink via foreachBatch:
+    stop after the first batch of files, add more files, restart with the
+    SAME checkpoint — only the NEW files are processed (exactly-once over
+    restarts, the recovery contract real deployments rely on)."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, v double"
+
+    def write_src(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    write_src("a", [(1, 1.0), (2, 2.0)])
+    run_once()
+    first = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+
+    write_src("b", [(3, 3.0)])
+    run_once()  # same checkpoint: resumes, processes ONLY the new file
+    second = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert second == [1, 2, 3]  # no reprocessing of ids 1-2
