@@ -148,3 +148,77 @@ def lineitem_flags_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "line_count",
         F.col("total_qty").cast("double").alias("total_qty"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
+    "returned_revenue_by_customer",
+    oracle="""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS lost_revenue,
+       COUNT(*) AS returned_lines
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20. The
+    returnflag filter pushes into the lineitem scan; customer broadcasts;
+    TakeOrderedAndProject caps the result."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("lost_revenue"),
+            F.count("*").alias("returned_lines"),
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "events_props_json",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       COUNT(*) AS event_count,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY 1 ORDER BY 1
+""",
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events ``props`` column is a JSON
+    string; ``get_json_object`` pulls ``$.k`` JVM-side (no Python, no full
+    JSON schema needed). At scale prefer parsing ONCE at ingest with
+    ``from_json`` into a typed column — per-query string parsing is the
+    date-string mistake the reference made (SURVEY §1.2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("k")
+    )
