@@ -177,3 +177,41 @@ def user_running_totals(events: DataFrame, timeout_minutes: int = 30) -> DataFra
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def purchases_with_recent_signup_stream(
+    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the SAME USER's
+    signup within the preceding ``within`` interval.
+
+    Both sides carry watermarks and the join has an explicit time-range
+    condition — the two requirements that let Structured Streaming bound
+    its join state (each side's rows are dropped once the other side's
+    watermark passes the range). Without them a stream-stream join holds
+    state forever.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", watermark)
+    )
+    return purchases.join(
+        signups,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("s_ts") < F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}")),
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "signup_id", "s_ts")
