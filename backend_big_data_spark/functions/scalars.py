@@ -49,3 +49,17 @@ def bucketize(col: Column, thresholds: list[float], labels: list[str]) -> Column
     for t, lab in zip(reversed(thresholds), reversed(labels[:-1])):
         expr = F.when(col < F.lit(t), F.lit(lab)).otherwise(expr)
     return expr
+
+
+def round_half_up(col: Column, scale: int) -> Column:
+    """Cross-engine-deterministic rounding: ``floor(x·10^s + 0.5)/10^s``.
+
+    ``F.round`` and other engines' ROUND disagree on ties for doubles
+    (half-up vs banker's vs decimal-expansion-of-the-binary-value) — a mean
+    of a small group of low-decimal values lands exactly on the grid often
+    enough to break hash parity. This form is plain double arithmetic, so
+    any IEEE-754 engine evaluating the same expression gets the identical
+    bit pattern. (Half-up toward +∞ for negatives; fine for magnitudes.)
+    """
+    factor = float(10**scale)
+    return F.floor(col * factor + F.lit(0.5)) / factor

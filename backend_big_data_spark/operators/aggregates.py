@@ -102,7 +102,12 @@ def groupwise_minmax_scale(
         v = pdf[value_col]
         lo, hi = v.min(), v.max()
         span = hi - lo
-        pdf[out_col] = ((v - lo) / span if span else v * 0.0).round(4)
+        import numpy as np
+
+        scaled = (v - lo) / span if span else v * 0.0
+        # floor(x*1e4+0.5)/1e4: same double arithmetic as the SQL oracle
+        # (pandas .round is banker's — ties would diverge cross-engine)
+        pdf[out_col] = np.floor(scaled * 10000.0 + 0.5) / 10000.0
         return pdf
 
     return df.groupBy(*keys).applyInPandas(scale, schema=schema)

@@ -57,7 +57,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly_by_type",
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       COUNT(*) AS event_count, ROUND(AVG(value), 4) AS avg_value
+       COUNT(*) AS event_count,
+       FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
 )

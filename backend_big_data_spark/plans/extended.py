@@ -192,7 +192,7 @@ def events_user_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_minmax_scaled",
     oracle="""
 SELECT event_id, event_type, value,
-       ROUND(CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END, 4) AS scaled
+       FLOOR((CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END) * 10000.0 + 0.5) / 10000.0 AS scaled
 FROM (
   SELECT event_id, event_type, value,
          MIN(value) OVER (PARTITION BY event_type) AS mn,

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.functions.scalars import round_half_up
 from backend_big_data_spark.operators.skew import salted_agg
 from backend_big_data_spark.plans.registry import register
 from backend_big_data_spark.sources.catalog import load_table
@@ -200,7 +201,7 @@ def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
        COUNT(*) AS event_count,
-       ROUND(AVG(value), 4) AS avg_value
+       FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
 FROM events
 GROUP BY 1 ORDER BY 1
 """,
@@ -218,7 +219,7 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            round_half_up(F.avg("value"), 4).alias("avg_value"),
         )
         .orderBy("k")
     )

@@ -54,12 +54,14 @@ def tumbling_counts(
     events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Tumbling-window counts per event_type with late-data watermark."""
+    from backend_big_data_spark.functions.scalars import round_half_up
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            round_half_up(F.avg("value"), 4).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -119,11 +121,13 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
 def hourly_counts_batch(events: DataFrame) -> DataFrame:
     """Batch twin of ``tumbling_counts`` (no watermark needed at rest) —
     used by the oracle gate; semantics identical by construction."""
+    from backend_big_data_spark.functions.scalars import round_half_up
+
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            round_half_up(F.avg("value"), 4).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
