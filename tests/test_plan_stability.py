@@ -1,0 +1,75 @@
+"""Plan-stability invariants: the physical-plan properties PERF.md claims,
+asserted so a future refactor that silently regresses them fails CI.
+
+Checks run on the formatted explain text at sf0.001 (plan SHAPE is scale-
+invariant; AQE may tighten but not loosen these)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from backend_big_data_spark.plans.all_plans import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filters_push_into_scan(spark):
+    plan = _plan(spark, "revenue_forecast")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: scan schema holds only the 4 referenced columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read_schema.count(":") - 1 == 4  # "ReadSchema: struct<a:…,b:…>"
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "revenue_by_region")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "top50_orders")
+
+
+def test_argmax_has_no_window(spark):
+    plan = _plan(spark, "top_order_per_customer")
+    assert "Window" not in plan
+    # max(struct) plans sort-based aggregation, still partial + final
+    assert "partial_" in plan and "Aggregate" in plan
+
+
+def test_pagination_has_no_window(spark):
+    plan = _plan(spark, "orders_page3")
+    assert "Window" not in plan  # keyed offset/limit, not row_number (B6)
+
+
+def test_asof_single_shuffle_no_join(spark):
+    plan = _plan(spark, "asof_signup_before_purchase")
+    assert plan.count("hashpartitioning") == 1  # the user_id window shuffle
+    assert "Join" not in plan  # union+window formulation, not a join
+
+
+def test_search_union_no_cartesian(spark):
+    plan = _plan(spark, "parts_search_union")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pricing_summary", "orders_by_month", "supplier_revenue_by_nation"],
+)
+def test_aggregations_have_partial_phase(spark, name):
+    plan = _plan(spark, name)
+    assert "partial_" in plan            # map-side combine present
+    assert "hashpartitioning" in plan    # keyed shuffle, not broadcast-all
