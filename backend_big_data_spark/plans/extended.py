@@ -211,3 +211,17 @@ def events_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     return groupwise_minmax_scale(ev, ["event_type"], "value").orderBy("event_id")
+
+
+@register("doc_lsh_verified_dedup")  # rows-only: xxhash64 banding
+def doc_lsh_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage near-dup pipeline: MinHash-LSH candidates →
+    semi-join prune → exact-Jaccard verify (text/dedup.py
+    ``lsh_verified_pairs``). Rows-only (xxhash banding); subset/threshold
+    invariants are pytest-verified."""
+    from backend_big_data_spark.text.dedup import doc_shingles, lsh_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_verified_pairs(doc_shingles(docs), threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )

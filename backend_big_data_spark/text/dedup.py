@@ -371,3 +371,46 @@ def winnowing_fingerprints(
     return hashed.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
     )
+
+
+# --------------------------------------------------------------------------
+# Two-stage near-dup pipeline: LSH candidates → exact verify
+# --------------------------------------------------------------------------
+def lsh_verified_pairs(
+    shingled: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The production near-dup shape: MinHash-LSH proposes candidates
+    (cheap, recall-oriented), exact Jaccard verifies them (precision). The
+    expensive exact stage runs ONLY on documents that appear in some
+    candidate pair — a semi-join prunes the shingle index to the candidate
+    doc set first, so at 100 TB the quadratic stage touches a vanishing
+    fraction of the corpus.
+
+    Output: (doc_a, doc_b, est_jaccard, intersection_size, jaccard) for
+    pairs whose EXACT jaccard ≥ threshold. Subset guarantee: every output
+    pair is an LSH candidate; pairs the banding misses (jaccard below the
+    S-curve's recall at this (bands, rows) point) are absent by design.
+    """
+    # The shingle table feeds BOTH stages (signatures + exact verify);
+    # persist it so tokenize/shingle runs once. Spark's cache manager keys
+    # on the canonical plan, so repeated pipeline invocations share it.
+    shingled = shingled.persist()
+    sigs = minhash_signatures(shingled, num_hashes, hash_fn, id_col)
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands, hash_fn, id_col)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = shingled.join(cand_docs, on=id_col, how="semi")
+    exact = ngram_jaccard_pairs(pruned, threshold=0.0, id_col=id_col)
+    return (
+        cand.join(exact, on=["doc_a", "doc_b"], how="inner")
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard", "intersection_size", "jaccard")
+    )

@@ -131,3 +131,17 @@ def test_quality_profile_hand_computed(spark):
     assert r.chars_no_ws == 12 and r.bpe_tokens == 4
     assert r.stopword_hits == 2  # 'the' twice
     assert r.avg_token_len == 3.0 and r.ttr == 0.5 and r.stopword_ratio == 0.5
+
+
+def test_lsh_verified_pairs_subset_and_threshold(spark):
+    from backend_big_data_spark.text.dedup import lsh_verified_pairs
+
+    docs = _near_dup_corpus(spark)
+    out = {(r.doc_a, r.doc_b): (r.est_jaccard, r.jaccard)
+           for r in lsh_verified_pairs(doc_shingles(docs), 0.5).collect()}
+    # identical pair and near-dup pair survive; unrelated doc 4 never appears
+    assert (1, 2) in out and out[(1, 2)][1] == 1.0
+    assert (1, 3) in out and 0.5 <= out[(1, 3)][1] < 1.0
+    assert not any(4 in p for p in out)
+    # exact stage is authoritative: every emitted jaccard meets threshold
+    assert all(j >= 0.5 for _, j in out.values())
