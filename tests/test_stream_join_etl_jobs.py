@@ -91,3 +91,41 @@ def test_clean_and_enrich_job_end_to_end(spark, tmp_path):
     assert row.comments == fake[0]                  # enriched
     assert row.camera_info.make == fake[3]
     assert row.dateTaken is None                    # sentinel nulled
+
+
+def test_streaming_upsert_merge_semantics(spark, tmp_path):
+    from backend_big_data_spark.streaming.upsert import upsert_stream_to_parquet
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string, ts timestamp"
+
+    def push(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = upsert_stream_to_parquet(stream, out, ckpt, key="k", order_col="ts")
+        q.awaitTermination(120)
+        q.stop()
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    # batch 1: two keys, plus an in-batch older duplicate of k=1 that must lose
+    push([
+        (1, "one-old", t("2024-01-01T00:00:00")),
+        (1, "one", t("2024-01-01T01:00:00")),
+        (2, "two", t("2024-01-01T00:30:00")),
+    ])
+    got = {r.k: r.v for r in spark.read.parquet(out).collect()}
+    assert got == {1: "one", 2: "two"}
+    # batch 2 (checkpoint resume): update k=2, insert k=3
+    push([
+        (2, "two-v2", t("2024-01-02T00:00:00")),
+        (3, "three", t("2024-01-02T00:00:00")),
+    ])
+    rows = spark.read.parquet(out).collect()
+    assert {r.k: r.v for r in rows} == {1: "one", 2: "two-v2", 3: "three"}
+    assert len(rows) == 3  # exactly one row per key
