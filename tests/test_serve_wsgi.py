@@ -1,0 +1,82 @@
+"""WSGI serving layer: invoke the app callable directly (no server) and
+check route contracts, parameter parsing, and error envelope."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from backend_big_data_spark.photo.serve import create_app
+
+
+def _call(app, path, qs="", body=None):
+    status_headers = {}
+
+    def start_response(status, headers):
+        status_headers["status"] = status
+
+    environ = {"PATH_INFO": path, "QUERY_STRING": qs}
+    if body is not None:
+        raw = json.dumps(body).encode()
+        environ["CONTENT_LENGTH"] = str(len(raw))
+        environ["wsgi.input"] = io.BytesIO(raw)
+    chunks = app(environ, start_response)
+    return status_headers["status"], json.loads(b"".join(chunks))
+
+
+@pytest.fixture(scope="module")
+def app(spark):
+    from backend_big_data_spark.photo.schema import PHOTO_SCHEMA_RAW, ingest
+    from tests.test_photo_domain import _photo
+
+    df = ingest(
+        spark.createDataFrame(
+            [
+                _photo("p01", views=100, tags=("rome", "sunset")),
+                _photo("p02", owner_id="u2", username="bob", views=50,
+                       tags=("city",),
+                       posted="2022-07-01T22:10:00.000+00:00"),
+            ],
+            PHOTO_SCHEMA_RAW,
+        )
+    )
+    return create_app(df)
+
+
+def test_years_route(app):
+    status, payload = _call(app, "/years")
+    assert status == "200 OK"
+    assert [r["year"] for r in payload] == [2021, 2022]
+
+
+def test_query_params_parsed(app):
+    status, payload = _call(app, "/photosByTag", qs="tag=rome&page=1&page_size=5")
+    assert status == "200 OK"
+    assert [r["id"] for r in payload] == ["p01"]
+    status, payload = _call(app, "/photoPostedPerMonthByYear", qs="year=2021&type=posted")
+    assert status == "200 OK"
+    assert len(payload) == 12  # zero-filled with Italian names
+
+
+def test_post_body_routes(app):
+    status, payload = _call(app, "/searchPhotos", body={"keyword": "sunset"})
+    assert status == "200 OK"
+    assert len(payload) == 1 and payload[0]["username"] == "alice"
+
+
+def test_count_users_b4_fixed(app):
+    status, payload = _call(app, "/countUsers")
+    assert status == "200 OK" and payload == {"count": 2}
+
+
+def test_unknown_route_404(app):
+    status, payload = _call(app, "/nope")
+    assert status.startswith("404") and "error" in payload
+
+
+def test_error_envelope_500(app):
+    # /runKMeans2 without a monuments table → per-route 500 envelope
+    status, payload = _call(app, "/runKMeans2", qs="k=2")
+    assert status.startswith("500") and "monuments" in payload["error"]
