@@ -52,3 +52,27 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     return F.when(F.length(text) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def token_chunks(toks: Column, size: int = 64, overlap: int = 16) -> Column:
+    """Overlapping token-window chunks (LLM context-window chunking) →
+    array<struct<chunk_idx:int, chunk:string>>.
+
+    Pure higher-order expressions — the scale path for corpus chunking
+    (the UDTF twin in tests demonstrates the same semantics via a Python
+    UDTF, which is the flexible-but-slower path). Chunk i starts at token
+    ``1 + i*(size-overlap)``; the last chunk may be shorter than ``size``.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(step)
+    )
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, s, size)).alias("chunk"),
+        ),
+    )

@@ -225,3 +225,42 @@ def doc_lsh_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_verified_pairs(doc_shingles(docs), threshold=0.5).orderBy(
         "doc_a", "doc_b"
     )
+
+
+@register(
+    "doc_chunks",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id,
+       CAST((start - 1) / 48 AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(toks, start, start + 63), ' ') AS chunk
+FROM (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start
+  FROM t
+)
+ORDER BY doc_id, chunk_idx
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM context-window chunking: 64-token chunks with 16-token overlap,
+    generated array-side (no explode of raw tokens, no Python). One narrow
+    pass over the corpus — at 100 TB this is a map-only stage."""
+    from backend_big_data_spark.functions.textfns import token_chunks, tokens
+    from backend_big_data_spark.sources.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).filter(F.length(F.trim("text")) > 0)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(token_chunks(F.col("__toks"), 64, 16)).alias("c"),
+        )
+        .select("doc_id", "c.chunk_idx", "c.chunk")
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -145,3 +145,58 @@ def test_lsh_verified_pairs_subset_and_threshold(spark):
     assert not any(4 in p for p in out)
     # exact stage is authoritative: every emitted jaccard meets threshold
     assert all(j >= 0.5 for _, j in out.values())
+
+
+def test_token_chunks_windows_and_overlap(spark):
+    toks = [f"t{i}" for i in range(100)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    from backend_big_data_spark.functions.textfns import token_chunks
+
+    out = df.select(
+        F.explode(token_chunks(tokens(F.col("text")), 10, 2)).alias("c")
+    ).select("c.chunk_idx", "c.chunk").collect()
+    chunks = {r.chunk_idx: r.chunk.split() for r in out}
+    # step = 8: chunk i covers tokens [8i, 8i+10)
+    assert chunks[0] == toks[0:10]
+    assert chunks[1] == toks[8:18]          # 2-token overlap with chunk 0
+    assert chunks[len(chunks) - 1][-1] == "t99"  # tail covered
+    starts = sorted(int(c[0][1:]) for c in chunks.values())
+    assert starts == list(range(0, 98, 8))
+
+
+def test_udtf_chunker_matches_column_impl(spark):
+    """Python UDTF (Spark 4) twin of token_chunks — same output, different
+    execution path (per-row Python generator vs JVM array exprs)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class Chunker:
+        def eval(self, text: str):
+            toks = text.split()
+            step = 10 - 2
+            i = 0
+            start = 0
+            while start < max(len(toks) - 2, 1):
+                yield i, " ".join(toks[start : start + 10])
+                i += 1
+                start += step
+
+    toks = [f"w{i}" for i in range(37)]
+    df = spark.createDataFrame([(" ".join(toks),)], "text string")
+    df.createOrReplaceTempView("chunk_src")
+    spark.udtf.register("chunker", Chunker)
+    via_udtf = {
+        (r.chunk_idx, r.chunk)
+        for r in spark.sql(
+            "SELECT c.* FROM chunk_src, LATERAL chunker(text) c"
+        ).collect()
+    }
+    from backend_big_data_spark.functions.textfns import token_chunks
+
+    via_expr = {
+        (r.chunk_idx, r.chunk)
+        for r in df.select(
+            F.explode(token_chunks(tokens(F.col("text")), 10, 2)).alias("c")
+        ).select("c.chunk_idx", "c.chunk").collect()
+    }
+    assert via_udtf == via_expr and len(via_expr) > 1
