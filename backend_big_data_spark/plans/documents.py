@@ -240,9 +240,38 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_simhash")  # rows-only: xxhash-free but numpy bit-majority in pandas UDF
+@register(
+    "doc_simhash",
+    oracle="""
+WITH hv AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS v
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0)
+), bits AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN (v >> p) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hv, (SELECT unnest(generate_series(0, 63)) AS p) ps
+  GROUP BY doc_id, p
+), sig AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << p
+                     ELSE CAST(0 AS UBIGINT) END) AS s
+  FROM bits GROUP BY doc_id
+), nt AS (
+  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT sig.doc_id, lpad(lower(to_hex(s)), 16, '0') AS simhash_hex, nt.n_tokens
+FROM sig JOIN nt ON sig.doc_id = nt.doc_id
+ORDER BY sig.doc_id
+""",
+)
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures (Arrow-batched pandas UDF). Rows-only
-    check: the bit-majority reduction is not reasonably SQL-expressible."""
+    """64-bit SimHash signatures (Arrow-batched numpy bit-majority in a
+    pandas UDF). The oracle reproduces the ENTIRE reduction in pure SQL —
+    md5-derived 64-bit token hashes, per-bit ±1 votes via a 64-row
+    generate_series cross join, sign, and bit_or reassembly — matching the
+    numpy path bit-for-bit (big-endian first 8 md5 bytes, votes>0 → 1)."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return simhash_signatures(docs).orderBy("doc_id")
