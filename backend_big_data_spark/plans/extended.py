@@ -151,16 +151,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_winnowing")  # rows-only: xxhash64 not portable to DuckDB SQL
+@register(
+    "doc_winnowing",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 5 + 1, 0)),
+             i -> CAST(concat('0x', substr(md5(substr(text, i, 5)), 1, 15)) AS BIGINT)) AS hs
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(hs) - 4 + 1, 1)),
+             i -> list_min(list_slice(hs, i, i + 3)))) AS fps
+  FROM h WHERE len(hs) > 0
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS fingerprint_count FROM m ORDER BY doc_id
+""",
+)
 def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints per document — passage-level
-    containment detection. Output bounded to fingerprint counts per doc."""
+    containment detection, md5-60-bit variant so the DuckDB oracle can
+    replicate the positional-gram hash + sliding-window-min + distinct
+    pipeline exactly (xxhash64 stays the in-engine default)."""
     from backend_big_data_spark.sources.catalog import ensure_parallelism
 
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    fp = winnowing_fingerprints(docs, k=5, window=4)
+    fp = winnowing_fingerprints(docs, k=5, window=4, hash_fn="md5")
     return (
         fp.groupBy("doc_id")
         .agg(F.count("*").alias("fingerprint_count"))

@@ -338,6 +338,7 @@ def winnowing_fingerprints(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     MOSS algorithm): hash every POSITIONAL character k-gram, slide a window
@@ -356,9 +357,19 @@ def winnowing_fingerprints(
     """
     text = F.col(text_col)
     n_grams = F.length(text) - k + 1
+    if hash_fn == "xxhash64":
+        gram_hash = lambda i: F.xxhash64(F.substring(text, i, F.lit(k)))
+    elif hash_fn == "md5":
+        # first 15 hex chars = 60 bits: positive in any signed/unsigned
+        # integer type, so window-min agrees across engines (the SQL oracle
+        # computes the identical value)
+        gram_hash = lambda i: F.conv(
+            F.substring(F.md5(F.substring(text, i, F.lit(k))), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     gram_hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
-        lambda i: F.xxhash64(F.substring(text, i, F.lit(k))),
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))), gram_hash
     )
     hashed = df.select(F.col(id_col), gram_hashes.alias("__h")).filter(
         F.size("__h") > 0
