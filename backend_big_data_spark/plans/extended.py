@@ -231,18 +231,53 @@ def events_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groupwise_minmax_scale(ev, ["event_type"], "value").orderBy("event_id")
 
 
-@register("doc_lsh_verified_dedup")  # rows-only: xxhash64 banding
+def _lsh_verified_oracle() -> str:
+    """Compose the (individually proven) minhash-banding and exact-jaccard
+    oracles: candidate pairs ∩ exact pairs at threshold 0.5. The candidate
+    stage embeds _minhash_oracle verbatim (nested WITH); the exact stage
+    reuses the canonical tokenize/shingle fragments."""
+    from backend_big_data_spark.plans.documents import (
+        _minhash_oracle,
+        _SHINGLES_CTE,
+        _TOKS_CTE,
+    )
+
+    cand_sql = _minhash_oracle().strip()
+    cand_sql = cand_sql[: cand_sql.rindex("ORDER BY")]
+    return f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+est AS (
+{cand_sql}
+),
+e2 AS (SELECT doc_id, len(shingles) AS sh_count, unnest(shingles) AS shingle FROM sh),
+ex AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh_count AS ca, b.sh_count AS cb, COUNT(*) AS intersection_size
+  FROM e2 a JOIN e2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT est.doc_a, est.doc_b, est.est_jaccard, ex.intersection_size,
+       ROUND(ex.intersection_size / (ex.ca + ex.cb - ex.intersection_size), 6) AS jaccard
+FROM est JOIN ex ON est.doc_a = ex.doc_a AND est.doc_b = ex.doc_b
+WHERE ex.intersection_size / (ex.ca + ex.cb - ex.intersection_size) >= 0.5
+ORDER BY est.doc_a, est.doc_b
+"""
+
+
+@register("doc_lsh_verified_dedup", oracle=_lsh_verified_oracle())
 def doc_lsh_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production two-stage near-dup pipeline: MinHash-LSH candidates →
     semi-join prune → exact-Jaccard verify (text/dedup.py
-    ``lsh_verified_pairs``). Rows-only (xxhash banding); subset/threshold
-    invariants are pytest-verified."""
+    ``lsh_verified_pairs``; md5 family so the composed DuckDB oracle
+    reproduces BOTH stages). Subset/threshold invariants additionally
+    pytest-verified."""
     from backend_big_data_spark.text.dedup import doc_shingles, lsh_verified_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return lsh_verified_pairs(doc_shingles(docs), threshold=0.5).orderBy(
-        "doc_a", "doc_b"
-    )
+    return lsh_verified_pairs(
+        doc_shingles(docs), threshold=0.5, hash_fn="md5"
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(
