@@ -303,11 +303,33 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(deduped, "dedup_oracle", "append").orderBy("event_id")
 
 
-@register("streaming_session_windows")  # rows-only: session assignment is
+@register(
+    "streaming_session_windows",
+    oracle="""
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       user_id, COUNT(*) AS event_count
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user gap-based session windows over the stream (10-minute gap).
-    Session-window merging is stateful-streaming-specific (no batch SQL
-    twin) → driver records a rows-only check."""
+    """Per-user gap-based session windows over the STREAM (10-minute gap,
+    availableNow → memory sink). The oracle is the classic gaps-and-islands
+    batch sessionization (lag → break flag → running sum → group), proving
+    the stateful streaming merge converges to exact batch semantics:
+    session_end = last event + gap, new session when the gap is ≥ 10 min
+    (session windows are half-open [start, end))."""
     stream = session_windows(read_events_stream(spark, sf_dir), gap="10 minutes")
     return _run_to_table(stream, "session_oracle", "complete").orderBy(
         "user_id", "session_start"
