@@ -317,3 +317,40 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "c.chunk_idx", "c.chunk")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "nation_actor_counts_outer",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS customer_count FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk, COUNT(*) AS supplier_count FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(customer_count, 0) AS customer_count,
+       COALESCE(supplier_count, 0) AS supplier_count
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+ORDER BY nationkey
+""",
+)
+def nation_actor_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completing the join-type matrix: inner/left/semi/
+    anti/cross are covered elsewhere): per-nation customer vs supplier
+    counts, keeping nations present on either side only."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("customer_count"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("supplier_count"))
+    )
+    return (
+        cust.join(supp, on="nk", how="full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("customer_count", F.lit(0)).alias("customer_count"),
+            F.coalesce("supplier_count", F.lit(0)).alias("supplier_count"),
+        )
+        .orderBy("nationkey")
+    )
