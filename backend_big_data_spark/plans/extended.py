@@ -354,3 +354,65 @@ def nation_actor_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "events_daily_pivot",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day,
+       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-day event counts, one column per event type. The value
+    list is pinned — an unpinned ``pivot`` triggers an extra distinct scan
+    to discover columns, which at 100 TB is a full pass you should never
+    pay for a known vocabulary."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    ).orderBy("day")
+
+
+@register(
+    "priority_measures_unpivot",
+    oracle="""
+WITH agg AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         CAST(COUNT(*) AS DOUBLE) AS order_count
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, 'total_value' AS measure, total_value AS value FROM agg
+UNION ALL
+SELECT o_orderpriority, 'order_count' AS measure, order_count AS value FROM agg
+ORDER BY o_orderpriority, measure
+""",
+)
+def priority_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-priority aggregates → long (measure, value)
+    rows — ``DataFrame.unpivot`` (Spark ≥3.4), the inverse of pivot."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.count("*").cast("double").alias("order_count"),
+    )
+    return agg.unpivot(
+        ids=["o_orderpriority"],
+        values=["total_value", "order_count"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("o_orderpriority", "measure")
