@@ -416,3 +416,70 @@ def priority_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     ).orderBy("o_orderpriority", "measure")
+
+
+@register(
+    "order_value_quantiles",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+       ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-quantile in ONE aggregate: ``percentile(col, array(...))``
+    computes all four cut points in a single pass/shuffle instead of four
+    separate sort-aggregations (at 100 TB use ``percentile_approx`` with
+    the same array signature — one sketch, any number of quantiles)."""
+    orders = load_table(spark, sf_dir, "orders")
+    qs = F.percentile(
+        F.col("o_totalprice"), F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)])
+    )
+    agg = orders.groupBy("o_orderpriority").agg(qs.alias("__q"))
+    return agg.select(
+        "o_orderpriority",
+        *[
+            F.round(F.col("__q")[i], 2).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "brand_sizes_except_all",
+    oracle="""
+SELECT p_size FROM part WHERE p_brand = 'Brand#1'
+EXCEPT ALL
+SELECT p_size FROM part WHERE p_brand = 'Brand#2'
+ORDER BY p_size
+""",
+)
+def brand_sizes_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicity preserved, unlike
+    ``subtract``): each Brand#2 occurrence cancels ONE Brand#1 occurrence
+    of the same size. ``df.exceptAll`` completes the set-op matrix next to
+    union/intersect/except."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.filter(F.col("p_brand") == "Brand#1").select("p_size")
+    b = part.filter(F.col("p_brand") == "Brand#2").select("p_size")
+    return a.exceptAll(b).orderBy("p_size")
+
+
+@register(
+    "brand_sizes_intersect_all",
+    oracle="""
+SELECT p_size FROM part WHERE p_brand = 'Brand#1'
+INTERSECT ALL
+SELECT p_size FROM part WHERE p_brand = 'Brand#2'
+ORDER BY p_size
+""",
+)
+def brand_sizes_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): min(multiplicity) per value."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.filter(F.col("p_brand") == "Brand#1").select("p_size")
+    b = part.filter(F.col("p_brand") == "Brand#2").select("p_size")
+    return a.intersectAll(b).orderBy("p_size")
