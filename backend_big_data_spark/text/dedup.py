@@ -80,12 +80,17 @@ def doc_shingles(
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     )
-    return (
+    out = (
         toks.select(
             F.col(id_col), word_shingles(F.col("__toks"), n=n).alias("shingles")
         )
         .filter(F.size("shingles") > 0)
     )
+    # Persist: within one serving session several dedup queries (minhash,
+    # exact jaccard, two-stage verify) all start from this table, and
+    # Spark's cache manager keys on the canonical plan — the first query
+    # materializes, the rest reuse. Shingles are ~2× the text in size.
+    return out.persist()
 
 
 def minhash_signatures(
