@@ -114,3 +114,36 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_fpgrowth_small_itemsets_match_sql_counts(spark):
+    """Cross-validate FPGrowth against first principles: its frequent 1- and
+    2-itemsets must equal plain co-occurrence counting (the SQL-expressible
+    fragment of itemset mining)."""
+    from pyspark.ml.fpm import FPGrowth
+    from pyspark.sql import functions as F
+
+    tx = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            [["a", "b"], ["a", "b", "c"], ["a", "c"], ["b", "c"], ["a"], ["b"]]
+        )],
+        "id long, items array<string>",
+    )
+    n = tx.count()
+    min_support = 0.3  # floor(0.3*6)=2 transactions
+    model = FPGrowth(itemsCol="items", minSupport=min_support, minConfidence=0.1).fit(tx)
+    got = {
+        tuple(sorted(r["items"])): r["freq"]
+        for r in model.freqItemsets.collect()
+        if len(r["items"]) <= 2
+    }
+    single = tx.select(F.explode("items").alias("i")).groupBy("i").count()
+    want = {(r.i,): r["count"] for r in single.collect() if r["count"] >= min_support * n}
+    e = tx.select("id", F.explode("items").alias("i"))
+    pairs = (
+        e.alias("a").join(e.alias("b"), (F.col("a.id") == F.col("b.id")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("x"), F.col("b.i").alias("y"))
+        .count()
+    )
+    want.update({(r.x, r.y): r["count"] for r in pairs.collect() if r["count"] >= min_support * n})
+    assert got == want and len(want) >= 5
