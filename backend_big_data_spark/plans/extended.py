@@ -483,3 +483,29 @@ def brand_sizes_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = part.filter(F.col("p_brand") == "Brand#1").select("p_size")
     b = part.filter(F.col("p_brand") == "Brand#2").select("p_size")
     return a.intersectAll(b).orderBy("p_size")
+
+
+@register(
+    "priority_status_sets",
+    oracle="""
+SELECT o_orderpriority,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       CAST(len(list(DISTINCT o_orderstatus)) AS INTEGER) AS status_count
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def priority_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation: the distinct statuses seen per priority as
+    a SORTED array (collect_set is unordered by contract — sort_array makes
+    the result deterministic and cross-engine comparable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"))
+        .select(
+            "o_orderpriority",
+            "statuses",
+            F.size("statuses").alias("status_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
