@@ -509,3 +509,69 @@ def priority_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+#: portable stable hash used by the sampling oracles
+_H = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "doc_hash_sample_10pct",
+    oracle=f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_H} % 100 < 10
+ORDER BY doc_id
+""",
+)
+def doc_hash_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by key hash (text/sampling.py): the same
+    rows on every run and every engine — unlike rand()-based sampling."""
+    from backend_big_data_spark.text.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return hash_sample(docs, F.col("doc_id"), 10).orderBy("doc_id")
+
+
+@register(
+    "doc_split_counts",
+    oracle=f"""
+SELECT CASE WHEN {_H} % 100 < 10 THEN 'val'
+            WHEN {_H} % 100 < 20 THEN 'test'
+            ELSE 'train' END AS split,
+       COUNT(*) AS doc_count,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1 ORDER BY 1
+""",
+)
+def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-range train/val/test split (stable under data growth — a row
+    never changes split when new data arrives), summarized per split."""
+    from backend_big_data_spark.text.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, F.col("doc_id"), val_pct=10, test_pct=10)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "doc_deterministic_shuffle_head",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+ORDER BY {_H}, doc_id
+LIMIT 50
+""",
+)
+def doc_deterministic_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle (order by key hash) — first 50 docs of
+    the fixed training order. TakeOrderedAndProject: no global sort."""
+    from backend_big_data_spark.text.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_shuffle(docs, F.col("doc_id")).limit(50)

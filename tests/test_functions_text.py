@@ -200,3 +200,31 @@ def test_udtf_chunker_matches_column_impl(spark):
         ).select("c.chunk_idx", "c.chunk").collect()
     }
     assert via_udtf == via_expr and len(via_expr) > 1
+
+
+def test_hash_sampling_stability_and_consistency(spark):
+    from backend_big_data_spark.text.sampling import (
+        deterministic_shuffle,
+        hash_sample,
+        hash_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    s1 = {r.doc_id for r in hash_sample(df, F.col("doc_id"), 10).collect()}
+    s2 = {r.doc_id for r in hash_sample(df, F.col("doc_id"), 10).collect()}
+    assert s1 == s2 and 50 < len(s1) < 200     # stable, ~10%
+    s20 = {r.doc_id for r in hash_sample(df, F.col("doc_id"), 20).collect()}
+    assert s1 < s20                             # nested: 10% ⊂ 20%
+    # split is a partition of the data, stable under growth
+    splits = {r.doc_id: r.split for r in hash_split(df, F.col("doc_id")).collect()}
+    bigger = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    splits2 = {r.doc_id: r.split for r in hash_split(bigger, F.col("doc_id")).collect()}
+    assert all(splits2[k] == v for k, v in splits.items())  # no reassignment
+    counts = {}
+    for v in splits.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert set(counts) == {"train", "val", "test"} and counts["train"] > 600
+    # deterministic shuffle: same order both runs, decorrelated from id order
+    o1 = [r.doc_id for r in deterministic_shuffle(df, F.col("doc_id")).collect()]
+    o2 = [r.doc_id for r in deterministic_shuffle(df, F.col("doc_id")).collect()]
+    assert o1 == o2 and o1 != sorted(o1)
