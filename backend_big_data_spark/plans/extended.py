@@ -575,3 +575,57 @@ def doc_deterministic_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return deterministic_shuffle(docs, F.col("doc_id")).limit(50)
+
+
+def _dedup_corpus_oracle() -> str:
+    """Kept-docs oracle: exact-dup non-canonicals ∪ near-dup larger ids
+    removed, composed from the proven fingerprint and verified-pair SQL."""
+    verified = _lsh_verified_oracle().strip()
+    verified = verified[: verified.rindex("ORDER BY")]
+    return f"""
+WITH near AS (
+{verified}
+),
+exact_canon AS (
+  SELECT MIN(doc_id) AS keep_id, md5(text) AS fp FROM documents GROUP BY fp
+),
+removed AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT keep_id FROM exact_canon)
+  UNION
+  SELECT doc_b AS doc_id FROM near
+)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_corpus_deduped", oracle=_dedup_corpus_oracle())
+def doc_corpus_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipelines' end product: the KEPT corpus. Removal policy
+    (deterministic, order-free): drop every non-canonical exact duplicate
+    (canonical = min doc_id per content fingerprint) and every document
+    appearing as the larger id of an exact-verified near-dup pair
+    (jaccard ≥ 0.5 via the two-stage LSH→verify pipeline)."""
+    from backend_big_data_spark.text.dedup import (
+        doc_shingles,
+        exact_dedup_fingerprints,
+        lsh_verified_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = exact_dedup_fingerprints(docs).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    near_losers = (
+        lsh_verified_pairs(doc_shingles(docs), threshold=0.5, hash_fn="md5")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = canon.join(near_losers, on="doc_id", how="anti")
+    return (
+        docs.join(kept, on="doc_id", how="semi")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
