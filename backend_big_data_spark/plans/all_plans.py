@@ -6,6 +6,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     embeddings_events,
     extended,
     ml_plans,
+    photo_plans,
     relational,
     tpch_extra,
 )
