@@ -186,6 +186,43 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_ngram_jaccard_capped",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+e AS (SELECT doc_id, len(shingles) AS sh_count, unnest(shingles) AS shingle FROM sh),
+keep AS (SELECT shingle FROM e GROUP BY shingle HAVING COUNT(*) <= 64),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh_count AS ca, b.sh_count AS cb, COUNT(*) AS intersection_size
+  FROM e a JOIN keep USING (shingle) JOIN e b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, intersection_size,
+       ROUND(intersection_size / (ca + cb - intersection_size), 6) AS jaccard
+FROM p
+WHERE intersection_size / (ca + cb - intersection_size) >= 0.2
+ORDER BY doc_a, doc_b
+""",
+)
+def doc_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale form of exact Jaccard: shingles whose document
+    frequency exceeds ``max_df=64`` are dropped from the inverted index
+    before pair generation (they expand to O(df²) pairs while carrying no
+    dedup signal — the skew guard that makes the op viable at 100 TB).
+    Denominators keep the FULL per-doc shingle counts, so scores for
+    surviving pairs only drop when a pair actually shared a dropped
+    shingle; the oracle mirrors the cap exactly, so this stays
+    value-checked rather than rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(doc_shingles(docs), threshold=0.2, max_df=64)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _minhash_oracle() -> str:
     mh_exprs = ",\n       ".join(
         f"list_aggregate([md5('{s}:' || x) for x in shingles], 'min') AS mh{s}"

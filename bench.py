@@ -40,6 +40,7 @@ HEADLINE = [
     "doc_quality_profile",
     "doc_minhash_lsh_pairs",
     "doc_ngram_jaccard_pairs",
+    "doc_ngram_jaccard_capped",
     "doc_lsh_verified_dedup",
     "embedding_near_dup_pairs",
     "multimodal_fingerprint",

@@ -73,3 +73,35 @@ def test_aggregations_have_partial_phase(spark, name):
     plan = _plan(spark, name)
     assert "partial_" in plan            # map-side combine present
     assert "hashpartitioning" in plan    # keyed shuffle, not broadcast-all
+
+
+def test_capped_jaccard_prunes_before_pair_explosion(spark):
+    """The max_df guard must land on the grouped posting lists BEFORE the
+    pair-generating explode — capping after expansion would re-admit the
+    O(df²) blowup the cap exists to prevent."""
+    plan = _plan(spark, "doc_ngram_jaccard_capped")
+    filt = plan.find("size(docs")          # the <= max_df posting-list filter
+    gen = plan.find("explode(flatten(")    # the pair-generating explode
+    assert filt != -1 and gen != -1
+    assert filt < gen  # detail section lists child nodes first: filter below explode
+    # exactly two keyed shuffles: shingle groupBy + surviving-pair groupBy
+    assert plan.count("hashpartitioning") == 2
+
+
+def test_photo_brand_ranking_broadcasts_brand_list(spark):
+    plan = _plan(spark, "photo_brand_top_models")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_photo_search_stays_jvm_side(spark):
+    """F1's UDF became format_string; exists() replaced explode — the whole
+    search plan must stay codegen-able (no Python eval, no row explosion)."""
+    plan = _plan(spark, "photo_search")
+    assert "BatchEvalPython" not in plan
+    assert "Generate explode" not in plan
+
+
+def test_photo_owner_profiles_single_aggregate_no_window(spark):
+    plan = _plan(spark, "photo_owner_profiles")
+    assert "Window" not in plan  # argmax via max(struct), not row_number
