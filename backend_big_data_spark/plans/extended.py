@@ -206,6 +206,34 @@ def events_user_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_hll_user_rollup")
+def events_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — the incremental pattern at
+    100 TB: materialize one DataSketches HLL sketch per (event_type, day)
+    (``hll_sketch_agg``, ~KBs each regardless of cardinality), then answer
+    any distinct-users question as a ``hll_union_agg`` over the relevant
+    sketches — daily ingest APPENDS sketch rows and never rescans raw
+    events, and arbitrary date ranges merge in milliseconds. This query
+    runs both stages; tests assert the merged estimate is identical to a
+    direct one-pass sketch (union exactness) and within the configured
+    relative error of exact ``countDistinct``. rows-only: DataSketches
+    estimates are not reproducible in DuckDB (different HLL variant);
+    the exact twin `events_user_count_sketch` carries the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_sketches = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
+    return (
+        daily_sketches.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch", False)).alias(
+                "approx_users"
+            )
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "events_minmax_scaled",
     oracle="""

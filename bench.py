@@ -33,6 +33,7 @@ HEADLINE = [
     "large_quantity_orders",
     "events_hourly_by_type",
     "events_search_page",
+    "events_hll_user_rollup",
     "orders_rollup",
     "asof_signup_before_purchase",
     "purchases_prior_events_1h",

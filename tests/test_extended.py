@@ -100,3 +100,35 @@ def test_sql_frontend_runs_same_string_in_duckdb(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_hll_rollup_union_is_lossless_and_bounded(spark):
+    """Day-sketch → union-merge must equal a direct one-pass sketch
+    (register-wise max is associative at fixed lgConfigK), and both must
+    sit within the sketch's relative error of exact countDistinct."""
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    rolled = {
+        r.event_type: r.approx_users
+        for r in QUERIES["events_hll_user_rollup"](spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    direct = {
+        r.event_type: r.approx_users
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias(
+                "approx_users"
+            )
+        )
+        .collect()
+    }
+    exact = {
+        r.event_type: r.exact_users
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    assert rolled == direct  # merge loses nothing vs one-pass
+    for t, est in rolled.items():
+        assert abs(est - exact[t]) / exact[t] < 0.05  # lgK=14 rsd ≈ 0.8%
