@@ -78,6 +78,55 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_grouping_sets",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       o_orderpriority,
+       CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_year,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority))
+ORDER BY g_year, g_priority, order_year, o_orderpriority
+""",
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two INDEPENDENT 1-D histograms (by year,
+    by priority) in one scan + one shuffle, where rollup/cube would force
+    a hierarchy or the full cross. At 100 TB this halves the scan cost of
+    computing dashboard histograms separately; Spark expands the sets
+    map-side so shuffle rows stay one-per-(task, group)."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    return (
+        orders.groupingSets(
+            [[F.col("order_year")], [F.col("o_orderpriority")]],
+            "order_year",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("order_year").cast("int").alias("g_year"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("order_count"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "order_year",
+            "o_orderpriority",
+            "g_year",
+            "g_priority",
+            "order_count",
+            "total_value",
+        )
+        .orderBy("g_year", "g_priority", "order_year", "o_orderpriority")
+    )
+
+
 # --------------------------------------------------------------------------
 # Set operations beyond union (SURVEY §2.7 "Absent: intersect / except —
 # free if exposed"). Exposed.

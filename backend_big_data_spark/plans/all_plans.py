@@ -8,6 +8,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     ml_plans,
     photo_plans,
     relational,
+    subqueries,
     tpch_extra,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401

@@ -312,3 +312,71 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy path bit-for-bit (big-endian first 8 md5 bytes, votes>0 → 1)."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return simhash_signatures(docs).orderBy("doc_id")
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         floor(tf.tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000 + 0.5) / 10000 AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, CAST(term_rank AS INTEGER) AS term_rank
+FROM ranked WHERE term_rank <= 3
+ORDER BY doc_id, term_rank
+""",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic corpus-relevance
+    primitive a training-data pipeline uses for keyword extraction and
+    quality filtering. Two hash aggregates (term frequency per doc,
+    document frequency per term) + one keyed window. The DF table joins
+    back by term: broadcast here; at a 100 TB corpus the vocabulary's
+    heavy hits dominate and the join stays a keyed shuffle that AQE
+    skew-splits. The corpus size N is a 1-row broadcast. Scores are
+    half-up-rounded BEFORE ranking so the cross-engine ulp difference in
+    ``ln`` cannot flip the top-3 ordering (term is the tie-break)."""
+    from pyspark.sql.window import Window
+
+    from backend_big_data_spark.functions.scalars import round_half_up
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{2,}"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            round_half_up(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= 3)
+        .orderBy("doc_id", "term_rank")
+    )

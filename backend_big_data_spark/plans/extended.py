@@ -657,3 +657,51 @@ def doc_corpus_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "orders_trailing_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       CAST(rev AS DOUBLE) AS day_revenue,
+       n_orders,
+       CAST(SUM(rev) OVER (
+         ORDER BY date_diff('day', DATE '1970-01-01', day)
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_7d
+FROM daily
+ORDER BY day
+""",
+)
+def orders_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (SURVEY §2.5 'absent: range frames — free'):
+    7-day trailing revenue over the daily aggregate. The frame is keyed on
+    VALUE distance (epoch-day ints), not row offsets, so calendar gaps are
+    handled without densification. Aggregating to days FIRST bounds the
+    window input to ~365 rows/year regardless of order volume — the
+    window itself never sees raw facts, so the single-partition global
+    window is safe at any scale; revenue stays decimal through the frame
+    sum for order-independence."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.unix_date("day")).rangeBetween(-6, Window.currentRow)
+    return (
+        daily.select(
+            "day",
+            F.col("rev").cast("double").alias("day_revenue"),
+            "n_orders",
+            F.sum("rev").over(w).cast("double").alias("trailing_7d"),
+        )
+        .orderBy("day")
+    )

@@ -35,6 +35,9 @@ HEADLINE = [
     "events_search_page",
     "events_hll_user_rollup",
     "orders_rollup",
+    "sole_delayed_supplier",
+    "orders_trailing_revenue",
+    "doc_tfidf_top_terms",
     "asof_signup_before_purchase",
     "purchases_prior_events_1h",
     "doc_exact_dedup",
