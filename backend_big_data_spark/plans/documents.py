@@ -343,9 +343,10 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive a training-data pipeline uses for keyword extraction and
     quality filtering. Two hash aggregates (term frequency per doc,
     document frequency per term) + one keyed window. The DF table joins
-    back by term: broadcast here; at a 100 TB corpus the vocabulary's
-    heavy hits dominate and the join stays a keyed shuffle that AQE
-    skew-splits. The corpus size N is a 1-row broadcast. Scores are
+    back by term with NO forced hint: at test scale AQE/size estimation
+    broadcasts it anyway, while at a 100 TB corpus the vocabulary is tens
+    of GB and a hard-coded broadcast would OOM — left as a keyed shuffle
+    that AQE skew-splits. The corpus size N is a 1-row broadcast. Scores are
     half-up-rounded BEFORE ranking so the cross-engine ulp difference in
     ``ln`` cannot flip the top-3 ordering (term is the tie-break)."""
     from pyspark.sql.window import Window
@@ -363,7 +364,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -388,11 +388,11 @@ def nation_actor_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_daily_pivot",
     oracle="""
 SELECT CAST(ts AS DATE) AS day,
-       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events GROUP BY 1 ORDER BY 1
 """,
 )
@@ -513,19 +513,13 @@ def brand_sizes_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersectAll(b).orderBy("p_size")
 
 
-@register(
-    "priority_status_sets",
-    oracle="""
-SELECT o_orderpriority,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
-       CAST(len(list(DISTINCT o_orderstatus)) AS INTEGER) AS status_count
-FROM orders GROUP BY 1 ORDER BY 1
-""",
-)
-def priority_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-valued aggregation: the distinct statuses seen per priority as
-    a SORTED array (collect_set is unordered by contract — sort_array makes
-    the result deterministic and cross-engine comparable)."""
+def priority_status_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation (the API-facing form): the distinct statuses
+    seen per priority as a SORTED array (collect_set is unordered by
+    contract — sort_array makes the result deterministic and cross-engine
+    comparable). Kept unregistered: external row-hashers can't canonicalize
+    array cells, so the registered twin below projects the pipe-joined
+    scalar form. Covered by tests/test_extended.py."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
@@ -536,6 +530,27 @@ def priority_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("statuses").alias("status_count"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "priority_status_sets",
+    oracle="""
+SELECT o_orderpriority,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses,
+       CAST(len(list(DISTINCT o_orderstatus)) AS INTEGER) AS status_count
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def priority_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-facing twin of :func:`priority_status_arrays`: identical
+    aggregation, but the sorted status set is emitted pipe-joined so every
+    output column is scalar-hashable."""
+    base = priority_status_arrays(spark, sf_dir)
+    return base.select(
+        "o_orderpriority",
+        F.concat_ws("|", "statuses").alias("statuses"),
+        "status_count",
     )
 
 

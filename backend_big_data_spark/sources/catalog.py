@@ -40,9 +40,37 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: Dimension tables stay single-partition — they broadcast anyway.
 _BIG_TABLES = ("customer", "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-#: (session-id, sf_dir, table) → persisted DataFrame. Populated by
-#: ``warm_cache``; ``load_table`` serves from it when present.
-_HOT_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#: (app-id, sf_dir, table) → persisted DataFrame. Populated by
+#: ``warm_cache``; ``load_table`` serves from it when present. Keyed on
+#: ``applicationId`` — a session-lifetime token — not ``id(spark)``, which
+#: CPython may reuse for a new session after the old one is stopped,
+#: leaving dangling DataFrames bound to a dead context.
+_HOT_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
+
+
+def clear_cache(spark: SparkSession | None = None) -> None:
+    """Unpersist and evict hot tables — all of them, or one session's.
+
+    A long-lived serving process swapping corpora calls this to release
+    executor memory; it is also the test-teardown hook.
+    """
+    key = None if spark is None else _session_key(spark)
+    for (app_id, _, _), df in list(_HOT_CACHE.items()):
+        if key is not None and app_id != key:
+            continue
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+    if key is None:
+        _HOT_CACHE.clear()
+    else:
+        for k in [k for k in _HOT_CACHE if k[0] == key]:
+            del _HOT_CACHE[k]
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -59,7 +87,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     division would lose precision above 2^53 ns ≈ 104 days of epoch-nanos).
     DuckDB truncates ns→µs identically, keeping the oracle gate exact.
     """
-    cached = _HOT_CACHE.get((id(spark), sf_dir, name))
+    cached = _HOT_CACHE.get((_session_key(spark), sf_dir, name))
     if cached is not None:
         return cached
     if name == "events":
@@ -85,7 +113,7 @@ def warm_cache(
     only hot tables — the API takes an explicit table list for that reason.
     """
     for name in names:
-        key = (id(spark), sf_dir, name)
+        key = (_session_key(spark), sf_dir, name)
         if key in _HOT_CACHE:
             continue
         df = load_table(spark, sf_dir, name)

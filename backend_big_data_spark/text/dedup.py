@@ -62,8 +62,40 @@ def _minhash_col(shingles: Column, seed: int, hash_fn: str) -> Column:
     return F.array_min(hashed)
 
 
+#: Persisted intermediates handed out by this module, so a long-lived
+#: serving session can release them when a corpus is swapped out instead of
+#: accumulating cache entries until LRU eviction pressure sets in.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame, persist: bool) -> DataFrame:
+    if not persist:
+        return df
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every intermediate this module has persisted; returns the
+    number released. The serving layer calls this on corpus swap."""
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    _PERSISTED.clear()
+    return n
+
+
 def doc_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    persist: bool = True,
 ) -> DataFrame:
     """(id, shingles) pairs; documents shorter than ``n`` tokens drop out.
 
@@ -89,8 +121,9 @@ def doc_shingles(
     # Persist: within one serving session several dedup queries (minhash,
     # exact jaccard, two-stage verify) all start from this table, and
     # Spark's cache manager keys on the canonical plan — the first query
-    # materializes, the rest reuse. Shingles are ~2× the text in size.
-    return out.persist()
+    # materializes, the rest reuse. Shingles are ~2× the text in size;
+    # release via release_dedup_caches() (or pass persist=False).
+    return _persist(out, persist)
 
 
 def minhash_signatures(
@@ -121,6 +154,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     hash_fn: str = "xxhash64",
     id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs from banded minhash signatures.
 
@@ -137,8 +171,9 @@ def lsh_candidate_pairs(
     # The signature table is read three times (both join sides + the agree
     # columns); persist it so shingling/hashing runs once. Spark's cache
     # manager keys on the canonical plan, so repeated invocations share one
-    # entry. Signatures are tiny relative to the corpus (k hashes/doc).
-    signatures = signatures.persist()
+    # entry. Signatures are tiny relative to the corpus (k hashes/doc);
+    # release via release_dedup_caches().
+    signatures = _persist(signatures, persist)
     r = num_hashes // bands
     band_structs = [
         F.struct(
@@ -399,6 +434,7 @@ def lsh_verified_pairs(
     bands: int = 4,
     hash_fn: str = "xxhash64",
     id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
     """The production near-dup shape: MinHash-LSH proposes candidates
     (cheap, recall-oriented), exact Jaccard verifies them (precision). The
@@ -414,10 +450,11 @@ def lsh_verified_pairs(
     """
     # The shingle table feeds BOTH stages (signatures + exact verify);
     # persist it so tokenize/shingle runs once. Spark's cache manager keys
-    # on the canonical plan, so repeated pipeline invocations share it.
-    shingled = shingled.persist()
+    # on the canonical plan, so repeated pipeline invocations share it;
+    # release via release_dedup_caches().
+    shingled = _persist(shingled, persist)
     sigs = minhash_signatures(shingled, num_hashes, hash_fn, id_col)
-    cand = lsh_candidate_pairs(sigs, num_hashes, bands, hash_fn, id_col)
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands, hash_fn, id_col, persist=persist)
     cand_docs = (
         cand.select(F.col("doc_a").alias(id_col))
         .unionByName(cand.select(F.col("doc_b").alias(id_col)))

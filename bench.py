@@ -43,7 +43,9 @@ HEADLINE = [
     "doc_exact_dedup",
     "doc_quality_profile",
     "doc_minhash_lsh_pairs",
-    "doc_ngram_jaccard_pairs",
+    # doc_ngram_jaccard_pairs (uncapped) is oracle/verify-stage only: the
+    # quadratic hot-shingle pair expansion is not a scale path. The capped
+    # form and the LSH->exact composition are the production pipelines.
     "doc_ngram_jaccard_capped",
     "doc_lsh_verified_dedup",
     "embedding_near_dup_pairs",

@@ -132,3 +132,36 @@ def test_hll_rollup_union_is_lossless_and_bounded(spark):
     assert rolled == direct  # merge loses nothing vs one-pass
     for t, est in rolled.items():
         assert abs(est - exact[t]) / exact[t] < 0.05  # lgK=14 rsd ≈ 0.8%
+
+
+def test_priority_status_arrays_matches_scalar_twin(spark):
+    """The API-facing array form and the oracle-facing pipe-joined twin
+    must agree row-for-row (same aggregation, different projection)."""
+    from backend_big_data_spark.plans.extended import (
+        priority_status_arrays,
+        priority_status_sets,
+    )
+
+    arr = {
+        r.o_orderpriority: (list(r.statuses), r.status_count)
+        for r in priority_status_arrays(spark, SF_SMALL).collect()
+    }
+    flat = {
+        r.o_orderpriority: (r.statuses.split("|"), r.status_count)
+        for r in priority_status_sets(spark, SF_SMALL).collect()
+    }
+    assert arr == flat
+    assert all(v[0] == sorted(v[0]) for v in arr.values())
+
+
+def test_release_dedup_caches_unpersists(spark):
+    from backend_big_data_spark.text import dedup
+
+    shingled = dedup.doc_shingles(
+        load_table(spark, SF_SMALL, "documents").limit(20)
+    )
+    shingled.count()
+    assert shingled.storageLevel.useMemory
+    released = dedup.release_dedup_caches()
+    assert released >= 1
+    assert not shingled.storageLevel.useMemory
