@@ -39,6 +39,36 @@ def photo_url(farm: Column, server: Column, photo_id: Column, secret: Column) ->
     )
 
 
+#: Fallback buddy icon the reference returns when a user has no custom one
+#: (``flickrapi_utils.py:23``).
+DEFAULT_AVATAR = "https://www.flickr.com/images/buddyicon.gif"
+
+
+def avatar_url(user_id: Column, icon_farm: Column, icon_server: Column) -> Column:
+    """Buddy-icon URL — reference UDF F2 (``flickrapi_utils.py:7-25``) makes a
+    per-row HTTP call to fetch (iconfarm, iconserver) and then string-formats
+    the URL. The engine precomputes the icon fields at ingest (they already
+    live in ``owner.iconFarm/iconServer`` in the data model), so the network
+    hop collapses into a pure ``format_string`` column expression with the
+    reference's truthiness fallback (farm/server null or 0 → default icon).
+    """
+    have_icon = (
+        icon_farm.isNotNull()
+        & icon_server.isNotNull()
+        & (icon_farm != F.lit(0))
+        & (icon_server != F.lit(0))
+    )
+    return F.when(
+        have_icon,
+        F.format_string(
+            "https://farm%s.staticflickr.com/%s/buddyicons/%s.jpg",
+            icon_farm,
+            icon_server,
+            user_id,
+        ),
+    ).otherwise(F.lit(DEFAULT_AVATAR))
+
+
 def bucketize(col: Column, thresholds: list[float], labels: list[str]) -> Column:
     """Conditional bucketing — reference P12 ``when/otherwise`` chains
     (``data_cleaner.py:87-93``) generalized: len(labels) == len(thresholds)+1,

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from backend_big_data_spark.functions.scalars import photo_url
+from backend_big_data_spark.functions.scalars import avatar_url, photo_url
 from backend_big_data_spark.operators.aggregates import argmax_per_group
 from backend_big_data_spark.operators.windows import (
     global_rank,
@@ -355,9 +355,11 @@ def search_owner(df: DataFrame, username: str | None = None) -> DataFrame:
     totals + argmax photo by (views, comments) via max-of-struct, globally
     ranked by total views, THEN filtered by username (global rank preserved
     — B9's arguably-intended semantics, kept). The per-row avatar HTTP UDF
-    (F2) is dropped from the serving path; the URL UDF (F1) is
-    ``format_string``. The global rank window runs over one row per owner
-    (bounded pre-aggregated input), which is the only safe shape."""
+    (F2, ``queries.py:349`` + ``flickrapi_utils.py:7-25``) becomes a pure
+    column expression over the precomputed ``owner.iconFarm/iconServer``
+    fields (constant per owner, carried through the hash agg with ``max``);
+    the URL UDF (F1) is ``format_string``. The global rank window runs over
+    one row per owner (bounded pre-aggregated input), the only safe shape."""
     totals = argmax_per_group(
         df.withColumn("owner_id", F.col("owner.id")).withColumn(
             "owner_username", F.col("owner.username")
@@ -378,6 +380,10 @@ def search_owner(df: DataFrame, username: str | None = None) -> DataFrame:
             "total_views": F.sum(F.coalesce(F.col("views"), F.lit(0))),
             "total_comments": F.sum(F.coalesce(F.col("comments"), F.lit(0))),
             "total_photos": F.count("id"),
+            # icon fields are constant per owner; max() carries them through
+            # the same hash aggregate (no extra shuffle, no HTTP)
+            "_icon_farm": F.max(F.col("owner.iconFarm")),
+            "_icon_server": F.max(F.col("owner.iconServer")),
         },
     )
     ranked = global_rank(
@@ -392,6 +398,9 @@ def search_owner(df: DataFrame, username: str | None = None) -> DataFrame:
         "most_viewed_photo_comments",
         "best_photo_url",
         "total_views",
+        avatar_url(
+            F.col("owner_id"), F.col("_icon_farm"), F.col("_icon_server")
+        ).alias("avatar_url"),
     )
     if username:
         ranked = ranked.filter(

@@ -17,6 +17,7 @@ WSGI server (gunicorn etc.).
 
 from __future__ import annotations
 
+import gzip
 import json
 from collections.abc import Callable
 from urllib.parse import parse_qs
@@ -29,6 +30,11 @@ from backend_big_data_spark.photo import api
 def _json_default(o):
     # timestamps and Rows stringify; keeps the envelope dependency-free
     return str(o)
+
+
+#: Below this size gzip overhead beats the savings (flask-compress default
+#: COMPRESS_MIN_SIZE is 500 bytes; same threshold kept).
+_GZIP_MIN_BYTES = 500
 
 
 def create_app(df: DataFrame, monuments: DataFrame | None = None) -> Callable:
@@ -118,6 +124,21 @@ def create_app(df: DataFrame, monuments: DataFrame | None = None) -> Callable:
     def app(environ, start_response):
         path = environ.get("PATH_INFO", "/")
         qs = parse_qs(environ.get("QUERY_STRING", ""))
+        # gzip response compression — the reference serves through
+        # flask-compress (``endpoints.py:17`` Compress(app)); here it's the
+        # same negotiation done by hand: compress iff the client advertises
+        # gzip and the body clears a minimum size (tiny payloads grow).
+        accepts_gzip = "gzip" in environ.get("HTTP_ACCEPT_ENCODING", "").lower()
+
+        def respond(status: str, payload: bytes):
+            headers = [("Content-Type", "application/json")]
+            if accepts_gzip and len(payload) >= _GZIP_MIN_BYTES:
+                payload = gzip.compress(payload, compresslevel=6)
+                headers.append(("Content-Encoding", "gzip"))
+            headers.append(("Content-Length", str(len(payload))))
+            start_response(status, headers)
+            return [payload]
+
         body = {}
         try:
             length = int(environ.get("CONTENT_LENGTH") or 0)
@@ -125,17 +146,11 @@ def create_app(df: DataFrame, monuments: DataFrame | None = None) -> Callable:
                 body = json.loads(environ["wsgi.input"].read(length))
             result = route(qs, body, path)
             if result is None:
-                start_response("404 Not Found", [("Content-Type", "application/json")])
-                return [b'{"error": "no such route"}']
+                return respond("404 Not Found", b'{"error": "no such route"}')
             payload = json.dumps(result, default=_json_default).encode()
-            start_response("200 OK", [("Content-Type", "application/json")])
-            return [payload]
+            return respond("200 OK", payload)
         except Exception as e:  # the reference's per-route 500 envelope
             err = json.dumps({"error": str(e)}).encode()
-            start_response(
-                "500 Internal Server Error",
-                [("Content-Type", "application/json")],
-            )
-            return [err]
+            return respond("500 Internal Server Error", err)
 
     return app

@@ -23,7 +23,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from backend_big_data_spark.functions.scalars import photo_url, round_half_up
+from backend_big_data_spark.functions.scalars import avatar_url, photo_url, round_half_up
 from backend_big_data_spark.operators.aggregates import argmax_per_group
 from backend_big_data_spark.photo import queries as pq
 from backend_big_data_spark.photo.schema import read_photos_parquet
@@ -264,12 +264,20 @@ WITH per_photo AS (
   SELECT struct_extract(owner,'id') AS owner_id,
          struct_extract(owner,'username') AS username,
          COALESCE(views, 0) AS v, COALESCE(comments, 0) AS c,
-         id, farm, server, secret
+         id, farm, server, secret,
+         struct_extract(owner,'iconFarm') AS icon_farm,
+         struct_extract(owner,'iconServer') AS icon_server
   FROM {_RP}
 ), winners AS (
   SELECT owner_id, username, v, c,
          'https://farm' || farm || '.staticflickr.com/' || server || '/' ||
            id || '_' || secret || '.jpg' AS best_photo_url,
+         CASE WHEN icon_farm IS NOT NULL AND icon_server IS NOT NULL
+                   AND icon_farm <> 0 AND icon_server <> 0
+              THEN 'https://farm' || icon_farm || '.staticflickr.com/' ||
+                   icon_server || '/buddyicons/' || owner_id || '.jpg'
+              ELSE 'https://www.flickr.com/images/buddyicon.gif'
+         END AS avatar_url,
          SUM(v) OVER (PARTITION BY owner_id) AS total_views,
          COUNT(*) OVER (PARTITION BY owner_id) AS total_photos,
          ROW_NUMBER() OVER (PARTITION BY owner_id
@@ -278,16 +286,17 @@ WITH per_photo AS (
 )
 SELECT owner_id, username, total_photos, total_views,
        v AS most_viewed_photo_views, c AS most_viewed_photo_comments,
-       best_photo_url
+       best_photo_url, avatar_url
 FROM winners WHERE rn = 1
 """,
 )
 def photo_owner_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """/searchOwner core (reference ``queries.py:298-351``, B9 minus the
-    avatar HTTP UDF): per-owner totals + argmax photo by (views, comments,
-    id) via max-of-struct — ONE hash aggregate; the oracle needs a window +
-    self-partition pass to say the same thing. URL UDF F1 →
-    ``format_string``."""
+    """/searchOwner core (reference ``queries.py:298-351``): per-owner totals
+    + argmax photo by (views, comments, id) via max-of-struct — ONE hash
+    aggregate; the oracle needs a window + self-partition pass to say the
+    same thing. URL UDF F1 → ``format_string``; avatar HTTP UDF F2
+    (``flickrapi_utils.py:7-25``) → precomputed-icon column expression
+    carried through the same aggregate (no network, no extra shuffle)."""
     df = _photos(spark)
     return argmax_per_group(
         df.withColumn("owner_id", F.col("owner.id")).withColumn(
@@ -309,11 +318,16 @@ def photo_owner_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_aggs={
             "total_views": F.sum(F.coalesce(F.col("views"), F.lit(0))),
             "total_photos": F.count("id"),
+            "_icon_farm": F.max(F.col("owner.iconFarm")),
+            "_icon_server": F.max(F.col("owner.iconServer")),
         },
     ).select(
         "owner_id", "username", "total_photos", "total_views",
         "most_viewed_photo_views", "most_viewed_photo_comments",
         "best_photo_url",
+        avatar_url(
+            F.col("owner_id"), F.col("_icon_farm"), F.col("_icon_server")
+        ).alias("avatar_url"),
     )
 
 

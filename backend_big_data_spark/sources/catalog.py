@@ -81,20 +81,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table. Filters/projections applied by callers
     push down into this scan (verify with ``df.explain`` → PushedFilters).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects ([PARQUET_TYPE_ILLEGAL]); it is read as raw nanos via the
-    legacy conf and truncated to microseconds with integer division (double
-    division would lose precision above 2^53 ns ≈ 104 days of epoch-nanos).
-    DuckDB truncates ns→µs identically, keeping the oracle gate exact.
+    Timestamp normalization: the harness parquet has carried ``events.ts``
+    as TIMESTAMP(NANOS) in one generation (vectorized reader rejects it —
+    read as raw nanos + integer-truncate to µs, matching DuckDB's ns→µs
+    truncation) and as untagged TIMESTAMP(MICROS) (``isAdjustedToUTC=false``
+    → TIMESTAMP_NTZ under Spark 4's NTZ inference) in another. Every NTZ
+    column is cast to session-tz TIMESTAMP under a pinned-UTC session: the
+    wall-clock value is unchanged, downstream ``year()/hour()/unix_micros``
+    all type-check, and DuckDB's naive-timestamp oracle semantics are
+    preserved bit-for-bit.
     """
     cached = _HOT_CACHE.get((_session_key(spark), sf_dir, name))
     if cached is not None:
         return cached
+    # NTZ→LTZ is wall-clock-preserving only under a fixed UTC session zone;
+    # pin it here so the cast is deterministic regardless of host tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and df.schema["ts"].dataType.simpleString() == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for f in df.schema.fields:
+        if f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

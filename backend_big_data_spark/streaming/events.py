@@ -20,17 +20,21 @@ from pyspark.sql import functions as F
 
 from backend_big_data_spark.sources.catalog import table_path
 
-#: ts arrives as raw epoch-nanos (parquet TIMESTAMP(NANOS) is read via the
-#: legacy nanosAsLong conf — see sources/catalog.py) and is truncated to µs.
+#: ``{ts_type}`` is filled from the parquet footer at plan build: the harness
+#: has shipped ``ts`` both as TIMESTAMP(NANOS) (→ raw ``long`` nanos under the
+#: legacy nanosAsLong conf) and as untagged TIMESTAMP(MICROS) (→
+#: ``timestamp_ntz`` under Spark 4 NTZ inference).
 EVENTS_DDL = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts {ts_type}, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events parquet table. Parquet needs an explicit
-    schema for streaming reads (no inference mid-stream).
+    schema for streaming reads (no inference mid-stream) — probed from the
+    file footer with a metadata-only batch read (no job), then normalized to
+    session-tz TIMESTAMP exactly as ``sources.catalog.load_table`` does.
 
     The testdata lays each table out as ONE ``<name>.parquet`` file, but
     FileStreamSource requires its base path to be a directory — so stream
@@ -38,16 +42,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     On a real deployment the table would be a partitioned directory and the
     glob disappears.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
-    reader = spark.readStream.schema(EVENTS_DDL).format("parquet")
+    ts_phys = spark.read.parquet(path).schema["ts"].dataType.simpleString()
+    reader = spark.readStream.schema(
+        EVENTS_DDL.format(ts_type="long" if ts_phys == "bigint" else ts_phys)
+    ).format("parquet")
     import os
 
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.load(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_phys == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(

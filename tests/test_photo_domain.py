@@ -144,8 +144,26 @@ def test_search_owner_global_rank_b9(photos):
     assert rows[0]["total_photos"] == 2
     assert rows[0]["most_viewed_photo_views"] == 200
     assert rows[0]["best_photo_url"].endswith("/srv/p03_s.jpg")
+    # F2 parity: no icon fields in the fixture → reference's default icon
+    # (flickrapi_utils.py:23 fallback)
+    from backend_big_data_spark.functions.scalars import DEFAULT_AVATAR
+
+    assert rows[0]["avatar_url"] == DEFAULT_AVATAR
     # filtering AFTER ranking: carla keeps her global rank 3
     assert api.search_owner(photos, "carla")[0]["rank"] == 3
+
+
+def test_search_owner_avatar_from_icon_fields(spark):
+    # F2 parity with icon fields present: buddyicon URL formatted from the
+    # precomputed owner.iconFarm/iconServer (flickrapi_utils.py:21-22 shape).
+    row = _photo("p10", owner_id="u9", username="dana", views=5)
+    row["owner"]["iconFarm"] = 4
+    row["owner"]["iconServer"] = 388
+    df = ingest(spark.createDataFrame([row], PHOTO_SCHEMA_RAW))
+    out = api.search_owner(df, "dana")
+    assert out[0]["avatar_url"] == (
+        "https://farm4.staticflickr.com/388/buddyicons/u9.jpg"
+    )
 
 
 def test_top50_owners(photos):
