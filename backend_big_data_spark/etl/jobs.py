@@ -28,4 +28,22 @@ def clean_and_enrich_job(
     cleaned = clean_photos(raw)
     enriched = enrich_photos(cleaned, fetcher_factory)
     write_parquet(enriched, out_path)
+    # Post-write verification read-back (the reference re-reads and counts
+    # after every dataset update, update_dataset.py:165-168): the written
+    # files must re-read with the enriched schema and a matching row count —
+    # a truncated/partial write fails the job, not the next reader.
+    written = spark.read.parquet(out_path)
+    n_written, n_src = written.count(), enriched.count()
+    if n_written != n_src:
+        raise RuntimeError(
+            f"post-write verification failed: wrote {out_path} with "
+            f"{n_written} rows, expected {n_src}"
+        )
+    missing = set(f.name for f in enriched.schema.fields) - set(
+        f.name for f in written.schema.fields
+    )
+    if missing:
+        raise RuntimeError(
+            f"post-write verification failed: {out_path} lost columns {missing}"
+        )
     return enriched

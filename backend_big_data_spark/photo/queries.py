@@ -375,15 +375,16 @@ def search_owner(df: DataFrame, username: str | None = None) -> DataFrame:
             "best_photo_url": photo_url(
                 F.col("farm"), F.col("server"), F.col("id"), F.col("secret")
             ),
+            # icon fields ride the argmax struct: winner-row semantics, so a
+            # null/inconsistent icon on a non-winner row can never leak in
+            # (still one hash aggregate, no extra shuffle, no HTTP)
+            "_icon_farm": F.col("owner.iconFarm"),
+            "_icon_server": F.col("owner.iconServer"),
         },
         extra_aggs={
             "total_views": F.sum(F.coalesce(F.col("views"), F.lit(0))),
             "total_comments": F.sum(F.coalesce(F.col("comments"), F.lit(0))),
             "total_photos": F.count("id"),
-            # icon fields are constant per owner; max() carries them through
-            # the same hash aggregate (no extra shuffle, no HTTP)
-            "_icon_farm": F.max(F.col("owner.iconFarm")),
-            "_icon_server": F.max(F.col("owner.iconServer")),
         },
     )
     ranked = global_rank(

@@ -37,6 +37,24 @@ def _json_default(o):
 _GZIP_MIN_BYTES = 500
 
 
+def _negotiates_gzip(accept_encoding: str) -> bool:
+    """True iff the client accepts gzip with a non-zero q-value. A bare
+    substring test would gzip for ``gzip;q=0`` — a client explicitly
+    REFUSING gzip (RFC 9110 §12.5.3)."""
+    for part in accept_encoding.lower().split(","):
+        coding, _, params = part.partition(";")
+        if coding.strip() not in ("gzip", "*"):
+            continue
+        params = params.strip()
+        if params.startswith("q="):
+            try:
+                return float(params[2:]) > 0.0
+            except ValueError:
+                return False
+        return True
+    return False
+
+
 def create_app(df: DataFrame, monuments: DataFrame | None = None) -> Callable:
     """Build the WSGI app closed over the photos DataFrame — the
     reference's ``create_app(df)`` shape (``endpoints.py:14``)."""
@@ -127,14 +145,19 @@ def create_app(df: DataFrame, monuments: DataFrame | None = None) -> Callable:
         # gzip response compression — the reference serves through
         # flask-compress (``endpoints.py:17`` Compress(app)); here it's the
         # same negotiation done by hand: compress iff the client advertises
-        # gzip and the body clears a minimum size (tiny payloads grow).
-        accepts_gzip = "gzip" in environ.get("HTTP_ACCEPT_ENCODING", "").lower()
+        # gzip with a non-zero q-value and the body clears a minimum size
+        # (tiny payloads grow).
+        accepts_gzip = _negotiates_gzip(environ.get("HTTP_ACCEPT_ENCODING", ""))
 
         def respond(status: str, payload: bytes):
             headers = [("Content-Type", "application/json")]
-            if accepts_gzip and len(payload) >= _GZIP_MIN_BYTES:
-                payload = gzip.compress(payload, compresslevel=6)
-                headers.append(("Content-Encoding", "gzip"))
+            if len(payload) >= _GZIP_MIN_BYTES:
+                # compression is negotiable for this response — tell caches
+                # (flask-compress emits the same Vary header)
+                headers.append(("Vary", "Accept-Encoding"))
+                if accepts_gzip:
+                    payload = gzip.compress(payload, compresslevel=6)
+                    headers.append(("Content-Encoding", "gzip"))
             headers.append(("Content-Length", str(len(payload))))
             start_response(status, headers)
             return [payload]

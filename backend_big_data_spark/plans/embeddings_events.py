@@ -43,13 +43,58 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@register("ann_lsh_topk")  # rows-only: seeded-numpy hyperplanes not SQL-portable
+@register(
+    "ann_lsh_topk",
+    oracle="""
+WITH planes AS (
+  SELECT t, b,
+         list_transform(generate_series(1, 64), i ->
+           ((CAST(concat('0x', substr(md5(concat(t, ':', b, ':', i - 1)), 1, 15)) AS BIGINT)
+             % 2000001) - 1000000) / 1000000.0) AS pv
+  FROM generate_series(0, 5) g1(t), generate_series(0, 5) g2(b)
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), keys AS (
+  SELECT vec_id,
+         concat(t, ':', string_agg(
+           CASE WHEN list_inner_product(v, pv) > 0 THEN '1' ELSE '0' END,
+           '' ORDER BY b)) AS bucket
+  FROM vecs, planes GROUP BY vec_id, t
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM keys q JOIN keys c USING (bucket)
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+), s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv.v, nv.v) AS sim
+  FROM cand
+  JOIN vecs qv ON qv.vec_id = cand.query_id
+  JOIN vecs nv ON nv.vec_id = cand.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rnk
+FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+""",
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (the 100 TB scale path): bucket join +
-    exact re-rank on candidates. Approximate by construction → rows-only."""
+    exact re-rank on candidates. Oracle-gated via the md5-derived plane
+    family (``_md5_planes``): both engines derive bit-identical plane
+    doubles from md5(t:b:i), so candidate generation — not just the
+    re-rank — replays exactly in SQL. The seeded-Gaussian family stays the
+    engine default (pytest recall/equivalence coverage)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, num_bits=6, num_tables=6
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        num_bits=6,
+        num_tables=6,
+        dim=64,
+        plane_source="md5",
     )
 
 

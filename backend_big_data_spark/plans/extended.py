@@ -140,14 +140,67 @@ def streaming_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk")  # rows-only: KMeans quantizer is iterative/seeded
+@register(
+    "ann_ivf_topk",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS list_id, v AS cv FROM vecs WHERE vec_id < 8
+), assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vv.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY vv.vec_id
+                              ORDER BY list_cosine_similarity(vv.v, c.cv) DESC,
+                                       c.list_id) AS arn
+    FROM vecs vv, cents c
+  ) WHERE arn = 1
+), probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT vv.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY vv.vec_id
+                              ORDER BY list_cosine_similarity(vv.v, c.cv) DESC,
+                                       c.list_id) AS prn
+    FROM vecs vv, cents c WHERE vv.vec_id < 10
+  ) WHERE prn <= 3
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (list_id)
+  WHERE a.vec_id != p.query_id
+), s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv.v, nv.v) AS sim
+  FROM cand
+  JOIN vecs qv ON qv.vec_id = cand.query_id
+  JOIN vecs nv ON nv.vec_id = cand.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rnk
+FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+""",
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (coarse KMeans quantizer + probe-and-rerank) — the second
-    scale path next to LSH. Approximate by construction → rows-only; the
-    nprobe==nlist exact-degradation invariant is pytest-verified."""
+    """IVF ANN (coarse quantizer + probe-and-rerank) — the second scale
+    path next to LSH. Oracle-gated with a FIXED deterministic coarse
+    quantizer (centroids = the first ``nlist`` corpus vectors), so
+    assignment, probing and re-rank all replay exactly in SQL; the
+    iterative seeded KMeans quantizer stays the engine default and keeps
+    its pytest-verified nprobe==nlist exact-degradation invariant."""
     emb = load_table(spark, sf_dir, "embeddings")
+    cvec = F.col("embedding").cast("array<double>")
+    fixed = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"), cvec.alias("centroid")
+    )
     return ivf_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, nlist=8, nprobe=3
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nlist=8,
+        nprobe=3,
+        centroids=fixed,
     )
 
 
@@ -672,6 +725,50 @@ def doc_corpus_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+def _dup_clusters_oracle() -> str:
+    """Cluster oracle: transitive closure of the verified near-dup pairs via
+    a recursive CTE (min-label flood), labels = component min doc_id."""
+    verified = _lsh_verified_oracle().strip()
+    verified = verified[: verified.rindex("ORDER BY")]
+    return f"""
+WITH RECURSIVE near AS (
+{verified}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM near
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM near
+),
+walk(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM walk GROUP BY node ORDER BY doc_id
+"""
+
+
+@register("doc_dup_clusters", oracle=_dup_clusters_oracle())
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: duplicates are transitive (A~B, B~C ⇒ one
+    cluster even when A,C were never compared), so the dedup unit is the
+    connected component of the verified-pair graph, not the pair list.
+    Components via alternating large-star/small-star contraction
+    (operators/graph.py ``connected_components_star`` — O(log² n) rounds,
+    diameter-independent, the 100 TB shape); the oracle floods min-labels
+    through a recursive CTE over the same verified pairs."""
+    from backend_big_data_spark.operators.graph import connected_components_star
+    from backend_big_data_spark.text.dedup import doc_shingles, lsh_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(doc_shingles(docs), threshold=0.5, hash_fn="md5")
+    labels = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
 
 
 @register(

@@ -246,7 +246,7 @@ def photo_first_post_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "photo_top_owners",
     oracle=f"""
 SELECT struct_extract(owner,'username') AS username,
-       SUM(views) AS total_views
+       CAST(SUM(views) AS BIGINT) AS total_views
 FROM {_RP}
 GROUP BY 1 ORDER BY total_views DESC NULLS LAST, username LIMIT 50
 """,
@@ -278,7 +278,7 @@ WITH per_photo AS (
                    icon_server || '/buddyicons/' || owner_id || '.jpg'
               ELSE 'https://www.flickr.com/images/buddyicon.gif'
          END AS avatar_url,
-         SUM(v) OVER (PARTITION BY owner_id) AS total_views,
+         CAST(SUM(v) OVER (PARTITION BY owner_id) AS BIGINT) AS total_views,
          COUNT(*) OVER (PARTITION BY owner_id) AS total_photos,
          ROW_NUMBER() OVER (PARTITION BY owner_id
                             ORDER BY v DESC, c DESC, id DESC) AS rn
@@ -314,12 +314,14 @@ def photo_owner_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_photo_url": photo_url(
                 F.col("farm"), F.col("server"), F.col("id"), F.col("secret")
             ),
+            # winner-row icon semantics (matches the oracle, which reads the
+            # rn=1 row): icons ride the argmax struct, not a separate max()
+            "_icon_farm": F.col("owner.iconFarm"),
+            "_icon_server": F.col("owner.iconServer"),
         },
         extra_aggs={
             "total_views": F.sum(F.coalesce(F.col("views"), F.lit(0))),
             "total_photos": F.count("id"),
-            "_icon_farm": F.max(F.col("owner.iconFarm")),
-            "_icon_server": F.max(F.col("owner.iconServer")),
         },
     ).select(
         "owner_id", "username", "total_photos", "total_views",
@@ -374,7 +376,8 @@ def photo_brand_top_models(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT 'https://farm' || farm || '.staticflickr.com/' || server || '/' ||
          id || '_' || secret || '.jpg' AS url,
        struct_extract(owner,'username') AS username,
-       list_transform(tags, x -> struct_extract(x,'value')) AS tags,
+       COALESCE(array_to_string(
+         list_transform(tags, x -> struct_extract(x,'value')), '|'), '') AS tags,
        views, title,
        strftime({_TS.format(c="dateTaken")}, '%H:%M - %d/%m/%Y') AS dateTaken,
        strftime({_TS.format(c="datePosted")}, '%H:%M - %d/%m/%Y') AS datePosted
@@ -395,11 +398,19 @@ def photo_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameter-shaped plan — keyword branch over title/tags/username AND a
     date range, unioned (U1) with a tag branch over the ORIGINAL table, then
     dedup by id (B10: ``exists`` predicates, no explode-duplication). The
-    whole plan is codegen-able — no UDF (F1 → format_string)."""
-    return pq.search_photos(
+    whole plan is codegen-able — no UDF (F1 → format_string).
+
+    Oracle-facing twin: the array-typed ``tags`` column is pipe-joined to a
+    scalar (the ``priority_status_sets`` pattern — external row-hashers
+    can't canonicalize array cells); the API keeps the array form
+    (``photo/api.py`` search endpoint, tested in test_photo_domain)."""
+    out = pq.search_photos(
         _photos(spark),
         keyword="sunset",
         data_inizio="2021-01-01 00:00:00",
         data_fine="2022-12-31 23:59:59",
         tag_list=["rome"],
     )
+    # concat_ws never returns NULL (null array -> ''), hence the oracle's
+    # COALESCE(..., '')
+    return out.withColumn("tags", F.concat_ws("|", "tags"))

@@ -85,6 +85,25 @@ def _hyperplanes(dim: int, num_bits: int, num_tables: int, seed: int):
     return rng.standard_normal((num_tables, num_bits, dim))
 
 
+def _md5_planes(dim: int, num_bits: int, num_tables: int):
+    """Hash-derived hyperplanes: component (t, b, i) is a deterministic
+    function of md5(f"{t}:{b}:{i}") mapped to [-1, 1]. Every value is the
+    SAME IEEE double an SQL engine derives from the same formula
+    (``((md5_60bit % 2000001) - 1000000) / 1000000.0``), which makes the
+    whole bucketing stage cross-engine reproducible — the seeded-Gaussian
+    family can't be replayed in SQL. Uniform (not Gaussian) components
+    still give valid sign-LSH bucketing for cosine."""
+    import hashlib
+
+    planes = np.empty((num_tables, num_bits, dim))
+    for t in range(num_tables):
+        for b in range(num_bits):
+            for i in range(dim):
+                h = int(hashlib.md5(f"{t}:{b}:{i}".encode()).hexdigest()[:15], 16)
+                planes[t, b, i] = ((h % 2000001) - 1000000) / 1000000.0
+    return planes
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -94,6 +113,9 @@ def lsh_cosine_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    dim: int,
+    plane_source: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k cosine via random-hyperplane (sign) LSH.
 
@@ -102,11 +124,18 @@ def lsh_cosine_topk(
     identically; the join shuffles on (table, bucket) only — at 100 TB no
     vector ever meets more than its bucket peers. Exact cosine re-ranks
     candidates; recall < 1 by construction, tuned by (num_bits, num_tables).
+
+    ``dim`` is required (callers know it from the schema) so composing the
+    plan triggers ZERO Spark jobs — no eager ``first()`` sniff at build
+    time. ``plane_source``: ``"gaussian"`` (seeded, the default) or
+    ``"md5"`` (hash-derived, SQL-replayable — the oracle-gated variant).
     """
     from pyspark.sql.functions import pandas_udf
 
-    dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, num_bits, num_tables, seed)
+    if plane_source == "md5":
+        planes = _md5_planes(dim, num_bits, num_tables)
+    else:
+        planes = _hyperplanes(dim, num_bits, num_tables, seed)
 
     @pandas_udf("array<string>")
     def bucket_keys(vecs: pd.Series) -> pd.Series:
@@ -161,13 +190,17 @@ def ivf_cosine_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: coarse KMeans quantizer + probe-and-rerank.
+    """IVF (inverted-file) ANN: coarse quantizer + probe-and-rerank.
 
-    Train ``nlist`` centroids, assign every corpus vector to its nearest
-    centroid (the inverted lists), probe each query's ``nprobe`` nearest
-    centroids, exact-cosine re-rank only vectors in probed lists. With
-    ``nprobe == nlist`` this degrades to exact brute force (tested
+    Train ``nlist`` KMeans centroids (or take ``centroids`` — a tiny
+    ``(list_id int, centroid array<double>)`` frame — as a FIXED coarse
+    quantizer, which makes the whole pipeline deterministic and
+    SQL-replayable for the oracle gate), assign every corpus vector to its
+    nearest centroid (the inverted lists), probe each query's ``nprobe``
+    nearest centroids, exact-cosine re-rank only vectors in probed lists.
+    With ``nprobe == nlist`` this degrades to exact brute force (tested
     invariant); recall rises monotonically with nprobe.
 
     Scale: the corpus shuffles ONCE on list id (and would be written
@@ -176,18 +209,18 @@ def ivf_cosine_topk(
     public ANN literature (e.g. FAISS's IVFFlat design), expressed as
     DataFrame ops.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     cvec = F.col(vec_col).cast("array<double>")
-    train = corpus.select(array_to_vector(cvec).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=10, featuresCol="features").fit(train)
-    spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "list_id int, centroid array<double>",
-    )
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = corpus.select(array_to_vector(cvec).alias("features"))
+        model = KMeans(k=nlist, seed=seed, maxIter=10, featuresCol="features").fit(train)
+        spark = corpus.sparkSession
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "list_id int, centroid array<double>",
+        )
 
     def nearest_lists(df: DataFrame, prefix: str, n_take: int) -> DataFrame:
         scored = df.select(

@@ -52,6 +52,34 @@ def _session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+#: application ids whose timezone override has already been logged
+_TZ_WARNED: set[str] = set()
+
+
+def ensure_utc_session(spark: SparkSession) -> None:
+    """THE timezone pin point for the catalog. The engine's own sessions
+    already pin UTC at construction (``session.get_spark``); an external
+    session (the round driver's, a notebook's) may not, and the NTZ→LTZ
+    casts in ``load_table`` are wall-clock-preserving only under UTC — so a
+    different zone is overridden here, loudly and exactly once per session
+    rather than silently on every cache miss."""
+    current = spark.conf.get("spark.sql.session.timeZone", None)
+    if current == "UTC":
+        return
+    app_id = _session_key(spark)
+    if app_id not in _TZ_WARNED:
+        _TZ_WARNED.add(app_id)
+        import warnings
+
+        warnings.warn(
+            f"catalog requires spark.sql.session.timeZone=UTC for "
+            f"deterministic timestamp semantics; overriding {current!r} "
+            f"for session {app_id}",
+            stacklevel=3,
+        )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def clear_cache(spark: SparkSession | None = None) -> None:
     """Unpersist and evict hot tables — all of them, or one session's.
 
@@ -91,12 +119,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     all type-check, and DuckDB's naive-timestamp oracle semantics are
     preserved bit-for-bit.
     """
+    # NTZ→LTZ is wall-clock-preserving only under a fixed UTC session zone —
+    # ensure it on EVERY call (hit or miss), before the cache lookup, so the
+    # session ends up in the same state on both paths.
+    ensure_utc_session(spark)
     cached = _HOT_CACHE.get((_session_key(spark), sf_dir, name))
     if cached is not None:
         return cached
-    # NTZ→LTZ is wall-clock-preserving only under a fixed UTC session zone;
-    # pin it here so the cast is deterministic regardless of host tz.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))

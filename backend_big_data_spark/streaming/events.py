@@ -20,9 +20,11 @@ from pyspark.sql import functions as F
 
 from backend_big_data_spark.sources.catalog import table_path
 
-#: ``{ts_type}`` is filled from the parquet footer at plan build: the harness
-#: has shipped ``ts`` both as TIMESTAMP(NANOS) (→ raw ``long`` nanos under the
-#: legacy nanosAsLong conf) and as untagged TIMESTAMP(MICROS) (→
+#: NOT literal DDL — a format TEMPLATE: ``{ts_type}`` must be filled via
+#: ``EVENTS_DDL.format(ts_type=...)`` before use (parsing it raw fails).
+#: The type is probed from the parquet footer at plan build: the harness
+#: has shipped ``ts`` both as TIMESTAMP(NANOS) (→ raw ``long`` nanos under
+#: the legacy nanosAsLong conf) and as untagged TIMESTAMP(MICROS) (→
 #: ``timestamp_ntz`` under Spark 4 NTZ inference).
 EVENTS_DDL = (
     "event_id long, ts {ts_type}, user_id long, event_type string, "
@@ -45,7 +47,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
-    ts_phys = spark.read.parquet(path).schema["ts"].dataType.simpleString()
+    probe = spark.read.parquet(path).schema
+    if "ts" not in probe.names:
+        raise ValueError(
+            f"events table at {path} has no 'ts' column "
+            f"(found {probe.names}); cannot build the streaming schema"
+        )
+    ts_phys = probe["ts"].dataType.simpleString()
     reader = spark.readStream.schema(
         EVENTS_DDL.format(ts_type="long" if ts_phys == "bigint" else ts_phys)
     ).format("parquet")

@@ -73,6 +73,19 @@ def main() -> None:
     warm_cache(spark, sf_dir)
     cache_sec = round(time.perf_counter() - t_cache, 3)
 
+    # The dedup pipelines (minhash/LSH, capped jaccard, two-stage verify)
+    # all start from ONE persisted shingle table (text/dedup.doc_shingles,
+    # cache-keyed on the canonical plan). Materialize it in the warm phase
+    # and time it separately — otherwise whichever dedup query happens to
+    # run first absorbs the build cost and the per-query numbers measure
+    # cache-attribution luck, not the operator.
+    from backend_big_data_spark.sources.catalog import load_table
+    from backend_big_data_spark.text.dedup import doc_shingles
+
+    t_sh = time.perf_counter()
+    doc_shingles(load_table(spark, sf_dir, "documents")).count()
+    shingle_sec = round(time.perf_counter() - t_sh, 3)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -99,6 +112,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cache_warm_sec": cache_sec,
+                "shingle_warm_sec": shingle_sec,
                 "sf": sf_val,
             }
         )

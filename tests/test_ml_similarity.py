@@ -110,10 +110,51 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in lsh_cosine_topk(df, queries, k=3, num_bits=4, num_tables=8).collect()
+        for r in lsh_cosine_topk(
+            df, queries, k=3, num_bits=4, num_tables=8, dim=16
+        ).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_lsh_compose_triggers_no_spark_jobs(spark):
+    """Composing the LSH plan must be lazy: ``dim`` is an explicit parameter
+    now, so no eager ``first()`` sniff (a driver-side stall at plan-build
+    time) ever runs. Asserted via the job-group status tracker."""
+    sc = spark.sparkContext
+    df = _vec_df(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.5, 0.5])])
+    sc.setJobGroup("lsh-compose", "plan composition only")
+    try:
+        plan = lsh_cosine_topk(df, df, k=1, num_bits=2, num_tables=2, dim=2)
+        jobs = sc.statusTracker().getJobIdsForGroup("lsh-compose")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], f"plan composition ran Spark jobs: {jobs}"
+    assert plan.columns  # still a real, composable DataFrame
+
+
+def test_lsh_md5_planes_match_sql_formula():
+    """The md5-derived plane family must equal the SQL derivation value by
+    value (this is what makes ann_lsh_topk's oracle replay candidate
+    generation exactly)."""
+    import duckdb
+
+    from backend_big_data_spark.similarity.ann import _md5_planes
+
+    planes = _md5_planes(dim=4, num_bits=2, num_tables=2)
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        SELECT t, b, i,
+               ((CAST(concat('0x', substr(md5(concat(t,':',b,':',i)),1,15)) AS BIGINT)
+                 % 2000001) - 1000000) / 1000000.0 AS v
+        FROM generate_series(0,1) g1(t), generate_series(0,1) g2(b),
+             generate_series(0,3) g3(i)
+        """
+    ).fetchall()
+    for t, b, i, v in rows:
+        assert planes[t, b, i] == v, (t, b, i, planes[t, b, i], v)
 
 
 def test_fpgrowth_small_itemsets_match_sql_counts(spark):

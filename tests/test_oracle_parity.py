@@ -66,3 +66,20 @@ def test_rows_only_queries_run(name, spark):
     df = QUERIES[name](spark, SF_SMALL)
     assert df.columns
     assert df.count() >= 0
+
+
+def test_no_oracle_emits_hugeint(duck):
+    """DuckDB SUM over INTEGER returns HUGEINT, which pandas widens to
+    float64/object while Spark emits BIGINT — a silent value-hash mismatch
+    at the external gate. This bit three separate queries across rounds
+    (events_daily_pivot, photo_top_owners, photo_owner_profiles); every
+    oracle must CAST such aggregates to BIGINT."""
+    offenders = {}
+    for name, sql in sorted(ORACLES.items()):
+        desc = duck.execute(f"DESCRIBE ({sql.rstrip().rstrip(';')})").fetchall()
+        huge = [(c, t) for c, t, *_ in desc if t in ("HUGEINT", "UHUGEINT")]
+        if huge:
+            offenders[name] = huge
+    assert not offenders, (
+        f"oracles with HUGEINT output columns (CAST ... AS BIGINT): {offenders}"
+    )

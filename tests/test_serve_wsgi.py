@@ -80,3 +80,67 @@ def test_error_envelope_500(app):
     # /runKMeans2 without a monuments table → per-route 500 envelope
     status, payload = _call(app, "/runKMeans2", qs="k=2")
     assert status.startswith("500") and "monuments" in payload["error"]
+
+
+def _call_raw(app, path, extra_environ=None):
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = headers
+
+    environ = {"PATH_INFO": path, "QUERY_STRING": ""}
+    environ.update(extra_environ or {})
+    body = b"".join(app(environ, start_response))
+    return captured["status"], captured["headers"], body
+
+
+def test_gzip_round_trip_and_vary(app, monkeypatch):
+    import gzip as gz
+
+    import backend_big_data_spark.photo.serve as serve_mod
+
+    monkeypatch.setattr(serve_mod, "_GZIP_MIN_BYTES", 10)
+    status, headers, body = _call_raw(
+        app, "/years", {"HTTP_ACCEPT_ENCODING": "gzip, deflate"}
+    )
+    assert status == "200 OK"
+    assert ("Content-Encoding", "gzip") in headers
+    # compression is negotiable → caches must key on Accept-Encoding
+    assert ("Vary", "Accept-Encoding") in headers
+    assert [r["year"] for r in json.loads(gz.decompress(body))] == [2021, 2022]
+
+
+def test_gzip_refused_with_q_zero(app, monkeypatch):
+    import backend_big_data_spark.photo.serve as serve_mod
+
+    monkeypatch.setattr(serve_mod, "_GZIP_MIN_BYTES", 10)
+    status, headers, body = _call_raw(
+        app, "/years", {"HTTP_ACCEPT_ENCODING": "gzip;q=0"}
+    )
+    assert status == "200 OK"
+    assert not any(k == "Content-Encoding" for k, _ in headers)
+    assert ("Vary", "Accept-Encoding") in headers  # still negotiable
+    json.loads(body)  # plain JSON
+
+
+def test_gzip_skipped_below_min_size(app):
+    status, headers, body = _call_raw(
+        app, "/years", {"HTTP_ACCEPT_ENCODING": "gzip"}
+    )
+    assert not any(k == "Content-Encoding" for k, _ in headers)
+    json.loads(body)
+
+
+def test_accept_encoding_q_value_parsing():
+    from backend_big_data_spark.photo.serve import _negotiates_gzip
+
+    assert _negotiates_gzip("gzip")
+    assert _negotiates_gzip("deflate, gzip;q=0.5")
+    assert _negotiates_gzip("*")
+    assert _negotiates_gzip("GZIP")
+    assert not _negotiates_gzip("gzip;q=0")
+    assert not _negotiates_gzip("gzip;q=0.0")
+    assert not _negotiates_gzip("identity")
+    assert not _negotiates_gzip("")
+    assert not _negotiates_gzip("gzip;q=bogus")

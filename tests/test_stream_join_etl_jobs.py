@@ -85,6 +85,9 @@ def test_clean_and_enrich_job_end_to_end(spark, tmp_path):
     )
     back = spark.read.parquet(out)
     assert back.count() == result.count() == 1
+    # the job's own post-write verification re-read these; assert the same
+    # contract here so a weakened job check fails the suite
+    assert set(back.columns) == set(result.columns)
     row = back.collect()[0]
     fake = DeterministicFakeFetcher()("a")
     assert row.id == "a"
