@@ -75,6 +75,10 @@ _FRONT = [
     "doc_deterministic_shuffle_head",
     "doc_corpus_deduped",
     "doc_dup_clusters",
+    # -- new this round: training-data layout ops ---------------------------
+    "doc_stratified_sample",
+    "doc_pack_sequences",
+    "doc_contamination",
     "orders_trailing_revenue",
     "kmeans_embedding_clusters",
     "doc_token_itemsets",

@@ -381,3 +381,126 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term_rank") <= 3)
         .orderBy("doc_id", "term_rank")
     )
+
+
+# -- training-data layout ops: rebalance, pack, decontaminate ---------------
+
+#: portable stable 60-bit hash of doc_id (mirrors text/sampling.stable_hash)
+_HID = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE ({_HID} % 100) < (CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 50 ELSE 100 END)
+ORDER BY doc_id
+""",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling (text/sampling.py
+    ``stratified_hash_sample``): deflate the dominant languages (en→25%,
+    zh→50%, rest kept) by stable key hash — the training-mix rebalancer.
+    One codegen'd filter on the scan; no shuffle, no per-group passes,
+    identical selection on every run and engine."""
+    from backend_big_data_spark.text.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        docs, F.col("doc_id"), "lang", {"en": 25, "zh": 50}, default_pct=100
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_pack_sequences",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split_regex(trim(text), '\s+')) AS n_tok
+  FROM documents WHERE length(trim(text)) > 0
+), o AS (
+  SELECT lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY {_HID}, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT lang, CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+FROM o GROUP BY 1, 2 ORDER BY lang, seq_id
+""",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (text/sampling.py
+    ``pack_sequences``): per-language deterministic-shuffle order, cut the
+    concatenated token stream every 2048 tokens, assign each doc to the
+    sequence its first token lands in, then profile the packed sequences
+    (docs and tokens per sequence). Packing is inherently sequential so it
+    is sharded per language — one keyed window shuffle, no global funnel."""
+    from backend_big_data_spark.functions.textfns import tokens
+    from backend_big_data_spark.text.sampling import pack_sequences
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).filter(F.length(F.trim("text")) > 0)
+    base = docs.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    packed = pack_sequences(
+        base, "n_tok", ctx_len=2048, key=F.col("doc_id"), shard_col="lang"
+    )
+    return (
+        packed.groupBy("lang", "seq_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("seq_tokens"))
+        .orderBy("lang", "seq_id")
+    )
+
+
+@register(
+    "doc_contamination",
+    oracle=rf"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {_HID} % 100 < 10 THEN 'val'
+              WHEN {_HID} % 100 < 20 THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+),
+ex AS (
+  SELECT sh.doc_id, unnest(shingles) AS shingle, split
+  FROM sh JOIN sp USING (doc_id)
+),
+train_idx AS (SELECT DISTINCT shingle FROM ex WHERE split = 'train'),
+val AS (SELECT * FROM ex WHERE split = 'val'),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM val GROUP BY 1),
+hit AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated FROM val
+  WHERE shingle IN (SELECT shingle FROM train_idx) GROUP BY 1
+)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       ROUND(COALESCE(h.n_contaminated, 0) / t.n_shingles, 6) AS contamination
+FROM tot t LEFT JOIN hit h USING (doc_id) ORDER BY t.doc_id
+""",
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination check (text/dedup.py
+    ``containment_vs_index``): hash-split the corpus (text/sampling.py
+    ``hash_split``), then for every VAL document measure the fraction of
+    its distinct 3-word shingles that occur anywhere in the TRAIN split —
+    containment ≈ 1 flags eval data leaked into training. One semi-join
+    keyed on the shingle (inverted-index shape)."""
+    from backend_big_data_spark.text.dedup import containment_vs_index
+    from backend_big_data_spark.text.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    splits = hash_split(docs.select("doc_id"), F.col("doc_id"))
+    ex = (
+        doc_shingles(docs)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(splits, "doc_id")
+    )
+    return containment_vs_index(
+        ex.filter(F.col("split") == "val").select("doc_id", "shingle"),
+        ex.filter(F.col("split") == "train"),
+    ).orderBy("doc_id")

@@ -467,3 +467,43 @@ def lsh_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard", "intersection_size", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# Train/eval decontamination: per-doc shingle containment vs an index
+# --------------------------------------------------------------------------
+def containment_vs_index(
+    target_shingles: DataFrame,
+    index_shingles: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """Per-document n-gram containment against a reference index — the
+    decontamination primitive: what fraction of each target (eval) doc's
+    distinct shingles also occur anywhere in the index (train) set. A
+    ratio near 1 flags an eval doc leaked into training data.
+
+    Inputs are EXPLODED (id, shingle) rows for the targets and any frame
+    with a ``shingle_col`` for the index (deduplicated here). Output:
+    (id, n_shingles, n_contaminated, contamination ∈ [0, 1]).
+
+    Scale: one semi-join keyed on the shingle — the inverted-index shape;
+    the index side never materializes pairs. At 100 TB the index would
+    additionally sit behind a Bloom filter to pre-drop definite misses
+    before the shuffle.
+    """
+    tot = target_shingles.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hit = (
+        target_shingles.join(
+            index_shingles.select(shingle_col).distinct(), shingle_col, "semi"
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return tot.join(hit, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        n_cont.alias("n_contaminated"),
+        F.round(n_cont / F.col("n_shingles"), 6).alias("contamination"),
+    )

@@ -62,6 +62,77 @@ def hash_split(
     )
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key: Column,
+    group_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 100,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-group systematic sampling — the training-mix rebalancer: keep
+    ``rates_pct[group]``% of each listed group (``default_pct``% of the
+    rest), selected by stable key hash. The standard move for deflating a
+    dominant language/source in a corpus while keeping selection
+    reproducible and incremental (same guarantees as :func:`hash_sample`,
+    per group). Unlike ``df.sampleBy``, re-runs and other engines select
+    IDENTICAL rows.
+
+    Scale: a single codegen'd filter over the scan — no shuffle, no
+    per-group passes.
+    """
+    for g, pct in rates_pct.items():
+        if not 0 <= pct <= 100:
+            raise ValueError(f"rate for {g!r} must be in [0, 100]")
+    bucket = stable_hash(key, hash_fn) % 100
+    thr: Column | None = None
+    for g in sorted(rates_pct):
+        cond = F.col(group_col) == g
+        thr = (
+            F.when(cond, F.lit(rates_pct[g]))
+            if thr is None
+            else thr.when(cond, F.lit(rates_pct[g]))
+        )
+    threshold = F.lit(default_pct) if thr is None else thr.otherwise(F.lit(default_pct))
+    return df.filter(bucket < threshold)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    ctx_len: int,
+    key: Column,
+    shard_col: str | None = None,
+    hash_fn: str = "md5",
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing assignment (LLM pretraining
+    layout): documents are laid out in the deterministic-shuffle order
+    (key hash, then key) and the concatenated token stream is cut every
+    ``ctx_len`` tokens; a document's ``seq_col`` is the sequence its FIRST
+    token lands in (docs may straddle a boundary — that is the standard
+    packing semantic, no padding waste).
+
+    ``seq_id = floor(tokens_before_this_doc / ctx_len)`` via a keyed
+    running sum over a ROWS frame (a RANGE frame would merge hash ties).
+
+    Scale: packing is inherently sequential, so it runs per ``shard_col``
+    partition (e.g. language, or a hash shard) — one window shuffle per
+    shard, each shard's stream independent. A global pack (shard_col=None)
+    funnels through ONE partition and is only for tests/small corpora.
+    """
+    from pyspark.sql import Window
+
+    h = stable_hash(key, hash_fn)
+    part = Window.partitionBy(shard_col) if shard_col else Window.partitionBy()
+    w = part.orderBy(h, key).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.col(token_count_col)).over(w)
+    return df.withColumn(
+        seq_col,
+        F.floor((cum - F.col(token_count_col)) / float(ctx_len)).cast("bigint"),
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, key: Column, hash_fn: str = "md5", order_col: str = "__shuffle_key"
 ) -> DataFrame:

@@ -53,7 +53,11 @@ HEADLINE = [
     "ann_cosine_topk",
 ]
 
-RUNS_PER_QUERY = 2
+#: min-of-3: the first execution of a heavy operator pays whole-stage-codegen
+#: JIT compilation, and a single repeat still occasionally lands on a GC pause
+#: at 32 threads — a third run makes the steady-state minimum stable without
+#: affecting the metric's meaning (bench wall-clock itself is not the metric).
+RUNS_PER_QUERY = 3
 
 
 def main() -> None:

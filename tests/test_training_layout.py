@@ -1,0 +1,108 @@
+"""Training-data layout ops: stratified sampling, sequence packing,
+decontamination. Cross-engine value parity is covered by
+test_oracle_parity (doc_stratified_sample / doc_pack_sequences /
+doc_contamination); these tests pin the SEMANTICS on hand-built inputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.text.dedup import containment_vs_index
+from backend_big_data_spark.text.sampling import (
+    pack_sequences,
+    stratified_hash_sample,
+)
+
+
+def _h(key) -> int:
+    """Mirror of text/sampling.stable_hash (md5 family)."""
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+
+def _docs(spark, n=200):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_stratified_rates_zero_and_full(spark):
+    df = _docs(spark)
+    out = stratified_hash_sample(
+        df, F.col("doc_id"), "lang", {"en": 0, "de": 100}
+    ).collect()
+    assert all(r.lang == "de" for r in out)
+    assert len(out) == 100  # every de row kept, every en row dropped
+
+
+def test_stratified_matches_reference_hash_and_nests(spark):
+    df = _docs(spark)
+    got25 = {r.doc_id for r in stratified_hash_sample(
+        df, F.col("doc_id"), "lang", {"en": 25}, default_pct=100
+    ).collect()}
+    expected = {
+        i for i in range(200)
+        if (i % 2 == 1) or (_h(i) % 100 < 25)
+    }
+    assert got25 == expected
+    # nested thresholds: the 25% sample is a subset of the 50% sample
+    got50 = {r.doc_id for r in stratified_hash_sample(
+        df, F.col("doc_id"), "lang", {"en": 50}, default_pct=100
+    ).collect()}
+    assert got25 <= got50
+
+
+def test_pack_sequences_matches_reference_layout(spark):
+    rows = [(i, 7 + (i % 5)) for i in range(40)]  # token counts 7..11
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    got = {
+        r.doc_id: r.seq_id
+        for r in pack_sequences(
+            df, "n_tok", ctx_len=20, key=F.col("doc_id")
+        ).collect()
+    }
+    order = sorted(range(40), key=lambda i: (_h(i), i))
+    cum = 0
+    expected = {}
+    for i in order:
+        expected[i] = cum // 20
+        cum += 7 + (i % 5)
+    assert got == expected
+
+
+def test_pack_sequences_preserves_tokens_and_is_sharded(spark):
+    rows = [(i, "s%d" % (i % 3), 5) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tok int")
+    packed = pack_sequences(
+        df, "n_tok", ctx_len=12, key=F.col("doc_id"), shard_col="shard"
+    )
+    per_seq = packed.groupBy("shard", "seq_id").agg(
+        F.sum("n_tok").alias("tok")
+    )
+    # token mass is preserved and every shard starts its own stream at seq 0
+    assert per_seq.agg(F.sum("tok")).collect()[0][0] == 60 * 5
+    firsts = {
+        r.shard: r.mn
+        for r in packed.groupBy("shard").agg(F.min("seq_id").alias("mn")).collect()
+    }
+    assert firsts == {"s0": 0, "s1": 0, "s2": 0}
+
+
+def test_containment_planted_fractions(spark):
+    target = spark.createDataFrame(
+        [(1, s) for s in ("a", "b", "c", "d")]
+        + [(2, s) for s in ("a", "b")]
+        + [(3, s) for s in ("x", "y")],
+        "doc_id long, shingle string",
+    )
+    index = spark.createDataFrame(
+        [("a",), ("c",), ("b",)], "shingle string"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination)
+        for r in containment_vs_index(target, index).collect()
+    }
+    assert got[1] == (4, 3, 0.75)   # a, b, c hit; d misses
+    assert got[2] == (2, 2, 1.0)    # fully contained → leaked
+    assert got[3] == (2, 0, 0.0)    # disjoint
