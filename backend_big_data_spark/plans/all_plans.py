@@ -79,8 +79,11 @@ _FRONT = [
     "doc_stratified_sample",
     "doc_pack_sequences",
     "doc_contamination",
+    "ann_sq8_topk",
     "orders_trailing_revenue",
     "kmeans_embedding_clusters",
+    # doc_token_itemsets (rows-only FPGrowth twin) yields its window slot to
+    # the oracle-gated ann_sq8_topk; it keeps pytest + rows-only coverage.
     "doc_token_itemsets",
 ]
 

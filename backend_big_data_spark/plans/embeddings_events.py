@@ -11,6 +11,7 @@ from backend_big_data_spark.plans.registry import register
 from backend_big_data_spark.similarity.ann import (
     brute_force_cosine_topk,
     lsh_cosine_topk,
+    sq8_cosine_topk,
 )
 from backend_big_data_spark.sources.catalog import load_table
 from backend_big_data_spark.streaming.events import hourly_counts_batch
@@ -96,6 +97,50 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         plane_source="md5",
     )
+
+
+@register(
+    "ann_sq8_topk",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT vec_id, i, v[i] AS x FROM vecs, generate_series(1, 64) g(i)
+), stats AS (
+  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY i
+), d AS (
+  SELECT e.vec_id, e.i,
+         CASE WHEN s.mx > s.mn
+              THEN s.mn + FLOOR((e.x - s.mn) / (s.mx - s.mn) * 255 + 0.5)
+                   * (s.mx - s.mn) / 255
+              ELSE s.mn END AS dx
+  FROM e JOIN stats s USING (i)
+), dv AS (
+  SELECT vec_id, list(dx ORDER BY i) AS v FROM d GROUP BY vec_id
+), s AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, n.v) AS sim
+  FROM (SELECT vec_id, v FROM vecs WHERE vec_id < 10) q, dv n
+  WHERE n.vec_id != q.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rnk
+FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+""",
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (similarity/ann.py ``sq8_cosine_topk``):
+    per-dim uint8 codes (4× smaller at rest than float32 — the
+    memory-bound scale path), asymmetric float-query × dequantized-corpus
+    cosine, top-5. Quantizer is a deterministic per-dim (min, max), so the
+    ENTIRE pipeline — stats, codes, dequantization, ranking — replays in
+    SQL for the gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64)
 
 
 @register(

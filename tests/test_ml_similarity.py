@@ -118,6 +118,31 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     assert recall >= 0.8, f"LSH recall too low: {recall}"
 
 
+def test_sq8_recall_vs_brute_force(spark):
+    """SQ8 quantization error is span/255 per dim — on well-spread vectors
+    the approximate top-3 should almost always equal the exact top-3."""
+    import numpy as np
+
+    from backend_big_data_spark.similarity.ann import sq8_cosine_topk
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(80)
+    ]
+    df = _vec_df(spark, rows)
+    queries = df.filter(F.col("vec_id") < 6)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_cosine_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sq8_cosine_topk(df, queries, k=3, dim=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"SQ8 recall too low: {recall}"
+
+
 def test_lsh_compose_triggers_no_spark_jobs(spark):
     """Composing the LSH plan must be lazy: ``dim`` is an explicit parameter
     now, so no eager ``first()`` sniff (a driver-side stall at plan-build
