@@ -51,6 +51,13 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "multimodal_fingerprint",
     "ann_cosine_topk",
+    # round-3 additions: training-data layout + quantized ANN
+    "doc_pack_sequences",
+    "doc_contamination",
+    "ann_sq8_topk",
+    # doc_dup_clusters stays off the headline: its wall time is fixed
+    # per-round overhead (checkpoint + convergence probe on a tiny edge
+    # set), not data throughput — bench it at a real edge scale instead.
 ]
 
 #: min-of-3: the first execution of a heavy operator pays whole-stage-codegen
