@@ -86,6 +86,10 @@ _FRONT = [
     # the oracle-gated ann_sq8_topk; it keeps pytest + rows-only coverage.
     "doc_token_itemsets",
 ]
+# Round-4 rotation note: part_min_price_suppliers / dominant_part_suppliers /
+# customer_spend_deciles (new this round, registered after the window) and the
+# displaced core trio should lead the next _FRONT so every query holds a
+# driver row from two consecutive certified rounds.
 
 
 def _reorder() -> None:

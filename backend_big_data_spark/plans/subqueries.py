@@ -201,3 +201,127 @@ def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "part_min_price_suppliers",
+    oracle="""
+SELECT l1.l_partkey AS p_partkey, s_suppkey, s_name,
+       l1.l_extendedprice AS min_price
+FROM lineitem l1
+JOIN part ON p_partkey = l1.l_partkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE p_brand = 'Brand#12'
+  AND l1.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey
+      )
+ORDER BY p_partkey, s_suppkey
+""",
+)
+def part_min_price_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted — the synthetic catalog has no partsupp, so
+    lineitem is the part↔supplier link): rows that EQUAL a correlated MIN.
+
+    The per-row subquery ``min(price) where partkey = outer partkey``
+    decorrelates into one hash aggregate over the brand-restricted lines
+    joined back by (partkey, price-equality). Equality on the RAW double is
+    exact — MIN does no arithmetic, so the correlated comparison can never
+    diverge across engines or partial-agg orders. Ties (several suppliers
+    at the min price) are all returned, exactly like Q2's multi-row
+    output per part.
+
+    Scale: brand part-ids and the per-part minima are both bounded by the
+    brand's selectivity → broadcast joins; the fact table never shuffles.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    brand_lines = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    )
+    minima = brand_lines.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        brand_lines.drop("l_partkey")
+        .join(
+            F.broadcast(minima),
+            (F.col("p_partkey") == minima.l_partkey)
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("p_partkey", "s_suppkey", "s_name", "min_price")
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l1.l_suppkey FROM lineitem l1
+  WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#19')
+  GROUP BY l1.l_suppkey, l1.l_partkey
+  HAVING 6 * SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) >
+         (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+)
+ORDER BY s_suppkey
+""",
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted, no partsupp): nested IN-subqueries with a
+    correlated scalar aggregate in the HAVING — suppliers that ship more
+    than 1/6 of some Brand#19 part's total volume (>1.6× the fair share of
+    the ~10-supplier-per-part synthetic data; a "more than half" dominance
+    bar selects nothing on uniformly-spread volumes, a trivially-matching
+    empty result the gate can't distinguish from a broken plan).
+
+    NOTE the oracle aliases the outer table (``l1``): a bare
+    ``l2.l_partkey = l_partkey`` correlation resolves to l2 itself and
+    silently compares the whole-table total.
+
+    Decorrelated: brand parts broadcast-prune the fact table once; per
+    (supplier, part) sums and per-part totals are two aggregates over the
+    SAME pruned exchange; the ratio filter then semi-joins supplier. The
+    comparison is ``6·supplier_sum > part_total`` on DECIMAL sums — exact
+    at any partial-agg order, no double boundary wobble.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#19")
+        .select("p_partkey")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    brand_lines = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_suppkey", qty.alias("qty"))
+    per_supp = brand_lines.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("supp_qty")
+    )
+    per_part = brand_lines.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("part_qty")
+    )
+    dominant = (
+        per_supp.join(F.broadcast(per_part), per_supp.l_partkey == F.col("pk"))
+        .filter(F.lit(6) * F.col("supp_qty") > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supplier.join(dominant, supplier.s_suppkey == dominant.l_suppkey, "semi")
+        .orderBy("s_suppkey")
+    )

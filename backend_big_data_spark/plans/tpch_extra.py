@@ -223,3 +223,53 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "customer_spend_deciles",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT o_custkey, total_spend,
+         CAST(ntile(10) OVER (ORDER BY total_spend DESC, o_custkey) AS INTEGER) AS decile
+  FROM spend
+)
+SELECT decile, COUNT(*) AS n_customers,
+       MIN(total_spend) AS min_spend, MAX(total_spend) AS max_spend
+FROM tiled GROUP BY decile ORDER BY decile
+""",
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile segmentation: ntile(10) over per-customer
+    lifetime spend (W2 family — equi-height bucketing next to the
+    existing rank/row_number/lag/RANGE-frame coverage).
+
+    The global ntile window runs ONLY over the pre-aggregated one-row-per-
+    customer frame (bounded input — the same discipline as the owner
+    rankings); spend is an exact decimal sum with a unique (spend desc,
+    custkey) tie-break, so tile boundaries are deterministic cross-engine.
+    At 100 TB, equi-height buckets over raw rows would instead come from
+    approx_percentile boundaries + a broadcast range join.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend")
+    )
+    w = Window.orderBy(F.desc("total_spend"), "o_custkey")
+    tiled = spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("total_spend").alias("min_spend"),
+            F.max("total_spend").alias("max_spend"),
+        )
+        .orderBy("decile")
+    )
