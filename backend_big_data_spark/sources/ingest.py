@@ -1,0 +1,56 @@
+"""Robust semi-structured ingest: corrupt-record quarantine.
+
+The reference reads its whole JSON dataset with a clean-data assumption
+(``main.py:142-148``) — one malformed line either vanishes silently
+(DROPMALFORMED) or poisons a column (PERMISSIVE with no corrupt column).
+At 100 TB of scraped data malformed records are a certainty, and the
+operational requirement is: load everything loadable, QUARANTINE the rest
+with enough context to replay it after a parser fix, and never fail the
+job for one bad byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = CORRUPT_COL,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON scan with an explicit corrupt-record column;
+    returns ``(good, quarantine)`` — good rows with the declared schema,
+    and the raw text of every unparseable line (one column, ready to be
+    sunk to a quarantine location and replayed later).
+
+    Spark refuses filters that reference ONLY the corrupt column on a
+    direct JSON scan (the parser would have to re-run per filter, an
+    internal-only column guarantee) — the documented contract is to
+    persist the parsed frame first, which also means the file is parsed
+    once, not once per output. The cache is the caller's to release
+    (``good.unpersist()`` releases the shared plan).
+    """
+    # a NEW StructType — StructType.add() MUTATES the caller's schema, so a
+    # second ingest through the same schema object would stack duplicate
+    # corrupt columns
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    )
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .persist()
+    )
+    good = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = parsed.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, quarantine

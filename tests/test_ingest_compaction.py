@@ -1,0 +1,88 @@
+"""Corrupt-record quarantine ingest and small-files compaction."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from backend_big_data_spark.sources.compaction import (
+    compact_parquet_dataset,
+    dataset_file_stats,
+)
+from backend_big_data_spark.sources.ingest import read_json_with_quarantine
+
+_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+    ]
+)
+
+
+def test_quarantine_splits_good_and_bad_lines(spark, tmp_path):
+    lines = [
+        json.dumps({"id": 1, "name": "ok"}),
+        '{"id": 2, "name": "unterminated',          # malformed JSON
+        json.dumps({"id": 3, "name": "fine"}),
+        "not json at all",
+        '{"id": "notanint", "name": "bad type"}',   # schema-invalid value
+    ]
+    src = tmp_path / "raw.json"
+    src.write_text("\n".join(lines))
+    good, quarantine = read_json_with_quarantine(spark, str(src), _SCHEMA)
+    try:
+        assert {(r.id, r.name) for r in good.collect()} == {
+            (1, "ok"),
+            (3, "fine"),
+        }
+        bad = sorted(r.raw_record for r in quarantine.collect())
+        # every rejected line is preserved VERBATIM for replay
+        assert bad == sorted([lines[1], lines[3], lines[4]])
+        assert good.columns == ["id", "name"]  # corrupt col not leaked
+    finally:
+        good.unpersist()
+
+
+def test_quarantine_empty_on_clean_input(spark, tmp_path):
+    src = tmp_path / "clean.json"
+    src.write_text("\n".join(json.dumps({"id": i, "name": "x"}) for i in range(5)))
+    good, quarantine = read_json_with_quarantine(spark, str(src), _SCHEMA)
+    try:
+        assert good.count() == 5
+        assert quarantine.count() == 0
+    finally:
+        good.unpersist()
+
+
+def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(src)
+    n_before, bytes_before = dataset_file_stats(spark, src)
+    assert n_before == 40
+
+    stats = compact_parquet_dataset(spark, src, out, target_file_mb=128)
+    assert stats["files_before"] == 40
+    # tiny dataset, generous target → everything folds into one file
+    assert stats["files_after"] == stats["target_files"] == 1
+
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert set(back.columns) == {"id", "v"}
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_compaction_refuses_overwrite(spark, tmp_path):
+    src = str(tmp_path / "a")
+    out = str(tmp_path / "b")
+    spark.range(10).write.parquet(src)
+    compact_parquet_dataset(spark, src, out)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((Py4JJavaError, Exception)):
+        # mode("error"): compaction never clobbers an existing publish target
+        compact_parquet_dataset(spark, src, out)
