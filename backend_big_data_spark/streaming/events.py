@@ -237,3 +237,24 @@ def purchases_with_recent_signup_stream(
         & (F.col("s_ts") < F.col("p_ts"))
         & (F.col("s_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}")),
     ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "signup_id", "s_ts")
+
+
+def enrich_stream_with_dim(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    (broadcast) static dimension — the standard pattern for attaching
+    slowly-changing reference data (user profiles, geo tables) to a
+    stream without any state store.
+
+    Semantics note: the static side is re-resolved per micro-batch, so a
+    dim TABLE that is overwritten between batches is picked up — but rows
+    already emitted are not retracted; for bi-temporal correctness use the
+    CDC upsert sink (streaming/upsert.py) and join against its output.
+
+    Scale: broadcast join per batch — no shuffle of the stream; the dim
+    must fit the broadcast budget, else drop the hint and let AQE decide.
+    """
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on=on, how="left")
