@@ -751,6 +751,75 @@ FROM walk GROUP BY node ORDER BY doc_id
 """
 
 
+def _dedup_corpus_cc_oracle() -> str:
+    """Kept-docs oracle with TRANSITIVE near-dup removal: drop every
+    cluster member except the cluster-min, via the recursive min-label
+    flood — plus exact-dup non-canonicals as before."""
+    verified = _lsh_verified_oracle().strip()
+    verified = verified[: verified.rindex("ORDER BY")]
+    return f"""
+WITH RECURSIVE near AS (
+{verified}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM near
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM near
+),
+walk(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+),
+clusters AS (SELECT node, MIN(label) AS root FROM walk GROUP BY node),
+exact_canon AS (
+  SELECT MIN(doc_id) AS keep_id, md5(text) AS fp FROM documents GROUP BY fp
+),
+removed AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT keep_id FROM exact_canon)
+  UNION
+  SELECT node AS doc_id FROM clusters WHERE node != root
+)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_corpus_deduped_cc", oracle=_dedup_corpus_cc_oracle())
+def doc_corpus_deduped_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept corpus with TRANSITIVE near-dup removal — the cluster-correct
+    sibling of :func:`doc_corpus_deduped`: that one drops the larger id of
+    each verified PAIR, which under-removes chains (pairs (5,9) and (7,9)
+    keep both 5 and 7 although they share cluster member 9); this one
+    keeps exactly ONE document — the min id — per connected component of
+    the verified-pair graph (``connected_components_star``), the policy a
+    production near-dup dedup actually wants."""
+    from backend_big_data_spark.operators.graph import connected_components_star
+    from backend_big_data_spark.text.dedup import (
+        doc_shingles,
+        exact_dedup_fingerprints,
+        lsh_verified_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = exact_dedup_fingerprints(docs).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    pairs = lsh_verified_pairs(doc_shingles(docs), threshold=0.5, hash_fn="md5")
+    labels = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    near_losers = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = canon.join(near_losers, on="doc_id", how="anti")
+    return (
+        docs.join(kept, on="doc_id", how="semi")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 @register("doc_dup_clusters", oracle=_dup_clusters_oracle())
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: duplicates are transitive (A~B, B~C ⇒ one

@@ -89,6 +89,35 @@ def test_pack_sequences_preserves_tokens_and_is_sharded(spark):
     assert firsts == {"s0": 0, "s1": 0, "s2": 0}
 
 
+def test_hash_sample_is_consistent_across_tables(spark):
+    """The claimed cross-table property of key-hash sampling (sampling.py
+    module docstring): sampling documents and embeddings INDEPENDENTLY by
+    the same shared key selects matching row sets — join the samples and
+    nothing is lost on either side."""
+    from backend_big_data_spark.sources.catalog import load_table
+    from backend_big_data_spark.text.sampling import hash_sample
+
+    sf = "/root/testdata/sf0.001"
+    docs = hash_sample(
+        load_table(spark, sf, "documents").select("doc_id"),
+        F.col("doc_id"),
+        20,
+    )
+    embs = hash_sample(
+        load_table(spark, sf, "embeddings").select(
+            F.col("vec_id").alias("doc_id")
+        ),
+        F.col("doc_id"),
+        20,
+    )
+    d = {r.doc_id for r in docs.collect()}
+    e = {r.doc_id for r in embs.collect()}
+    shared = d & {r.vec_id for r in load_table(spark, sf, "embeddings")
+                  .select("vec_id").collect()}
+    assert shared == e  # same keys sampled on both tables
+    assert 0 < len(d)
+
+
 def test_containment_planted_fractions(spark):
     target = spark.createDataFrame(
         [(1, s) for s in ("a", "b", "c", "d")]
