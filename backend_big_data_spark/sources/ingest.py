@@ -11,6 +11,8 @@ job for one bad byte.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -18,23 +20,42 @@ from pyspark.sql.types import StringType, StructField, StructType
 CORRUPT_COL = "_corrupt_record"
 
 
+@dataclass(frozen=True)
+class QuarantinedRead:
+    """Result of :func:`read_json_with_quarantine`. ``good`` and
+    ``quarantine`` are filter branches over ONE shared persisted parse —
+    call :meth:`release` when done with both. (Unpersisting a DERIVED
+    frame would be a silent no-op on the parent's cache entry, which is
+    why the parent is held here.) Supports tuple-style unpacking:
+    ``good, quarantine = read_json_with_quarantine(...)``."""
+
+    good: DataFrame
+    quarantine: DataFrame
+    _parsed: DataFrame
+
+    def release(self) -> None:
+        self._parsed.unpersist()
+
+    def __iter__(self):
+        return iter((self.good, self.quarantine))
+
+
 def read_json_with_quarantine(
     spark: SparkSession,
     path: str,
     schema: StructType,
     corrupt_col: str = CORRUPT_COL,
-) -> tuple[DataFrame, DataFrame]:
-    """PERMISSIVE JSON scan with an explicit corrupt-record column;
-    returns ``(good, quarantine)`` — good rows with the declared schema,
-    and the raw text of every unparseable line (one column, ready to be
-    sunk to a quarantine location and replayed later).
+) -> QuarantinedRead:
+    """PERMISSIVE JSON scan with an explicit corrupt-record column —
+    ``good`` rows with the declared schema, and the raw text of every
+    unparseable line in ``quarantine`` (one column, ready to be sunk to a
+    quarantine location and replayed after a parser fix).
 
     Spark refuses filters that reference ONLY the corrupt column on a
     direct JSON scan (the parser would have to re-run per filter, an
     internal-only column guarantee) — the documented contract is to
     persist the parsed frame first, which also means the file is parsed
-    once, not once per output. The cache is the caller's to release
-    (``good.unpersist()`` releases the shared plan).
+    once, not once per output branch.
     """
     # a NEW StructType — StructType.add() MUTATES the caller's schema, so a
     # second ingest through the same schema object would stack duplicate
@@ -53,4 +74,4 @@ def read_json_with_quarantine(
     quarantine = parsed.filter(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_record")
     )
-    return good, quarantine
+    return QuarantinedRead(good, quarantine, parsed)

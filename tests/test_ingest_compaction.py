@@ -31,7 +31,8 @@ def test_quarantine_splits_good_and_bad_lines(spark, tmp_path):
     ]
     src = tmp_path / "raw.json"
     src.write_text("\n".join(lines))
-    good, quarantine = read_json_with_quarantine(spark, str(src), _SCHEMA)
+    result = read_json_with_quarantine(spark, str(src), _SCHEMA)
+    good, quarantine = result  # tuple-style unpacking supported
     try:
         assert {(r.id, r.name) for r in good.collect()} == {
             (1, "ok"),
@@ -42,18 +43,21 @@ def test_quarantine_splits_good_and_bad_lines(spark, tmp_path):
         assert bad == sorted([lines[1], lines[3], lines[4]])
         assert good.columns == ["id", "name"]  # corrupt col not leaked
     finally:
-        good.unpersist()
+        result.release()
+    # release() unpersists the SHARED parent (unpersisting a derived frame
+    # would be a no-op); the catalog must hold no cached entry for it now
+    assert not result._parsed.storageLevel.useMemory
 
 
 def test_quarantine_empty_on_clean_input(spark, tmp_path):
     src = tmp_path / "clean.json"
     src.write_text("\n".join(json.dumps({"id": i, "name": "x"}) for i in range(5)))
-    good, quarantine = read_json_with_quarantine(spark, str(src), _SCHEMA)
+    result = read_json_with_quarantine(spark, str(src), _SCHEMA)
     try:
-        assert good.count() == 5
-        assert quarantine.count() == 0
+        assert result.good.count() == 5
+        assert result.quarantine.count() == 0
     finally:
-        good.unpersist()
+        result.release()
 
 
 def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
