@@ -504,3 +504,66 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.filter(F.col("split") == "val").select("doc_id", "shingle"),
         ex.filter(F.col("split") == "train"),
     ).orderBy("doc_id")
+
+
+def _incremental_dedup_oracle() -> str:
+    """Batch-vs-corpus dedup oracle: reuse the composed verified-pair SQL;
+    split = the same stable hash the engine uses (batch = bucket < 20)."""
+    from backend_big_data_spark.plans.extended import _lsh_verified_oracle
+
+    verified = _lsh_verified_oracle().strip()
+    verified = verified[: verified.rindex("ORDER BY")]
+    return f"""
+WITH near AS (
+{verified}
+),
+sp AS (SELECT doc_id, ({_HID} % 100) < 20 AS is_new FROM documents),
+fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+exact_removed AS (
+  SELECT b.doc_id FROM fp b JOIN sp sb USING (doc_id)
+  WHERE sb.is_new AND (
+    EXISTS (SELECT 1 FROM fp e JOIN sp se ON se.doc_id = e.doc_id
+            WHERE NOT se.is_new AND e.f = b.f)
+    OR b.doc_id > (SELECT MIN(b2.doc_id) FROM fp b2
+                   JOIN sp s2 ON s2.doc_id = b2.doc_id
+                   WHERE s2.is_new AND b2.f = b.f)
+  )
+),
+near_removed AS (
+  SELECT CASE WHEN sa.is_new THEN n.doc_a ELSE n.doc_b END AS doc_id
+  FROM near n
+  JOIN sp sa ON sa.doc_id = n.doc_a
+  JOIN sp sb ON sb.doc_id = n.doc_b
+  WHERE sa.is_new <> sb.is_new
+)
+SELECT d.doc_id FROM documents d JOIN sp USING (doc_id)
+WHERE sp.is_new
+  AND d.doc_id NOT IN (SELECT doc_id FROM exact_removed
+                       UNION SELECT doc_id FROM near_removed)
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_incremental_dedup", oracle=_incremental_dedup_oracle())
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (text/dedup.py ``incremental_dedup_kept``):
+    treat the 20% newest-by-hash docs as the ARRIVING batch and the rest as
+    the at-rest corpus; admit only batch docs that are neither exact dups
+    (vs corpus, or within-batch non-canonical) nor verified near-dups of an
+    existing doc. The production shape: nothing already admitted is
+    re-evaluated, and key-hash split stability makes re-runs idempotent."""
+    from backend_big_data_spark.text.dedup import (
+        doc_shingles,
+        incremental_dedup_kept,
+        lsh_verified_pairs,
+    )
+    from backend_big_data_spark.text.sampling import stable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(doc_shingles(docs), threshold=0.5, hash_fn="md5")
+    kept = incremental_dedup_kept(
+        docs,
+        is_new=(stable_hash(F.col("doc_id")) % 100) < 20,
+        verified_pairs=pairs,
+    )
+    return kept.orderBy("doc_id")

@@ -470,6 +470,79 @@ def lsh_verified_pairs(
 
 
 # --------------------------------------------------------------------------
+# Incremental dedup: admit a NEW batch against an already-ingested corpus
+# --------------------------------------------------------------------------
+def incremental_dedup_kept(
+    docs: DataFrame,
+    is_new: Column,
+    verified_pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Which NEW-batch documents survive dedup against the EXISTING corpus
+    — the production ingest shape: the corpus is already deduped and at
+    rest; only the arriving batch is probed against it (plus within-batch
+    exact dedup), and nothing already admitted is ever re-evaluated
+    (key-hash assignment stability is what makes this incremental).
+
+    Removal policy, deterministic and order-free:
+
+    - exact: a batch doc whose content fingerprint (md5) exists anywhere
+      in the corpus, or that is not the min-id holder of its fingerprint
+      WITHIN the batch;
+    - near: a batch doc appearing in a ``verified_pairs`` row whose other
+      side is an existing doc (within-batch NEAR dups are left to the
+      batch-level pipelines — document the composition, don't hide it).
+
+    Scale: two fingerprint semi-joins + one pair filter — no full-corpus
+    rescan; at 100 TB the corpus side is just its (16-byte fp) and
+    (shingle index / LSH bands) tables, both maintained incrementally.
+    """
+    base = docs.select(F.col(id_col), F.col(text_col), is_new.alias("__new"))
+    fps = base.select(
+        F.col(id_col), F.md5(text_col).alias("__fp"), F.col("__new")
+    )
+    batch = fps.filter(F.col("__new"))
+    existing = fps.filter(~F.col("__new"))
+
+    vs_corpus = batch.join(
+        existing.select("__fp").distinct(), on="__fp", how="semi"
+    ).select(id_col)
+    batch_canon = batch.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
+    in_batch_dupes = (
+        batch.join(batch_canon, on="__fp")
+        .filter(F.col(id_col) != F.col("__keep"))
+        .select(id_col)
+    )
+
+    new_flags = fps.select(F.col(id_col), F.col("__new"))
+    pa = verified_pairs.join(
+        new_flags.withColumnRenamed(id_col, "doc_a").withColumnRenamed(
+            "__new", "__new_a"
+        ),
+        on="doc_a",
+    ).join(
+        new_flags.withColumnRenamed(id_col, "doc_b").withColumnRenamed(
+            "__new", "__new_b"
+        ),
+        on="doc_b",
+    )
+    cross = pa.filter(F.col("__new_a") != F.col("__new_b"))
+    near_removed = cross.select(
+        F.when(F.col("__new_a"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias(id_col)
+    )
+
+    removed = vs_corpus.unionByName(in_batch_dupes).unionByName(near_removed)
+    return (
+        base.filter(F.col("__new"))
+        .join(removed.distinct(), on=id_col, how="anti")
+        .select(id_col)
+    )
+
+
+# --------------------------------------------------------------------------
 # Train/eval decontamination: per-doc shingle containment vs an index
 # --------------------------------------------------------------------------
 def containment_vs_index(

@@ -118,6 +118,32 @@ def test_hash_sample_is_consistent_across_tables(spark):
     assert 0 < len(d)
 
 
+def test_incremental_dedup_planted_policy(spark):
+    """Each removal rule exercised once: exact-vs-corpus, within-batch
+    non-canonical, near-dup-vs-existing; within-batch NEAR dups are out of
+    scope by contract (left to the batch pipelines)."""
+    from backend_big_data_spark.text.dedup import incremental_dedup_kept
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa", False),   # corpus
+            (2, "bbb", False),   # corpus
+            (10, "aaa", True),   # exact dup of corpus doc 1 → removed
+            (11, "ccc", True),   # batch canonical → kept
+            (12, "ccc", True),   # within-batch exact dup of 11 → removed
+            (13, "ddd", True),   # near-dup of corpus doc 2 → removed
+            (14, "eee", True),   # clean → kept
+            (15, "fff", True),   # near-dup of batch doc 14 → KEPT (contract)
+        ],
+        "doc_id long, text string, is_new boolean",
+    )
+    pairs = spark.createDataFrame(
+        [(2, 13), (14, 15)], "doc_a long, doc_b long"
+    )
+    kept = incremental_dedup_kept(docs, F.col("is_new"), pairs)
+    assert {r.doc_id for r in kept.collect()} == {11, 14, 15}
+
+
 def test_containment_planted_fractions(spark):
     target = spark.createDataFrame(
         [(1, s) for s in ("a", "b", "c", "d")]
