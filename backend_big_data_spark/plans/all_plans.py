@@ -86,10 +86,12 @@ _FRONT = [
     # the oracle-gated ann_sq8_topk; it keeps pytest + rows-only coverage.
     "doc_token_itemsets",
 ]
-# Round-4 rotation note: part_min_price_suppliers / dominant_part_suppliers /
-# customer_spend_deciles (new this round, registered after the window) and the
-# displaced core trio should lead the next _FRONT so every query holds a
-# driver row from two consecutive certified rounds.
+# Round-4 rotation note: the queries new this round that registered AFTER the
+# 50-slot window (part_min_price_suppliers, dominant_part_suppliers,
+# customer_spend_deciles, doc_corpus_deduped_cc, doc_incremental_dedup,
+# doc_token_itemsets) and the displaced core trio (pricing_summary,
+# revenue_by_region, revenue_forecast) should lead the next _FRONT so every
+# query holds a driver row from two consecutive certified rounds.
 
 
 def _reorder() -> None:
