@@ -23,17 +23,26 @@ def clean_and_enrich_job(
     """Full pipeline over raw photo records. Returns the enriched frame
     (already written to ``out_path`` as parquet). Each stage is the tested
     library function; this composes them in the reference's order."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     reader = spark.read.schema(PHOTO_SCHEMA_RAW)
     raw = reader.json(in_path) if in_format == "json" else reader.parquet(in_path)
     cleaned = clean_photos(raw)
     enriched = enrich_photos(cleaned, fetcher_factory)
-    write_parquet(enriched, out_path)
+    # Row count is observed ON the write pass itself: a second enriched.count()
+    # would re-execute the whole pipeline (including the mapInPandas REST
+    # enrichment — doubling external fetch volume), and a source change
+    # between write and verify would raise a false failure.
+    obs = Observation("post_write")
+    write_parquet(enriched.observe(obs, F.count(F.lit(1)).alias("n")), out_path)
+    n_src = obs.get["n"]
     # Post-write verification read-back (the reference re-reads and counts
     # after every dataset update, update_dataset.py:165-168): the written
     # files must re-read with the enriched schema and a matching row count —
     # a truncated/partial write fails the job, not the next reader.
     written = spark.read.parquet(out_path)
-    n_written, n_src = written.count(), enriched.count()
+    n_written = written.count()
     if n_written != n_src:
         raise RuntimeError(
             f"post-write verification failed: wrote {out_path} with "

@@ -368,6 +368,12 @@ def search_owner(df: DataFrame, username: str | None = None) -> DataFrame:
         order_cols=[
             F.coalesce(F.col("views"), F.lit(0)),
             F.coalesce(F.col("comments"), F.lit(0)),
+            # explicit id tie-break: without it max-of-struct would fall
+            # through to the remaining struct fields and break (views,
+            # comments) ties lexicographically on the URL STRING, while the
+            # oracles' rn=1 window orders by id DESC — a latent winner-row
+            # divergence (photo_plans.py's twin already carries it)
+            F.col("id"),
         ],
         payload={
             "most_viewed_photo_views": F.coalesce(F.col("views"), F.lit(0)),

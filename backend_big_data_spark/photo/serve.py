@@ -40,19 +40,31 @@ _GZIP_MIN_BYTES = 500
 def _negotiates_gzip(accept_encoding: str) -> bool:
     """True iff the client accepts gzip with a non-zero q-value. A bare
     substring test would gzip for ``gzip;q=0`` — a client explicitly
-    REFUSING gzip (RFC 9110 §12.5.3)."""
-    for part in accept_encoding.lower().split(","):
-        coding, _, params = part.partition(";")
-        if coding.strip() not in ("gzip", "*"):
-            continue
+    REFUSING gzip; and the SPECIFIC ``gzip`` coding takes precedence over a
+    ``*`` wildcard wherever each appears in the header, so
+    ``*, gzip;q=0`` still refuses (RFC 9110 §12.5.3)."""
+
+    def _q(params: str) -> float:
         params = params.strip()
         if params.startswith("q="):
             try:
-                return float(params[2:]) > 0.0
+                return float(params[2:])
             except ValueError:
-                return False
-        return True
-    return False
+                return 0.0
+        return 1.0
+
+    gzip_q: float | None = None
+    star_q: float | None = None
+    for part in accept_encoding.lower().split(","):
+        coding, _, params = part.partition(";")
+        coding = coding.strip()
+        if coding == "gzip" and gzip_q is None:
+            gzip_q = _q(params)
+        elif coding == "*" and star_q is None:
+            star_q = _q(params)
+    if gzip_q is not None:
+        return gzip_q > 0.0
+    return star_q is not None and star_q > 0.0
 
 
 def create_app(df: DataFrame, monuments: DataFrame | None = None) -> Callable:

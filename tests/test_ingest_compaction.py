@@ -79,6 +79,90 @@ def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
     assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
 
 
+def test_file_stats_skip_hidden_directories(spark, tmp_path):
+    src = tmp_path / "ds"
+    spark.range(100).write.parquet(str(src))
+    n_clean, bytes_clean = dataset_file_stats(spark, str(src))
+    # an in-flight writer's staging tree: files nested under hidden dirs
+    # must not count even though their basenames look like data files
+    staging = src / "_temporary" / "0" / "task_0"
+    staging.mkdir(parents=True)
+    (staging / "part-00000.parquet").write_bytes(b"x" * 4096)
+    hive = src / ".hive-staging_123"
+    hive.mkdir()
+    (hive / "part-00001.parquet").write_bytes(b"y" * 4096)
+    assert dataset_file_stats(spark, str(src)) == (n_clean, bytes_clean)
+
+
+def test_partitioned_compaction_preserves_layout(spark, tmp_path):
+    src = str(tmp_path / "part_src")
+    out = str(tmp_path / "part_out")
+    df = (
+        spark.range(8_000)
+        .withColumn("lang", F.when(F.col("id") % 3 == 0, "en").otherwise("zh"))
+        .withColumn("split", F.when(F.col("id") % 5 == 0, "val").otherwise("train"))
+        .withColumn("v", F.col("id") * 7)
+    )
+    # fragment every partition: 8 files per (lang, split) directory
+    df.repartition(8).write.partitionBy("lang", "split").parquet(src)
+    n_before, _ = dataset_file_stats(spark, src)
+    assert n_before == 4 * 8
+
+    stats = compact_parquet_dataset(
+        spark, src, out, target_file_mb=128, partition_by=["lang", "split"]
+    )
+    # (b) file count reduced: every tiny partition folds to one file
+    assert stats["files_before"] == 32
+    assert stats["files_after"] == stats["target_files"] == 4
+
+    # (a) hive layout preserved — partition dirs intact, partition columns
+    # NOT folded into the data files
+    import pathlib
+
+    dirs = {
+        p.relative_to(out).as_posix()
+        for p in pathlib.Path(out).glob("lang=*/split=*")
+    }
+    assert dirs == {
+        "lang=en/split=train", "lang=en/split=val",
+        "lang=zh/split=train", "lang=zh/split=val",
+    }
+    back = spark.read.parquet(out)
+    one_file = next(iter(spark.read.parquet(out).inputFiles()))
+    import pyarrow.parquet as pq
+
+    assert set(pq.read_schema(one_file.removeprefix("file:")).names) == {"id", "v"}
+
+    # data intact
+    assert back.count() == 8_000
+    assert (
+        back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+    )
+
+    # (c) a partition-pruned query touches only its own directory — same
+    # pruning behavior as before compaction (one file read instead of 8)
+    target_dir = pathlib.Path(out) / "lang=en" / "split=val"
+    assert len(list(target_dir.glob("*.parquet"))) == 1
+    pruned = back.filter((F.col("lang") == "en") & (F.col("split") == "val"))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+    src_pruned = spark.read.parquet(src).filter(
+        (F.col("lang") == "en") & (F.col("split") == "val")
+    )
+    assert pruned.count() == src_pruned.count()
+
+
+def test_partitioned_compaction_rejects_unknown_column(spark, tmp_path):
+    src = str(tmp_path / "flat_src")
+    spark.range(10).write.parquet(src)
+    import pytest
+
+    with pytest.raises(ValueError, match="partition_by columns"):
+        compact_parquet_dataset(
+            spark, src, str(tmp_path / "o"), partition_by=["nope"]
+        )
+
+
 def test_compaction_refuses_overwrite(spark, tmp_path):
     src = str(tmp_path / "a")
     out = str(tmp_path / "b")

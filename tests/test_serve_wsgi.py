@@ -144,3 +144,11 @@ def test_accept_encoding_q_value_parsing():
     assert not _negotiates_gzip("identity")
     assert not _negotiates_gzip("")
     assert not _negotiates_gzip("gzip;q=bogus")
+    # RFC 9110: the specific coding's q-value wins over '*' regardless of
+    # header order
+    assert not _negotiates_gzip("*, gzip;q=0")
+    assert not _negotiates_gzip("gzip;q=0, *")
+    assert _negotiates_gzip("*;q=0, gzip")
+    assert _negotiates_gzip("identity;q=0, *;q=0.1")
+    assert not _negotiates_gzip("*;q=0")
+    assert not _negotiates_gzip("deflate, identity")
