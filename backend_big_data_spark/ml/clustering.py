@@ -44,6 +44,45 @@ def kmeans_fit_predict(
     return model, labeled
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    array_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment against a FIXED ``(cluster int,
+    centroid array<double>)`` frame — the KMeans E-step as a pure
+    declarative plan: broadcast crossJoin with the tiny centroid table,
+    per-point argmin of squared L2 (monotone with L2; ties break on
+    cluster id). Only centroid TRAINING (iterative Lloyd) is inherently
+    rows-only; with centroids pinned, assignment is deterministic and
+    SQL-replayable — the same fixed-quantizer trick as IVF
+    (similarity/ann.py ``ivf_cosine_topk(centroids=...)``).
+
+    Scale: the corpus never shuffles — one map-side broadcast join plus a
+    keyed window over (point × k) rows; at 100 TB this is the scoring
+    shape, with the model a k-row broadcast."""
+    from pyspark.sql.window import Window
+
+    v = F.col(array_col).cast("array<double>")
+    sqdist = F.aggregate(
+        F.zip_with(v, F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        df.select(F.col(id_col), v.alias(array_col))
+        .crossJoin(F.broadcast(centroids))
+        .select(F.col(id_col), F.col("cluster"), sqdist.alias("__d2"))
+    )
+    w = Window.partitionBy(id_col).orderBy("__d2", "cluster")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cluster")
+    )
+
+
 def cluster_sizes(labeled: DataFrame) -> DataFrame:
     """Per-cluster row counts — the bounded summary a serving layer returns
     instead of the reference's full labeled-point collect

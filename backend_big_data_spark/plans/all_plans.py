@@ -23,6 +23,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     embeddings_events,
     extended,
     ml_plans,
+    round4,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 

@@ -14,6 +14,8 @@ Two paths:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -85,6 +87,7 @@ def _hyperplanes(dim: int, num_bits: int, num_tables: int, seed: int):
     return rng.standard_normal((num_tables, num_bits, dim))
 
 
+@lru_cache(maxsize=8)
 def _md5_planes(dim: int, num_bits: int, num_tables: int):
     """Hash-derived hyperplanes: component (t, b, i) is a deterministic
     function of md5(f"{t}:{b}:{i}") mapped to [-1, 1]. Every value is the
@@ -92,15 +95,32 @@ def _md5_planes(dim: int, num_bits: int, num_tables: int):
     (``((md5_60bit % 2000001) - 1000000) / 1000000.0``), which makes the
     whole bucketing stage cross-engine reproducible — the seeded-Gaussian
     family can't be replayed in SQL. Uniform (not Gaussian) components
-    still give valid sign-LSH bucketing for cosine."""
+    still give valid sign-LSH bucketing for cosine.
+
+    Plan-build cost control: the md5 calls are unavoidable (the VALUES are
+    the contract), but the digest→double mapping is one numpy pass instead
+    of a Python triple loop (first 15 hex chars == first 8 digest bytes
+    >> 4), and the table is memoized per (dim, bits, tables) — at
+    production dims (1-4k) with many tables a recompose would otherwise
+    stall the driver for seconds. Callers treat the array as read-only."""
     import hashlib
 
-    planes = np.empty((num_tables, num_bits, dim))
-    for t in range(num_tables):
-        for b in range(num_bits):
-            for i in range(dim):
-                h = int(hashlib.md5(f"{t}:{b}:{i}".encode()).hexdigest()[:15], 16)
-                planes[t, b, i] = ((h % 2000001) - 1000000) / 1000000.0
+    md5 = hashlib.md5
+    raw = np.fromiter(
+        (
+            int.from_bytes(md5(f"{t}:{b}:{i}".encode()).digest()[:8], "big") >> 4
+            for t in range(num_tables)
+            for b in range(num_bits)
+            for i in range(dim)
+        ),
+        dtype=np.uint64,
+        count=num_tables * num_bits * dim,
+    )
+    planes = (
+        (raw % 2000001).astype(np.int64) - 1000000
+    ).astype(np.float64) / 1000000.0
+    planes = planes.reshape(num_tables, num_bits, dim)
+    planes.flags.writeable = False
     return planes
 
 
@@ -181,6 +201,56 @@ def lsh_cosine_topk(
     ).orderBy("query_id", "rnk")
 
 
+def _sq8_train(corpus: DataFrame, vec_col: str, dim: int) -> tuple[Column, Column]:
+    """The SQ8 quantizer: per-dimension (min, span) of the corpus. ONE
+    bounded stats pass — O(dim) rows to the driver (legitimate quantizer
+    training, not a data collect) — returned as two array literals so the
+    encode/decode expressions stay pure Catalyst."""
+    cvec = F.col(vec_col).cast("array<double>")
+    stats = (
+        corpus.select(F.posexplode(cvec).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mins = [0.0] * dim
+    spans = [0.0] * dim
+    for r in stats:
+        mins[r["i"]] = r["mn"]
+        spans[r["i"]] = r["mx"] - r["mn"]
+    return (
+        F.array(*[F.lit(m) for m in mins]),
+        F.array(*[F.lit(s) for s in spans]),
+    )
+
+
+def _sq8_dequant_expr(vec: Column, quantizer: tuple[Column, Column]) -> Column:
+    """Quantize-then-dequantize a vector through uint8 codes. Quantize:
+    ``floor((x-mn)/span*255 + 0.5)`` (0 when the dim is constant);
+    dequantize: ``mn + c*span/255`` — the identical expression the SQL
+    oracle writes, so IEEE arithmetic agrees bit-for-bit. The intermediate
+    ``codes`` array is the at-rest storage form (4× smaller than float32)."""
+    mn_arr, sp_arr = quantizer
+
+    def _mn(i):
+        return F.element_at(mn_arr, i + 1)
+
+    def _sp(i):
+        return F.element_at(sp_arr, i + 1)
+
+    codes = F.transform(
+        vec,
+        lambda x, i: F.when(
+            _sp(i) > 0.0, F.floor((x - _mn(i)) / _sp(i) * 255.0 + 0.5)
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return F.transform(
+        codes, lambda c, i: _mn(i) + c.cast("double") * _sp(i) / 255.0
+    )
+
+
 def sq8_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -210,38 +280,7 @@ def sq8_cosine_topk(
     expression so IEEE arithmetic agrees bit-for-bit.
     """
     cvec = F.col(vec_col).cast("array<double>")
-    stats = (
-        corpus.select(F.posexplode(cvec).alias("i", "x"))
-        .groupBy("i")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .collect()
-    )
-    mins = [0.0] * dim
-    spans = [0.0] * dim
-    for r in stats:
-        mins[r["i"]] = r["mn"]
-        spans[r["i"]] = r["mx"] - r["mn"]
-    mn_arr = F.array(*[F.lit(m) for m in mins])
-    sp_arr = F.array(*[F.lit(s) for s in spans])
-
-    def _mn(i):
-        return F.element_at(mn_arr, i + 1)
-
-    def _sp(i):
-        return F.element_at(sp_arr, i + 1)
-
-    codes = F.transform(
-        cvec,
-        lambda x, i: F.when(
-            _sp(i) > 0.0, F.floor((x - _mn(i)) / _sp(i) * 255.0 + 0.5)
-        )
-        .otherwise(F.lit(0))
-        .cast("int"),
-    )
-    # stored form would be the codes column; dequantize for the search
-    dequant = F.transform(
-        codes, lambda c, i: _mn(i) + c.cast("double") * _sp(i) / 255.0
-    )
+    dequant = _sq8_dequant_expr(cvec, _sq8_train(corpus, vec_col, dim))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), dequant.alias("nv")
     )
@@ -337,6 +376,111 @@ def ivf_cosine_topk(
     sim = cosine_sim(F.col("query_vec"), F.col("neighbor_vec"))
     top = topk_per_group(
         cand.select("query_id", "neighbor_id", sim.alias("sim")),
+        partition_by=["query_id"],
+        order_by=[F.desc("sim"), F.col("neighbor_id")],
+        k=k,
+        rank_col="rnk",
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("sim"), 6).alias("cosine_sim"),
+        "rnk",
+    ).orderBy("query_id", "rnk")
+
+
+def ivf_sq8_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    centroids: DataFrame,
+    dim: int,
+) -> DataFrame:
+    """IVF lists holding SQ8 codes + full-precision re-rank — the composed
+    production shape (FAISS's IVF,SQ8 index factory expressed as DataFrame
+    ops): the coarse quantizer prunes which lists a query touches
+    (nprobe/nlist of the corpus), the scalar-quantized codes make the
+    in-list scan 4× smaller, and only the top ``rerank`` candidates per
+    query are re-scored against full-precision vectors.
+
+    Deterministic end-to-end with a FIXED ``centroids`` frame: coarse
+    assignment is an exact argmax, the SQ8 quantizer is a pure function of
+    the corpus, and both ranking stages tie-break on neighbor id — so the
+    ENTIRE pipeline (assignment, probe, approx scan, re-rank) replays in
+    SQL for the oracle gate. With ``nprobe == nlist`` and ``rerank`` ≥ the
+    candidate count this degrades to exact brute force (tested invariant).
+
+    Scale: corpus shuffles once on list id (stored bucketed by it at
+    rest, codes not floats); the re-rank join ships only |queries|·rerank
+    candidate ids, broadcast against the full-precision table — the big
+    side never reshuffles.
+    """
+    cvec = F.col(vec_col).cast("array<double>")
+    dequant = _sq8_dequant_expr(cvec, _sq8_train(corpus, vec_col, dim))
+
+    def nearest_lists(df: DataFrame, prefix: str, n_take: int, payload: Column) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(f"{prefix}_id"), payload.alias(f"{prefix}_vec")
+        ).crossJoin(F.broadcast(centroids)).select(
+            f"{prefix}_id",
+            f"{prefix}_vec",
+            "list_id",
+            cosine_sim(F.col(f"{prefix}_vec"), F.col("centroid")).alias("csim"),
+        )
+        return topk_per_group(
+            scored,
+            partition_by=[f"{prefix}_id"],
+            order_by=[F.desc("csim"), F.col("list_id")],
+            k=n_take,
+            rank_col="_crnk",
+        ).select(f"{prefix}_id", f"{prefix}_vec", "list_id")
+
+    # inverted lists: assignment by the FULL vector (build-time exactness),
+    # per-list payload = the dequantized SQ8 code vector (the stored form)
+    lists = nearest_lists(corpus, "neighbor", 1, payload=cvec).select(
+        "neighbor_id", "list_id"
+    ).join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), dequant.alias("nv_q")),
+        "neighbor_id",
+    )
+    probes = nearest_lists(queries, "query", nprobe, payload=cvec)
+    approx = (
+        lists.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("query_vec"), F.col("nv_q")).alias("asim"),
+        )
+    )
+    shortlist = topk_per_group(
+        approx,
+        partition_by=["query_id"],
+        order_by=[F.desc("asim"), F.col("neighbor_id")],
+        k=rerank,
+        rank_col="_arnk",
+    ).select("query_id", "neighbor_id")
+    # full-precision re-rank: the tiny shortlist broadcasts against the
+    # full-precision table; the corpus side streams map-side
+    full = corpus.select(F.col(id_col).alias("neighbor_id"), cvec.alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"), cvec.alias("qv"))
+    exact = (
+        full.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    top = topk_per_group(
+        exact,
         partition_by=["query_id"],
         order_by=[F.desc("sim"), F.col("neighbor_id")],
         k=k,

@@ -213,3 +213,85 @@ def test_fpgrowth_small_itemsets_match_sql_counts(spark):
     )
     want.update({(r.x, r.y): r["count"] for r in pairs.collect() if r["count"] >= min_support * n})
     assert got == want and len(want) >= 5
+
+
+def test_md5_planes_build_fast_and_memoized():
+    """Plan-build cost contract: deriving the md5 plane family at
+    production-ish dims must not stall the driver (vectorized digest→double
+    mapping), and a recompose with the same (dim, bits, tables) must be a
+    cache hit returning the identical (read-only) array."""
+    import time
+
+    from backend_big_data_spark.similarity.ann import _md5_planes
+
+    t0 = time.monotonic()
+    p1 = _md5_planes(dim=1024, num_bits=8, num_tables=4)
+    first = time.monotonic() - t0
+    assert first < 2.0, f"plane build took {first:.2f}s"
+    t0 = time.monotonic()
+    p2 = _md5_planes(dim=1024, num_bits=8, num_tables=4)
+    cached = time.monotonic() - t0
+    assert p2 is p1, "same-shape rebuild must be memoized"
+    assert cached < 0.01, f"memoized lookup took {cached:.3f}s"
+    assert not p1.flags.writeable  # callers cannot corrupt the cache
+
+
+def test_ivf_sq8_degrades_to_brute_force(spark):
+    """nprobe == nlist and rerank ≥ corpus size ⇒ the composed IVF×SQ8
+    pipeline must return EXACTLY the brute-force result: probing every
+    list makes candidate generation exhaustive, and a full-width shortlist
+    makes the SQ8 stage only an ordering prefilter that the full-precision
+    re-rank then corrects."""
+    import numpy as np
+
+    from backend_big_data_spark.similarity.ann import ivf_sq8_cosine_topk
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(60)]
+    df = _vec_df(spark, rows)
+    queries = df.filter(F.col("vec_id") < 5)
+    cvec = F.col("embedding").cast("array<double>")
+    cents = df.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").cast("int").alias("list_id"), cvec.alias("centroid")
+    )
+    composed = ivf_sq8_cosine_topk(
+        df, queries, k=4, nprobe=6, rerank=60, centroids=cents, dim=16
+    ).collect()
+    exact = brute_force_cosine_topk(df, queries, k=4).collect()
+    assert composed == exact
+
+
+def test_ivf_sq8_partial_probe_recall(spark):
+    """At nprobe < nlist the composed path is approximate but should keep
+    high recall on well-separated data (the re-rank repairs SQ8 ordering
+    error within the probed lists)."""
+    import numpy as np
+
+    from backend_big_data_spark.similarity.ann import ivf_sq8_cosine_topk
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((10, 16)) * 4
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(8):
+            rows.append((vid, [float(x) for x in b + rng.normal(0, 0.1, 16)]))
+            vid += 1
+    df = _vec_df(spark, rows)
+    queries = df.filter(F.col("vec_id") % 8 == 0).limit(6)
+    cvec = F.col("embedding").cast("array<double>")
+    cents = df.filter(F.col("vec_id") % 8 == 4).limit(10).select(
+        (F.col("vec_id") / 8).cast("int").alias("list_id"), cvec.alias("centroid")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_cosine_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_sq8_cosine_topk(
+            df, queries, k=3, nprobe=3, rerank=20, centroids=cents, dim=16
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF×SQ8 recall too low: {recall}"
