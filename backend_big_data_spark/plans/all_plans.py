@@ -29,70 +29,92 @@ from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
 #: Names pinned to the front of the registry, in order. Everything not named
 #: here follows in its original registration order.
+#:
+#: Round-4 window (executing the round-3 rotation note): lead with the 6
+#: queries that have never held a driver row (registered after round 3's
+#: window) and the core trio the round-3 rotation displaced; then the three
+#: queries new THIS round; then a re-certification block for every query
+#: whose implementing file changed this round (similarity/ann.py,
+#: ml/clustering.py + plans/ml_plans.py, text/dedup.py, photo/queries.py)
+#: so no green row is left pointing at a drifted file; then backfill the
+#: remaining slots with the longest-stale r02 rows. Every other plan /
+#: operator file is FROZEN this round — their r02/r03 rows stand.
 _FRONT = [
-    # -- repaired photo queries (red in r02; oracle encodings fixed) --------
-    "photo_top_owners",
-    "photo_owner_profiles",
-    "photo_search",
-    # -- additive scope: no driver row since r01 ----------------------------
-    "multimodal_fingerprint",
-    "streaming_tumbling_hourly",
-    "streaming_dedup_events",
-    "streaming_session_windows",
+    # -- never driver-checked (registered after the r03 window) -------------
+    "part_min_price_suppliers",
+    "dominant_part_suppliers",
+    "customer_spend_deciles",
+    "doc_corpus_deduped_cc",
+    "doc_incremental_dedup",
+    "doc_token_itemsets",
+    # -- core trio displaced by the r03 rotation ----------------------------
+    "pricing_summary",
+    "revenue_by_region",
+    "revenue_forecast",
+    # -- new this round ------------------------------------------------------
+    "ann_ivf_sq8_topk",
+    "doc_incremental_dedup_full",
+    "doc_contamination_bloom",
+    # -- re-certification: similarity/ann.py drifted (md5-plane memoization,
+    #    SQ8 refactor) ------------------------------------------------------
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_sq8_topk",
+    # -- re-certification: ml/clustering.py + plans/ml_plans.py drifted
+    #    (fixed-centroid oracle upgrade) ------------------------------------
+    "kmeans_embedding_clusters",
+    # -- re-certification: text/dedup.py drifted (within-batch near
+    #    composition, Bloom pre-filter) -------------------------------------
     "doc_exact_dedup",
-    "doc_quality_profile",
-    "doc_stats_by_lang",
-    "doc_langid",
-    "doc_sha256_fingerprint",
     "doc_ngram_jaccard_pairs",
     "doc_ngram_jaccard_capped",
     "doc_minhash_lsh_pairs",
     "doc_simhash",
-    "doc_tfidf_top_terms",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "events_hourly_by_type",
-    "events_search_page",
-    "supplier_revenue_by_nation",
-    "orders_cube",
-    "sql_frontend_customers_by_nation",
-    "streaming_sliding_halfhour",
-    "ann_ivf_topk",
     "doc_winnowing",
-    "events_user_count_sketch",
-    "events_hll_user_rollup",
-    "events_minmax_scaled",
     "doc_lsh_verified_dedup",
-    "doc_chunks",
-    "nation_actor_counts_outer",
-    "events_daily_pivot",
-    "priority_measures_unpivot",
-    "order_value_quantiles",
-    "brand_sizes_except_all",
-    "brand_sizes_intersect_all",
-    "priority_status_sets",
-    "doc_hash_sample_10pct",
-    "doc_split_counts",
-    "doc_deterministic_shuffle_head",
+    "doc_contamination",
     "doc_corpus_deduped",
     "doc_dup_clusters",
-    # -- new this round: training-data layout ops ---------------------------
-    "doc_stratified_sample",
-    "doc_pack_sequences",
-    "doc_contamination",
-    "ann_sq8_topk",
-    "orders_trailing_revenue",
-    "kmeans_embedding_clusters",
-    # doc_token_itemsets (rows-only FPGrowth twin) yields its window slot to
-    # the oracle-gated ann_sq8_topk; it keeps pytest + rows-only coverage.
-    "doc_token_itemsets",
+    # -- re-certification: photo/queries.py drifted (argmax id tie-break) ---
+    "photo_count_by_year",
+    "photo_count_by_hour_taken",
+    "photo_accuracy_distribution",
+    "photo_pro_distribution",
+    "photo_pro_distribution_users",
+    "photo_top_tags",
+    "photo_engagement_by_year",
+    "photo_time_to_post",
+    "photo_views_quartiles",
+    "photo_first_post_cohorts",
+    "photo_top_owners",
+    "photo_owner_profiles",
+    "photo_brand_top_models",
+    "photo_search",
+    # -- backfill: longest-stale r02 rows (files frozen since r02) ----------
+    "orders_by_month",
+    "events_by_hour",
+    "avg_order_value_by_year",
+    "first_order_per_customer",
+    "top_order_per_customer",
+    "distinct_order_priorities",
+    "customer_count_with_orders",
+    "top_brand_types",
+    "top3_parts_per_brand",
 ]
-# Round-4 rotation note: the queries new this round that registered AFTER the
-# 50-slot window (part_min_price_suppliers, dominant_part_suppliers,
-# customer_spend_deciles, doc_corpus_deduped_cc, doc_incremental_dedup,
-# doc_token_itemsets) and the displaced core trio (pricing_summary,
-# revenue_by_region, revenue_forecast) should lead the next _FRONT so every
-# query holds a driver row from two consecutive certified rounds.
+# Round-5 rotation note: this window re-certifies everything drifted in
+# round 4 plus the previously-uncovered six; the next _FRONT should rotate
+# in the remaining r02-certified block (customer_spend_ranking, orders_page3,
+# top50_orders, parts_search_union, order_price_buckets,
+# avg_ship_delay_by_priority, median_order_value_by_priority,
+# customers_without_orders, repeat_customer_order_gap,
+# part_small_quantity_revenue, sole_delayed_supplier, top_supplier_quarter,
+# shipping_priority_top10, large_quantity_orders, lineitem_flags_salted,
+# returned_revenue_by_customer, events_props_json, orders_rollup,
+# orders_grouping_sets, brand_types_intersect, brand_types_except,
+# asof_signup_before_purchase, purchases_prior_events_1h,
+# embedding_near_dup_pairs) and the oldest r03 rows (streaming/events/doc
+# sampling blocks), keeping any file-drift recerts first.
 
 
 def _reorder() -> None:

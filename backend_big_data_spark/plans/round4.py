@@ -108,3 +108,126 @@ def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=fixed,
         dim=64,
     )
+
+
+def _incremental_full_oracle() -> str:
+    """Batch-vs-corpus dedup with ALL THREE removal classes: exact (vs
+    corpus + within-batch non-canonical), cross near-dups, and TRANSITIVE
+    within-batch near-dups (recursive min-label flood over the both-new
+    pair graph, keep only each component's min id). Batch = hash bucket
+    < 30 so the sf0.01 gate actually contains internal near-dup pairs."""
+    from backend_big_data_spark.plans.documents import _HID
+    from backend_big_data_spark.plans.extended import _lsh_verified_oracle
+
+    verified = _lsh_verified_oracle().strip()
+    verified = verified[: verified.rindex("ORDER BY")]
+    return f"""
+WITH RECURSIVE near AS (
+{verified}
+),
+sp AS (SELECT doc_id, ({_HID} % 100) < 30 AS is_new FROM documents),
+fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+exact_removed AS (
+  SELECT b.doc_id FROM fp b JOIN sp sb USING (doc_id)
+  WHERE sb.is_new AND (
+    EXISTS (SELECT 1 FROM fp e JOIN sp se ON se.doc_id = e.doc_id
+            WHERE NOT se.is_new AND e.f = b.f)
+    OR b.doc_id > (SELECT MIN(b2.doc_id) FROM fp b2
+                   JOIN sp s2 ON s2.doc_id = b2.doc_id
+                   WHERE s2.is_new AND b2.f = b.f)
+  )
+),
+near_removed AS (
+  SELECT CASE WHEN sa.is_new THEN n.doc_a ELSE n.doc_b END AS doc_id
+  FROM near n
+  JOIN sp sa ON sa.doc_id = n.doc_a
+  JOIN sp sb ON sb.doc_id = n.doc_b
+  WHERE sa.is_new <> sb.is_new
+),
+bedges AS (
+  SELECT n.doc_a AS a, n.doc_b AS b FROM near n
+  JOIN sp sa ON sa.doc_id = n.doc_a JOIN sp sb ON sb.doc_id = n.doc_b
+  WHERE sa.is_new AND sb.is_new
+  UNION
+  SELECT n.doc_b AS a, n.doc_a AS b FROM near n
+  JOIN sp sa ON sa.doc_id = n.doc_a JOIN sp sb ON sb.doc_id = n.doc_b
+  WHERE sa.is_new AND sb.is_new
+),
+walk(node, label) AS (
+  SELECT DISTINCT a, a FROM bedges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN bedges e ON e.a = w.node
+),
+batch_near_removed AS (
+  SELECT node AS doc_id FROM (SELECT node, MIN(label) AS root FROM walk GROUP BY node)
+  WHERE node != root
+)
+SELECT d.doc_id FROM documents d JOIN sp USING (doc_id)
+WHERE sp.is_new
+  AND d.doc_id NOT IN (SELECT doc_id FROM exact_removed
+                       UNION SELECT doc_id FROM near_removed
+                       UNION SELECT doc_id FROM batch_near_removed)
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_incremental_dedup_full", oracle=_incremental_full_oracle())
+def doc_incremental_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup with the within-batch near-dup composition
+    wired in (text/dedup.py ``incremental_dedup_kept(within_batch_near=
+    True)``): the arriving batch (30% newest-by-hash) is checked against
+    the at-rest corpus AND against itself — exact dups, cross near-dups,
+    and transitive within-batch near-dup components (keep min id per
+    component, via min-label connected components). The complete
+    recurring-ingest shape; the pct=20 sibling keeps the documented
+    cross-only semantics."""
+    from backend_big_data_spark.text.dedup import (
+        doc_shingles,
+        incremental_dedup_kept,
+        lsh_verified_pairs,
+    )
+    from backend_big_data_spark.text.sampling import stable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(doc_shingles(docs), threshold=0.5, hash_fn="md5")
+    kept = incremental_dedup_kept(
+        docs,
+        is_new=(stable_hash(F.col("doc_id")) % 100) < 30,
+        verified_pairs=pairs,
+        within_batch_near=True,
+    )
+    return kept.orderBy("doc_id")
+
+
+def _contamination_oracle() -> str:
+    """The Bloom pre-filter is result-invariant (no false negatives; false
+    positives are re-checked by the exact semi-join), so the bloom twin
+    shares doc_contamination's oracle verbatim."""
+    from backend_big_data_spark.plans import documents  # noqa: F401 (registers)
+    from backend_big_data_spark.plans.registry import ORACLES
+
+    return ORACLES["doc_contamination"]
+
+
+@register("doc_contamination_bloom", oracle=_contamination_oracle())
+def doc_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_contamination with the documented 100 TB add-on enabled: a Bloom
+    bitmap over the train-split shingles (text/dedup.py
+    ``build_shingle_bloom``) pre-drops definite misses at the scan, before
+    the semi-join exchange — only possible hits shuffle. Output is
+    identical to the unfiltered twin (the gate proves it)."""
+    from backend_big_data_spark.text.dedup import containment_vs_index, doc_shingles
+    from backend_big_data_spark.text.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    splits = hash_split(docs.select("doc_id"), F.col("doc_id"))
+    ex = (
+        doc_shingles(docs)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(splits, "doc_id")
+    )
+    return containment_vs_index(
+        ex.filter(F.col("split") == "val").select("doc_id", "shingle"),
+        ex.filter(F.col("split") == "train"),
+        bloom_bits=1 << 17,
+    ).orderBy("doc_id")

@@ -478,6 +478,7 @@ def incremental_dedup_kept(
     verified_pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    within_batch_near: bool = False,
 ) -> DataFrame:
     """Which NEW-batch documents survive dedup against the EXISTING corpus
     — the production ingest shape: the corpus is already deduped and at
@@ -490,15 +491,30 @@ def incremental_dedup_kept(
     - exact: a batch doc whose content fingerprint (md5) exists anywhere
       in the corpus, or that is not the min-id holder of its fingerprint
       WITHIN the batch;
-    - near: a batch doc appearing in a ``verified_pairs`` row whose other
-      side is an existing doc (within-batch NEAR dups are left to the
-      batch-level pipelines — document the composition, don't hide it).
+    - near (cross): a batch doc appearing in a ``verified_pairs`` row
+      whose other side is an existing doc;
+    - near (within batch, ``within_batch_near=True``): near-dup pairs
+      INSIDE the arriving batch are resolved transitively — connected
+      components over the both-new pairs, keep only the min-id member of
+      each component (a real ingest hits internal near-dups immediately;
+      a pair-wise drop would under-remove chains). The component min is
+      kept even if the cross/exact rules remove it: its near-twins are
+      transitively near the corpus content that displaced it.
 
     Scale: two fingerprint semi-joins + one pair filter — no full-corpus
     rescan; at 100 TB the corpus side is just its (16-byte fp) and
     (shingle index / LSH bands) tables, both maintained incrementally.
+    The within-batch component step runs on the BATCH near-pair graph
+    only (operators/graph.py min-label propagation — O(diameter) rounds,
+    2-4 for the near-clique clusters dedup produces).
     """
     base = docs.select(F.col(id_col), F.col(text_col), is_new.alias("__new"))
+    # The pair table is tiny (near-dup pairs only) but its producing subtree
+    # (LSH bands + exact verify) is the most expensive plan in the module —
+    # and it feeds TWO consumers here (cross-near removal, within-batch
+    # components). Persist so it materializes once; released via
+    # release_dedup_caches() like every other intermediate.
+    verified_pairs = _persist(verified_pairs, True)
     fps = base.select(
         F.col(id_col), F.md5(text_col).alias("__fp"), F.col("__new")
     )
@@ -535,6 +551,21 @@ def incremental_dedup_kept(
     )
 
     removed = vs_corpus.unionByName(in_batch_dupes).unionByName(near_removed)
+    if within_batch_near:
+        # min-label propagation, not star contraction: near-dup components
+        # are shallow near-cliques (2-4 hops), where O(diameter) rounds
+        # beats star's fixed O(log² n) round overhead; deep-chain graphs
+        # would swap in connected_components_star (same contract)
+        from backend_big_data_spark.operators.graph import connected_components
+
+        both_new = pa.filter(F.col("__new_a") & F.col("__new_b")).select(
+            "doc_a", "doc_b"
+        )
+        labels = connected_components(both_new, src="doc_a", dst="doc_b")
+        batch_near_losers = labels.filter(
+            F.col("node") != F.col("component")
+        ).select(F.col("node").alias(id_col))
+        removed = removed.unionByName(batch_near_losers)
     return (
         base.filter(F.col("__new"))
         .join(removed.distinct(), on=id_col, how="anti")
@@ -545,29 +576,140 @@ def incremental_dedup_kept(
 # --------------------------------------------------------------------------
 # Train/eval decontamination: per-doc shingle containment vs an index
 # --------------------------------------------------------------------------
+def _bloom_positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """Bit positions for a key: Kirsch-Mitzenmacher double hashing over ONE
+    xxhash64 — pos_s = h1 + s·h2 (h2 forced odd, so with power-of-two
+    ``num_bits`` every stride hits all residues). One hash evaluation per
+    row regardless of ``num_hashes``; builder and prober share this exactly."""
+    h = F.xxhash64(col)
+    h1 = F.pmod(h, F.lit(num_bits))
+    h2 = F.shiftright(h, 33).bitwiseOR(F.lit(1))
+    return [
+        F.pmod(h1 + F.lit(s) * F.pmod(h2, F.lit(num_bits)), F.lit(num_bits))
+        for s in range(num_hashes)
+    ]
+
+
+def build_shingle_bloom(
+    index_shingles: DataFrame,
+    shingle_col: str = "shingle",
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+) -> list[int]:
+    """Build a Bloom bitmap over the index shingles, returned as a dense
+    ``num_bits/64``-long word list (bit ``p`` lives in word ``p // 64`` at
+    position ``p % 64``).
+
+    Built distributively: each shingle sets ``num_hashes`` bit positions;
+    one groupBy on the 64-bit word index + ``bit_or`` folds them into
+    ≤ ``num_bits/64`` rows, which is the ONLY driver transfer (bounded by
+    the bitmap size, not the data — KB-scale, like a quantizer). No
+    pre-distinct: ``bit_or`` is idempotent and partial aggregation
+    collapses repeats map-side, so the shuffle carries at most one row per
+    word. Spark's own ``DataFrameStatFunctions.bloomFilter`` ends at a
+    driver-side JVM object that can't be used inside a plan; this word
+    list rides back in as a one-row broadcast (see
+    :func:`apply_bloom_prefilter`) probed by pure column expressions —
+    embedding it as a 32 KB string/array LITERAL instead knocks the filter
+    out of whole-stage codegen (measured 3×: Java's 64 KB constant limits).
+    """
+    pos = _bloom_positions(F.col(shingle_col), num_bits, num_hashes)
+    rows = (
+        index_shingles.select(F.explode(F.array(*pos)).alias("p"))
+        .groupBy((F.col("p") / 64).cast("long").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT)))"
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_might_contain(
+    words_col: Column,
+    key_col: Column,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+) -> Column:
+    """Membership probe against :func:`build_shingle_bloom`'s word array —
+    all ``num_hashes`` probed bits must be set (``element_at`` +
+    ``getbit``, fully codegen'd). No false negatives by construction;
+    false positives only cost a wasted row in the downstream exact join."""
+    test = F.lit(True)
+    for p in _bloom_positions(key_col, num_bits, num_hashes):
+        word = F.element_at(words_col, (p / 64).cast("int") + 1)
+        test = test & (
+            F.call_function("getbit", word, F.pmod(p, F.lit(64)).cast("int"))
+            == 1
+        )
+    return test
+
+
+def apply_bloom_prefilter(
+    df: DataFrame,
+    words: list[int],
+    key_col: Column,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Pre-drop rows whose key is definitely not in the Bloom set. The
+    bitmap rides as a ONE-ROW broadcast joined to every probe row (a 1:1
+    BroadcastNestedLoopJoin — no expansion, no shuffle), keeping the probe
+    expressions inside codegen and the filter ahead of any exchange."""
+    bmdf = df.sparkSession.createDataFrame([(words,)], "___bloom array<bigint>")
+    return (
+        df.crossJoin(F.broadcast(bmdf))
+        .filter(
+            bloom_might_contain(F.col("___bloom"), key_col, num_bits, num_hashes)
+        )
+        .drop("___bloom")
+    )
+
+
 def containment_vs_index(
     target_shingles: DataFrame,
     index_shingles: DataFrame,
     id_col: str = "doc_id",
     shingle_col: str = "shingle",
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 3,
 ) -> DataFrame:
     """Per-document n-gram containment against a reference index — the
     decontamination primitive: what fraction of each target (eval) doc's
-    distinct shingles also occur anywhere in the index (train) set. A
-    ratio near 1 flags an eval doc leaked into training data.
+    shingle rows also occur anywhere in the index (train) set. A ratio
+    near 1 flags an eval doc leaked into training data.
 
     Inputs are EXPLODED (id, shingle) rows for the targets and any frame
-    with a ``shingle_col`` for the index (deduplicated here). Output:
-    (id, n_shingles, n_contaminated, contamination ∈ [0, 1]).
+    with a ``shingle_col`` for the index (deduplicated here). Counts are
+    multiplicity-weighted: if the exploded target input carries repeated
+    (id, shingle) rows, each row counts toward both ``n_shingles`` and
+    ``n_contaminated`` (feed ``dropDuplicates([id, shingle])`` rows for
+    distinct-shingle semantics). Output: (id, n_shingles, n_contaminated,
+    contamination ∈ [0, 1]).
 
     Scale: one semi-join keyed on the shingle — the inverted-index shape;
-    the index side never materializes pairs. At 100 TB the index would
-    additionally sit behind a Bloom filter to pre-drop definite misses
-    before the shuffle.
+    the index side never materializes pairs. ``bloom_bits`` enables the
+    100 TB add-on: a Bloom bitmap built over the index shingles pre-drops
+    definite misses AT THE SCAN, before the semi-join exchange — only
+    possible hits shuffle. Result-identical with or without (no false
+    negatives; false positives are re-checked by the join itself).
     """
     tot = target_shingles.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    probes = target_shingles
+    if bloom_bits is not None:
+        words = build_shingle_bloom(
+            index_shingles, shingle_col, bloom_bits, bloom_hashes
+        )
+        probes = apply_bloom_prefilter(
+            probes, words, F.col(shingle_col), bloom_bits, bloom_hashes
+        )
     hit = (
-        target_shingles.join(
+        probes.join(
             index_shingles.select(shingle_col).distinct(), shingle_col, "semi"
         )
         .groupBy(id_col)

@@ -55,6 +55,13 @@ HEADLINE = [
     "doc_pack_sequences",
     "doc_contamination",
     "ann_sq8_topk",
+    # round-4 additions: composed IVF×SQ8 ANN, full incremental ingest
+    # dedup (within-batch near composition), Bloom-pre-filtered
+    # decontamination, fixed-centroid cluster assignment
+    "ann_ivf_sq8_topk",
+    "doc_incremental_dedup_full",
+    "doc_contamination_bloom",
+    "kmeans_embedding_clusters",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

@@ -83,3 +83,37 @@ def test_no_oracle_emits_hugeint(duck):
     assert not offenders, (
         f"oracles with HUGEINT output columns (CAST ... AS BIGINT): {offenders}"
     )
+
+
+def test_registration_rejects_hugeint_oracle():
+    """The HUGEINT sweep also runs at REGISTRATION time: an oracle whose
+    output widens to HUGEINT (uncast SUM over INTEGER) must fail at import,
+    not at the next driver gate."""
+    import pytest
+
+    from backend_big_data_spark.plans.registry import QUERIES, register
+
+    with pytest.raises(ValueError, match="HUGEINT"):
+        @register(
+            "_bad_hugeint_oracle",
+            oracle="SELECT SUM(p_size) AS s FROM part",
+        )
+        def bad(spark, sf_dir):  # pragma: no cover - never registered
+            raise AssertionError
+    # validation runs before ANY registration: no half-registered query
+    assert "_bad_hugeint_oracle" not in QUERIES
+
+
+def test_registration_rejects_untypecheckable_oracle():
+    import pytest
+
+    from backend_big_data_spark.plans.registry import QUERIES, register
+
+    with pytest.raises(ValueError, match="type-check"):
+        @register(
+            "_bad_sql_oracle",
+            oracle="SELECT nope_col FROM part",
+        )
+        def bad(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
+    assert "_bad_sql_oracle" not in QUERIES

@@ -32,6 +32,15 @@ def test_golden_covers_all_headline_queries():
 
 @pytest.mark.parametrize("name", sorted(GOLDEN))
 def test_plan_matches_golden(spark, name):
+    # Compose from a clean cache-manager state: persisted intermediates
+    # (shingle/signature/pair tables) registered by EARLIER queries collapse
+    # later plans into InMemoryRelation scans, making the feature vector
+    # depend on composition ORDER rather than the query. Each plan is
+    # snapshotted and compared with only its OWN persist marks in effect.
+    from backend_big_data_spark.text.dedup import release_dedup_caches
+
+    release_dedup_caches()
+    spark.catalog.clearCache()
     actual = plan_features(QUERIES[name](spark, SF_SMALL))
     assert actual == GOLDEN[name], (
         f"physical plan for {name!r} drifted from golden; if intentional, "

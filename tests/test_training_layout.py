@@ -161,3 +161,87 @@ def test_containment_planted_fractions(spark):
     assert got[1] == (4, 3, 0.75)   # a, b, c hit; d misses
     assert got[2] == (2, 2, 1.0)    # fully contained → leaked
     assert got[3] == (2, 0, 0.0)    # disjoint
+
+
+def test_incremental_dedup_full_composition(spark):
+    """All three removal classes at once, with the within-batch near-dup
+    composition enabled: exact-vs-corpus, within-batch non-canonical,
+    cross near-dup, AND a transitive within-batch near chain {14,15,16}
+    (pairs 14~15, 15~16 only) that must keep exactly its min id."""
+    from backend_big_data_spark.text.dedup import incremental_dedup_kept
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa", False),   # corpus
+            (2, "bbb", False),   # corpus
+            (10, "aaa", True),   # exact dup of corpus doc 1 → removed
+            (11, "ccc", True),   # batch canonical → kept
+            (12, "ccc", True),   # within-batch exact dup of 11 → removed
+            (13, "ddd", True),   # near-dup of corpus doc 2 → removed
+            (14, "eee", True),   # chain min → kept
+            (15, "fff", True),   # near 14 → removed (component min is 14)
+            (16, "ggg", True),   # near 15, never compared to 14 → removed
+            (17, "hhh", True),   # clean → kept
+        ],
+        "doc_id long, text string, is_new boolean",
+    )
+    pairs = spark.createDataFrame(
+        [(2, 13), (14, 15), (15, 16)], "doc_a long, doc_b long"
+    )
+    kept = incremental_dedup_kept(
+        docs, F.col("is_new"), pairs, within_batch_near=True
+    )
+    assert {r.doc_id for r in kept.collect()} == {11, 14, 17}
+    # default contract unchanged: without the flag the whole chain stays
+    kept_default = incremental_dedup_kept(docs, F.col("is_new"), pairs)
+    assert {r.doc_id for r in kept_default.collect()} == {11, 14, 15, 16, 17}
+
+
+def test_containment_bloom_equivalence_and_plan(spark):
+    """The Bloom pre-filter must be result-invariant (no false negatives)
+    and must apply BEFORE the semi-join exchange — a pre-drop at the scan,
+    not a post-shuffle filter."""
+    import re
+
+    rows = [(i, f"sh{i % 37}") for i in range(400)] + [(500, "only-miss")]
+    target = spark.createDataFrame(rows, "doc_id long, shingle string")
+    index = spark.createDataFrame(
+        [(f"sh{i}",) for i in range(0, 37, 2)], "shingle string"
+    )
+    plain = containment_vs_index(target, index).collect()
+    bloomed_df = containment_vs_index(target, index, bloom_bits=1 << 12)
+    assert sorted(map(tuple, bloomed_df.collect())) == sorted(map(tuple, plain))
+
+    plan = bloomed_df._jdf.queryExecution().executedPlan().toString()
+    assert "getbit" in plan
+    # tree prints parents first: the getbit filter (child side of the
+    # semi-join) must sit BELOW the first shuffle exchange line, i.e. it
+    # executes before rows reach the exchange
+    lines = plan.splitlines()
+    bloom_line = min(i for i, l in enumerate(lines) if "getbit" in l)
+    exch = [i for i, l in enumerate(lines) if re.search(r"Exchange hashpartitioning", l)]
+    assert exch and bloom_line > exch[0], (bloom_line, exch)
+
+
+def test_shingle_bloom_no_false_negatives(spark):
+    """Every indexed shingle must probe positive (the Bloom guarantee the
+    equivalence rests on); absent keys mostly probe negative."""
+    from backend_big_data_spark.text.dedup import (
+        apply_bloom_prefilter,
+        build_shingle_bloom,
+    )
+
+    index = spark.createDataFrame(
+        [(f"gram-{i}",) for i in range(300)], "shingle string"
+    )
+    words = build_shingle_bloom(index, num_bits=1 << 13, num_hashes=3)
+    probe = spark.createDataFrame(
+        [(f"gram-{i}",) for i in range(600)], "shingle string"
+    )
+    hits = apply_bloom_prefilter(
+        probe, words, F.col("shingle"), 1 << 13, 3
+    ).collect()
+    got = {r.shingle for r in hits}
+    assert {f"gram-{i}" for i in range(300)} <= got      # zero false negatives
+    fp = len(got) - 300
+    assert fp < 60, f"false-positive rate too high: {fp}/300"

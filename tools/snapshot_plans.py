@@ -31,10 +31,16 @@ OUT = pathlib.Path(__file__).resolve().parent.parent / "tests/data/plan_golden.j
 
 
 def main() -> None:
+    from backend_big_data_spark.text.dedup import release_dedup_caches
+
     spark = get_spark(app_name="snapshot_plans", shuffle_partitions=8)
-    golden = {
-        name: plan_features(QUERIES[name](spark, SF)) for name in sorted(HEADLINE)
-    }
+    golden = {}
+    for name in sorted(HEADLINE):
+        # clean cache-manager state per query — mirrors the test: a plan's
+        # features must not depend on which queries composed before it
+        release_dedup_caches()
+        spark.catalog.clearCache()
+        golden[name] = plan_features(QUERIES[name](spark, SF))
     OUT.write_text(json.dumps(golden, indent=2, sort_keys=True) + "\n")
     print(f"wrote {OUT} ({len(golden)} queries)")
 
