@@ -1,0 +1,111 @@
+"""Batch time-series operators: gap-based sessionization and calendar
+gap-fill.
+
+Sessionization here is the BATCH twin of the streaming session windows
+(streaming/events.py ``session_counts``): the same "events ≤ gap apart
+belong together" semantics, expressed as the classic lag → new-session
+flag → running-sum idiom over a keyed window — one shuffle on the entity
+key, no state store. Use the streaming form for continuous ingest, this
+form for backfills/reprocessing over the at-rest table.
+
+Calendar gap-fill materializes the dense date spine a reporting layer
+needs (the reference zero-fills missing months driver-side,
+``endpoints.py:116-120``; the engine does it as a plan): sequence() the
+min..max date range, explode, left-join the sparse aggregates, zero-fill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign a per-user session index to every event: a new session starts
+    when the gap to the previous event (per user, ordered by timestamp
+    with a unique tie-break) exceeds ``gap_minutes``.
+
+    lag → boolean new-session flag → running sum, all over ONE keyed
+    window — the canonical distributed sessionization. Scale: a single
+    shuffle on the user key; each user's timeline sorts within its
+    partition (bounded by per-user event counts, not table size). Skewed
+    power users are still one partition each — for adversarial skew,
+    pre-split by (user, day) and stitch sessions crossing the boundary.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    prev_ts = F.lag(ts_col).over(w)
+    gap_sec = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+    is_new = F.when(
+        prev_ts.isNull() | (gap_sec > gap_minutes * 60), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_idx",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+
+
+def user_sessions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session summary (start, end, event count, duration seconds) —
+    sessionize + one hash aggregate on (user, session_idx)."""
+    s = sessionize(events, user_col, ts_col, order_tiebreak, gap_minutes)
+    return (
+        s.groupBy(user_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn(
+            "duration_sec",
+            (
+                F.unix_timestamp("session_end")
+                - F.unix_timestamp("session_start")
+            ).cast("bigint"),
+        )
+    )
+
+
+def fill_date_gaps(
+    daily: DataFrame,
+    date_col: str,
+    key_cols: list[str],
+    value_cols: dict[str, object],
+) -> DataFrame:
+    """Densify a sparse per-(key, day) aggregate: every key × every day of
+    the observed [min, max] date range appears, absent days filled with
+    the given defaults.
+
+    The spine is sequence(min, max) on a 1-row aggregate — exploded and
+    crossed with the (small) distinct key set, then LEFT-joined by the
+    sparse side. Scale: the spine is |days| × |keys| rows (calendar-scale,
+    not data-scale); the join shuffles on (key, day) or broadcasts the
+    spine when small. The sparse aggregate side was already reduced by
+    its groupBy, so no raw-event bytes reshuffle.
+    """
+    bounds = daily.agg(
+        F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("__lo", "__hi")).alias(date_col)
+    )
+    keys = daily.select(*key_cols).distinct()
+    dense = spine.crossJoin(keys)
+    out = dense.join(daily, [date_col, *key_cols], "left")
+    for c, default in value_cols.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(default)))
+    return out

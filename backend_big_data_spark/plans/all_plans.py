@@ -55,6 +55,10 @@ _FRONT = [
     "ann_ivf_sq8_topk",
     "doc_incremental_dedup_full",
     "doc_contamination_bloom",
+    "events_user_sessions",
+    "events_daily_gapfilled",
+    "embedding_random_projection",
+    "doc_repetition_mix",
     # -- re-certification: similarity/ann.py drifted (md5-plane memoization,
     #    SQ8 refactor) ------------------------------------------------------
     "ann_cosine_topk",
@@ -91,16 +95,13 @@ _FRONT = [
     "photo_owner_profiles",
     "photo_brand_top_models",
     "photo_search",
-    # -- backfill: longest-stale r02 rows (files frozen since r02) ----------
+    # -- backfill: longest-stale r02 rows (files frozen since r02; the rest
+    #    of the r02 block keeps its standing certification) ------------------
     "orders_by_month",
     "events_by_hour",
     "avg_order_value_by_year",
     "first_order_per_customer",
     "top_order_per_customer",
-    "distinct_order_priorities",
-    "customer_count_with_orders",
-    "top_brand_types",
-    "top3_parts_per_brand",
 ]
 # Round-5 rotation note: this window re-certifies everything drifted in
 # round 4 plus the previously-uncovered six; the next _FRONT should rotate

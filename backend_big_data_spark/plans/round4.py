@@ -231,3 +231,132 @@ def doc_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.filter(F.col("split") == "train"),
         bloom_bits=1 << 17,
     ).orderBy("doc_id")
+
+
+@register(
+    "events_user_sessions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_idx
+  FROM f
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (operators/timeseries.py
+    ``user_sessions``): per-user 30-minute-gap sessions via the classic
+    lag → new-session flag → running-sum idiom — the batch twin of the
+    streaming session windows, one keyed shuffle, no state store."""
+    from backend_big_data_spark.operators.timeseries import user_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    return user_sessions(ev, gap_minutes=30).orderBy("user_id", "session_idx")
+
+
+@register(
+    "events_daily_gapfilled",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS event_count
+  FROM events GROUP BY 1, 2
+), bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), keys AS (SELECT DISTINCT event_type FROM daily)
+SELECT s.day, k.event_type, COALESCE(d.event_count, 0) AS event_count
+FROM spine s CROSS JOIN keys k
+LEFT JOIN daily d ON d.day = s.day AND d.event_type = k.event_type
+ORDER BY 1, 2
+""",
+)
+def events_daily_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily counts per event type (operators/timeseries.py
+    ``fill_date_gaps``): days with zero events of a type appear explicitly
+    — the engine-side form of the reference's driver-side month zero-fill
+    (endpoints.py:116-120). The spine is calendar-scale, never data-scale."""
+    from backend_big_data_spark.operators.timeseries import fill_date_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.count("*").alias("event_count"))
+    return fill_date_gaps(
+        daily, "day", ["event_type"], {"event_count": 0}
+    ).orderBy("day", "event_type")
+
+
+@register(
+    "embedding_random_projection",
+    oracle="""
+WITH planes AS (
+  SELECT b, list_transform(generate_series(1, 64), i ->
+     ((CAST(concat('0x', substr(md5(concat('0:', b, ':', i - 1)), 1, 15)) AS BIGINT)
+       % 2000001) - 1000000) / 1000000.0) AS pv
+  FROM generate_series(0, 7) g(b)
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id, CAST(b AS INTEGER) AS dim_idx,
+       FLOOR(list_inner_product(v, pv) / sqrt(8.0) * 1000000 + 0.5) / 1000000 AS value
+FROM vecs, planes
+ORDER BY vec_id, dim_idx
+""",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 8 dims
+    (similarity/projection.py ``project_embeddings``): the md5-derived
+    matrix family shared with the LSH oracle makes the projection
+    bit-replayable in SQL. Map-only — no shuffle, no Python; the at-rest
+    precursor to width-reduced ANN search."""
+    from backend_big_data_spark.similarity.projection import project_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return project_embeddings(emb, out_dims=8, dim=64).orderBy(
+        "vec_id", "dim_idx"
+    )
+
+
+@register(
+    "doc_repetition_mix",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 3 WHEN 'fr' THEN 0
+              ELSE 1 END AS fac
+  FROM documents
+)
+SELECT doc_id, lang, CAST(u AS INTEGER) AS copy_idx
+FROM f, unnest(generate_series(1, fac)) t(u)
+ORDER BY doc_id, copy_idx
+""",
+)
+def doc_repetition_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based training-mix upsampling (text/mixing.py
+    ``repeat_by_factor``): en×2, zh×3, fr dropped, everything else kept
+    once — the epochs-per-source curriculum weight, materialized map-side
+    by explode(sequence) with a stable copy index."""
+    from backend_big_data_spark.text.mixing import repeat_by_factor
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = repeat_by_factor(docs, "lang", {"en": 2, "zh": 3, "fr": 0})
+    return out.withColumnRenamed("copy", "copy_idx").orderBy(
+        "doc_id", "copy_idx"
+    )

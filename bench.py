@@ -62,6 +62,11 @@ HEADLINE = [
     "doc_incremental_dedup_full",
     "doc_contamination_bloom",
     "kmeans_embedding_clusters",
+    # round-4 additions: sessionization / gap-fill / projection / mixing
+    "events_user_sessions",
+    "events_daily_gapfilled",
+    "embedding_random_projection",
+    "doc_repetition_mix",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

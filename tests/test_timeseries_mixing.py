@@ -1,0 +1,125 @@
+"""Batch sessionization, calendar gap-fill, random projection, and
+repetition-mix upsampling. Cross-engine value parity runs at the oracle
+gate (events_user_sessions / events_daily_gapfilled /
+embedding_random_projection / doc_repetition_mix); these tests pin the
+SEMANTICS on hand-built inputs."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.operators.timeseries import (
+    fill_date_gaps,
+    sessionize,
+    user_sessions,
+)
+from backend_big_data_spark.text.mixing import repeat_by_factor
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 12, 0) + datetime.timedelta(
+        minutes=minute
+    )
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, _ts(m)) for i, (u, m) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp",
+    )
+
+
+def test_sessionize_splits_on_gap(spark):
+    # user 1: events at 0, 10, 20 | gap | 60, 65  → sessions 1 and 2
+    # user 2: single event → session 1
+    ev = _events(spark, [(1, 0), (1, 10), (1, 20), (1, 60), (1, 65), (2, 0)])
+    got = {
+        (r.user_id, r.ts.minute, r.session_idx)
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert got == {
+        (1, 0, 1), (1, 10, 1), (1, 20, 1), (1, 0, 2), (1, 5, 2), (2, 0, 1)
+    }
+
+
+def test_sessionize_gap_boundary_is_exclusive(spark):
+    # gap of EXACTLY 30 min does not split (strictly-greater contract)
+    ev = _events(spark, [(1, 0), (1, 30), (1, 61)])
+    got = {
+        (r.ts.minute, r.session_idx)
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert got == {(0, 1), (30, 1), (1, 2)}
+
+
+def test_user_sessions_summary(spark):
+    ev = _events(spark, [(1, 0), (1, 10), (1, 60), (2, 5)])
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_sec)
+        for r in user_sessions(ev, gap_minutes=30).collect()
+    }
+    assert got == {(1, 1): (2, 600), (1, 2): (1, 0), (2, 1): (1, 0)}
+
+
+def test_fill_date_gaps_dense_spine(spark):
+    daily = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 1), "a", 5),
+            (datetime.date(2024, 1, 4), "a", 2),
+            (datetime.date(2024, 1, 2), "b", 1),
+        ],
+        "day date, k string, n long",
+    )
+    out = fill_date_gaps(daily, "day", ["k"], {"n": 0}).collect()
+    # 4 days (observed min..max) × 2 keys = 8 rows, absent days zeroed
+    assert len(out) == 8
+    got = {(r.day.day, r.k): r.n for r in out}
+    assert got[(1, "a")] == 5 and got[(4, "a")] == 2 and got[(2, "b")] == 1
+    assert got[(2, "a")] == 0 and got[(3, "b")] == 0
+    assert all(v >= 0 for v in got.values())
+
+
+def test_repeat_by_factor_counts_and_drop(spark):
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "zh"), (3, "fr"), (4, "de")],
+        "doc_id long, lang string",
+    )
+    out = repeat_by_factor(docs, "lang", {"en": 2, "zh": 3, "fr": 0}).collect()
+    got = sorted((r.doc_id, r.copy) for r in out)
+    assert got == [(1, 1), (1, 2), (2, 1), (2, 2), (2, 3), (4, 1)]
+
+
+def test_repeat_by_factor_rejects_negative(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match=">= 0"):
+        repeat_by_factor(docs, "lang", {"en": -1})
+
+
+def test_projection_preserves_cosine_approximately(spark):
+    """JL contract: angles survive projection approximately — correlated
+    vectors stay more similar than anti-correlated ones after 64 → 8."""
+    import numpy as np
+
+    from backend_big_data_spark.similarity.projection import project_embeddings
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + rng.normal(0, 0.1, 64)]),  # near
+        (2, [float(x) for x in -base]),                          # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = project_embeddings(df, out_dims=8, dim=64).collect()
+    assert len(out) == 3 * 8
+    proj = {}
+    for r in out:
+        proj.setdefault(r.vec_id, [0.0] * 8)[r.dim_idx] = r.value
+    v0, v1, v2 = (np.array(proj[i]) for i in range(3))
+    cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos(v0, v1) > 0.7
+    assert cos(v0, v2) < -0.95  # exact negation stays exactly opposite
