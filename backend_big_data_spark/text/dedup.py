@@ -630,6 +630,21 @@ def build_shingle_bloom(
     return words
 
 
+def merge_blooms(a: list[int], b: list[int]) -> list[int]:
+    """Union two same-shape Bloom bitmaps (elementwise OR) — the
+    incremental-ingest maintenance op: the at-rest index bitmap absorbs
+    each admitted batch's bitmap without rescanning the corpus, and
+    ``bloom(index ∪ batch) == merge(bloom(index), bloom(batch))`` exactly
+    (bit positions are a pure function of the key). Driver-side on KB-scale
+    arrays; at 100 TB this is the metadata commit, not a data job."""
+    if len(a) != len(b):
+        raise ValueError(
+            f"bloom shapes differ ({len(a)} vs {len(b)} words) — bitmaps "
+            f"must share (num_bits, num_hashes) to be mergeable"
+        )
+    return [x | y for x, y in zip(a, b)]
+
+
 def bloom_might_contain(
     words_col: Column,
     key_col: Column,

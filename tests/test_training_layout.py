@@ -245,3 +245,31 @@ def test_shingle_bloom_no_false_negatives(spark):
     assert {f"gram-{i}" for i in range(300)} <= got      # zero false negatives
     fp = len(got) - 300
     assert fp < 60, f"false-positive rate too high: {fp}/300"
+
+
+def test_bloom_merge_equals_union_build(spark):
+    """Incremental maintenance contract: merging per-batch bitmaps equals
+    building one bitmap over the union — exactly, not probabilistically —
+    so ingest can absorb a batch without rescanning the at-rest corpus."""
+    import pytest
+
+    from backend_big_data_spark.text.dedup import (
+        build_shingle_bloom,
+        merge_blooms,
+    )
+
+    corpus = spark.createDataFrame(
+        [(f"at-rest-{i}",) for i in range(200)], "shingle string"
+    )
+    batch = spark.createDataFrame(
+        [(f"arriving-{i}",) for i in range(80)]
+        + [(f"at-rest-{i}",) for i in range(50)],   # overlap is fine
+        "shingle string",
+    )
+    kw = dict(num_bits=1 << 12, num_hashes=3)
+    merged = merge_blooms(
+        build_shingle_bloom(corpus, **kw), build_shingle_bloom(batch, **kw)
+    )
+    assert merged == build_shingle_bloom(corpus.unionByName(batch), **kw)
+    with pytest.raises(ValueError, match="shapes differ"):
+        merge_blooms(merged, merged[:-1])

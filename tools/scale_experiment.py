@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Scale-up measurement for the round-4 operator shapes: run the same plan
+over 1x / 10x / 50x replicated inputs and report steady-state (min-of-3)
+wall times. Results are recorded in PERF.md ("Scale-up measurement").
+
+Replication shifts the entity key per replica (user_id / vec_id / doc_id)
+so the per-entity workload stays CONSTANT while volume grows — sessions
+per user, probes per shingle, dims per vector don't change, only row
+count does. (Naively replicating dedup inputs would replicate the TEXTS
+and grow dup clusters quadratically — measuring the data's shape, not the
+plan's; those ops keep the lineitem-style experiment instead.)
+
+Usage: python tools/scale_experiment.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from backend_big_data_spark.session import get_spark  # noqa: E402
+from backend_big_data_spark.sources.catalog import load_table  # noqa: E402
+
+FACTORS = [1, 10, 50]
+RUNS = 3
+
+
+def replicate(df: DataFrame, key: str, factor: int, key_span: int) -> DataFrame:
+    """factor copies, entity key shifted per replica so per-key load is flat."""
+    if factor == 1:
+        out = df
+    else:
+        out = df.crossJoin(
+            F.broadcast(
+                df.sparkSession.range(factor).select(F.col("id").alias("__r"))
+            )
+        ).withColumn(key, F.col(key) + F.col("__r") * F.lit(key_span)).drop("__r")
+    return out.repartition(64).persist()
+
+
+def timed(fn) -> float:
+    best = float("inf")
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scale_experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from backend_big_data_spark.operators.timeseries import (
+        fill_date_gaps,
+        user_sessions,
+    )
+    from backend_big_data_spark.similarity.projection import project_embeddings
+    from backend_big_data_spark.text.dedup import (
+        apply_bloom_prefilter,
+        build_shingle_bloom,
+        doc_shingles,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    ev_users = events.agg(F.max("user_id")).collect()[0][0] + 1
+    n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    sh = (
+        doc_shingles(docs, persist=False)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+    n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    index = sh.filter(F.col("doc_id") % 5 != 0).persist()
+    index.count()
+    bloom = build_shingle_bloom(index)
+
+    results: dict[str, list[float]] = {}
+    for factor in FACTORS:
+        ev = replicate(events, "user_id", factor, ev_users)
+        ev.count()
+        results.setdefault("sessionize + summarize", []).append(
+            timed(lambda: user_sessions(ev).count())
+        )
+        daily = ev.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        ).agg(F.count("*").alias("event_count"))
+        results.setdefault("daily gap-fill", []).append(
+            timed(
+                lambda: fill_date_gaps(
+                    daily, "day", ["event_type"], {"event_count": 0}
+                ).count()
+            )
+        )
+        ve = replicate(emb, "vec_id", factor, n_vec)
+        ve.count()
+        results.setdefault("random projection 64->8", []).append(
+            timed(lambda: project_embeddings(ve, out_dims=8, dim=64).count())
+        )
+        probes = replicate(sh, "doc_id", factor, n_doc)
+        probes.count()
+        results.setdefault("bloom probe + semi-join", []).append(
+            timed(
+                lambda: apply_bloom_prefilter(
+                    probes, bloom, F.col("shingle")
+                ).join(index.select("shingle").distinct(), "shingle", "semi").count()
+            )
+        )
+        ev.unpersist(); ve.unpersist(); probes.unpersist()
+
+    print(f"factors: {FACTORS}  (sf_dir={sf_dir}, min-of-{RUNS})")
+    for shape, times in results.items():
+        ratio = times[-1] / times[0]
+        cells = " | ".join(f"{t:.2f} s" for t in times)
+        print(f"| {shape} | {cells} | {ratio:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
