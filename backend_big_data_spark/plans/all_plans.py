@@ -24,6 +24,8 @@ from backend_big_data_spark.plans import (  # noqa: F401
     extended,
     ml_plans,
     round4,
+    tpch_suite,
+    curation,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -95,16 +97,26 @@ _FRONT = [
     "photo_owner_profiles",
     "photo_brand_top_models",
     "photo_search",
-    # -- backfill: longest-stale r02 rows (files frozen since r02; the rest
-    #    of the r02 block keeps its standing certification) ------------------
-    "orders_by_month",
-    "events_by_hour",
-    "avg_order_value_by_year",
-    "first_order_per_customer",
-    "top_order_per_customer",
+    # -- TPC-H completion (new this round): the 5 highest-risk of the 10
+    #    new suite shapes take the remaining slots (semi with cross-side
+    #    predicate, share division, outer-join count, distinct+anti, scalar
+    #    threshold + anti); the other 5 (q7/q9/q12/q14/q19 — plain
+    #    broadcast-join aggregates) are pytest-oracle-certified and lead
+    #    the round-5 window ------------------------------------------------
+    "q4_order_priority",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q16_parts_supplier_counts",
+    "q22_sales_opportunity",
 ]
 # Round-5 rotation note: this window re-certifies everything drifted in
-# round 4 plus the previously-uncovered six; the next _FRONT should rotate
+# round 4 plus the previously-uncovered six; the next _FRONT should lead
+# with the round-4 queries that did not fit this window
+# (q7_volume_shipping, q9_product_profit, q12_shipping_tiers,
+# q14_promo_revenue, q19_disjunctive_revenue — pytest-certified this
+# round) and the displaced backfill five (orders_by_month, events_by_hour,
+# avg_order_value_by_year, first_order_per_customer,
+# top_order_per_customer), then rotate
 # in the remaining r02-certified block (customer_spend_ranking, orders_page3,
 # top50_orders, parts_search_union, order_price_buckets,
 # avg_ship_delay_by_priority, median_order_value_by_priority,

@@ -1,0 +1,67 @@
+"""Blocklist-based document filtering (C4-style "bad word" rule).
+
+The public C4 pipeline drops any page containing a blocklisted word; later
+corpora (e.g. RefinedWeb-style cleanups described in the public literature)
+soften that to a density threshold so a single incidental hit does not
+discard an otherwise-good document. This module implements the density
+form: per-document blocked-token counts and a keep/drop verdict at a
+configurable ratio.
+
+Everything is a Catalyst higher-order expression over the token array —
+at 100 TB this runs inside whole-stage codegen on the scan, no shuffle at
+all until whatever aggregate the caller adds.
+
+Lives in its own module (not ``text/quality.py``) so the quality-profile
+queries' standing driver certifications stay pinned to an unchanged file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.functions.textfns import tokens
+
+#: Deterministic demo blocklist (shared verbatim with the DuckDB oracle).
+#: Real deployments load thousands of terms; the engine path is identical —
+#: a literal array up to a few thousand entries stays an in-plan constant,
+#: beyond that it becomes a broadcast join against a one-column table.
+DEFAULT_BLOCKLIST = ["slow", "error", "dup"]
+
+
+def blocked_hits(toks: Column, blocklist: list[str]) -> Column:
+    """Count of tokens present in the blocklist (with multiplicity)."""
+    return F.size(F.filter(toks, lambda x: x.isin(blocklist)))
+
+
+def blocklist_profile(
+    df: DataFrame,
+    blocklist: list[str] | None = None,
+    max_ratio: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document blocklist statistics and keep/drop verdict.
+
+    Output: ``(id_col, n_tokens int, n_blocked int, blocked_ratio double
+    [4dp], kept boolean)`` — ``kept`` is true when the blocked-token density
+    is at or below ``max_ratio``.
+    """
+    blocklist = DEFAULT_BLOCKLIST if blocklist is None else blocklist
+    t = tokens(F.col(text_col))
+    out = df.select(
+        F.col(id_col),
+        F.size(t).cast("int").alias("n_tokens"),
+        blocked_hits(t, blocklist).cast("int").alias("n_blocked"),
+    )
+    ratio = F.col("n_blocked") / F.col("n_tokens")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_blocked",
+        F.round(ratio, 4).alias("blocked_ratio"),
+        (ratio <= max_ratio).alias("kept"),
+    )
+
+
+__all__ = ["DEFAULT_BLOCKLIST", "blocked_hits", "blocklist_profile"]

@@ -67,6 +67,26 @@ HEADLINE = [
     "events_daily_gapfilled",
     "embedding_random_projection",
     "doc_repetition_mix",
+    # round-4 TPC-H completion (plans/tpch_suite.py): the suite's remaining
+    # canonical shapes, adapted to the catalog — benched so the relational
+    # backbone's throughput is visible end-to-end
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_shipping_tiers",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q16_parts_supplier_counts",
+    "q19_disjunctive_revenue",
+    "q22_sales_opportunity",
+    # round-4 curation batch (plans/curation.py): segment boilerplate strip
+    # (explode→DF-agg→anti-join→reassemble), blocklist density filter
+    # (pure codegen), snapshot diff (fingerprint full-outer), ordered funnel
+    "doc_segment_dedup",
+    "doc_blocklist_filter",
+    "doc_snapshot_diff",
+    "events_funnel_conversion",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

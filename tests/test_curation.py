@@ -1,0 +1,210 @@
+"""Unit semantics for the round-4 curation batch: segment boilerplate
+dedup, blocklist filtering, snapshot diff, funnel ordering, and the
+streaming deduplicating-ingest sink (streaming == sequential batch)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.etl.snapshot_diff import diff_summary, snapshot_diff
+from backend_big_data_spark.text.filtering import blocklist_profile
+from backend_big_data_spark.text.segments import (
+    doc_segments,
+    hot_segments,
+    strip_boilerplate,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# segments
+# ---------------------------------------------------------------------------
+
+
+def test_doc_segments_indices_and_tail(spark):
+    df = _docs(spark, [(1, "a b c d e f g h i j")])
+    rows = {
+        r["seg_idx"]: r["segment"]
+        for r in doc_segments(df, seg_len=4).collect()
+    }
+    # 10 tokens → 3 segments, trailing partial kept
+    assert rows == {0: "a b c d", 1: "e f g h", 2: "i j"}
+
+
+def test_hot_segments_counts_distinct_docs(spark):
+    # "x y z w" appears twice in doc 1 but that is ONE distinct doc
+    df = _docs(
+        spark,
+        [
+            (1, "x y z w x y z w"),
+            (2, "x y z w p q r s"),
+            (3, "x y z w t u v a"),
+        ],
+    )
+    segs = doc_segments(df, seg_len=4)
+    hot = {r["segment"]: r["seg_df"] for r in hot_segments(segs, max_df=2).collect()}
+    assert hot == {"x y z w": 3}
+    # max_df=3: nothing exceeds three distinct docs
+    assert hot_segments(segs, max_df=3).count() == 0
+
+
+def test_strip_boilerplate_reassembles_in_order_and_drops_empty(spark):
+    boiler = "copy right foot er"
+    df = _docs(
+        spark,
+        [
+            (1, f"{boiler} alpha beta gamma delta"),
+            (2, f"{boiler} epsilon zeta eta theta"),
+            (3, f"{boiler} iota kappa lambda mu"),
+            (4, boiler),  # all-boilerplate doc → removed entirely
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in strip_boilerplate(df, seg_len=4, max_df=2).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["n_kept"] == 1 and out[1]["n_dropped"] == 1
+
+
+def test_strip_boilerplate_noop_when_no_recurrence(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "e f g h")])
+    out = strip_boilerplate(df, seg_len=4, max_df=1).orderBy("doc_id").collect()
+    assert [r["clean_text"] for r in out] == ["a b c d", "e f g h"]
+    assert all(r["n_dropped"] == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# blocklist
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_profile_density_verdict(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "good words only here now then"),  # 0/6
+            (2, "slow slow error ok ok ok ok ok ok ok"),  # 3/10 → dropped
+            (3, " ".join(["ok"] * 99 + ["dup"])),  # 1/100 → kept at 5%
+        ],
+    )
+    out = {r["doc_id"]: r for r in blocklist_profile(df, max_ratio=0.05).collect()}
+    assert out[1]["n_blocked"] == 0 and out[1]["kept"]
+    assert out[2]["n_blocked"] == 3 and not out[2]["kept"]
+    assert out[3]["n_blocked"] == 1 and out[3]["kept"]
+    assert out[2]["blocked_ratio"] == pytest.approx(0.3)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_all_four_statuses(spark):
+    old = _docs(spark, [(1, "same"), (2, "will change"), (3, "goes away")])
+    new = _docs(spark, [(1, "same"), (2, "changed!"), (4, "brand new")])
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    summary = {r["status"]: r["n_docs"] for r in diff_summary(snapshot_diff(old, new)).collect()}
+    assert summary == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+# ---------------------------------------------------------------------------
+# funnel ordering
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_requires_stage_order(spark, tmp_path):
+    # user 10: view→click→purchase (converts). user 20: click BEFORE view,
+    # purchase before click — counts as view-only. user 30: view+click, no
+    # purchase.
+    rows = [
+        (1, "2024-01-01 10:00:00", 10, "view"),
+        (2, "2024-01-01 10:05:00", 10, "click"),
+        (3, "2024-01-01 10:30:00", 10, "purchase"),
+        (4, "2024-01-01 09:00:00", 20, "click"),
+        (5, "2024-01-01 09:30:00", 20, "view"),
+        (6, "2024-01-01 08:00:00", 20, "purchase"),
+        (7, "2024-01-01 11:00:00", 30, "view"),
+        (8, "2024-01-01 11:10:00", 30, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "value", F.lit(0.0)
+    ).withColumn("props", F.lit("{}"))
+    sf = str(tmp_path / "funnel_sf")
+    df.write.parquet(sf + "/events.parquet")
+
+    from backend_big_data_spark.plans.curation import events_funnel_conversion
+
+    row = events_funnel_conversion(spark, sf).collect()[0]
+    assert row["view_users"] == 3
+    assert row["click_users"] == 2  # users 10 and 30
+    assert row["purchase_users"] == 1  # user 10 only
+    assert row["avg_convert_sec"] == pytest.approx(1800.0)
+
+
+# ---------------------------------------------------------------------------
+# streaming deduplicating ingest
+# ---------------------------------------------------------------------------
+
+
+def test_stream_ingest_dedup_matches_sequential_batches(spark, tmp_path):
+    from backend_big_data_spark.streaming.ingest_dedup import (
+        dedup_batch_against_corpus,
+        dedup_ingest_stream,
+        read_corpus,
+    )
+    from backend_big_data_spark.text.dedup import release_dedup_caches
+
+    base = "w" + " x y z a b c d e f g h i j k l m n o p q r s t u v"
+    rows_b1 = [
+        (1, base),
+        (2, base + " tail1"),  # near-dup of 1 within batch → removed
+        (3, "completely different words here make this unique forever ok"),
+        (4, base),  # exact within-batch dup of 1 → removed
+    ]
+    rows_b2 = [
+        (5, base + " tail2"),  # near-dup of admitted 1 → removed
+        (6, "another standalone document with its own distinct token stream"),
+        (7, "completely different words here make this unique forever ok"),  # exact vs corpus
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    df1 = _docs(spark, rows_b1)
+    df2 = _docs(spark, rows_b2)
+    # one file per batch; maxFilesPerTrigger=1 → two serial micro-batches
+    df1.coalesce(1).write.parquet(str(in_dir / "b1"))
+    df2.coalesce(1).write.parquet(str(in_dir / "b2"))
+
+    corpus_dir = str(tmp_path / "corpus")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = dedup_ingest_stream(
+        stream, corpus_dir, checkpoint=str(tmp_path / "ckpt"), threshold=0.5
+    )
+    q.awaitTermination(120)
+    release_dedup_caches()
+
+    got = sorted(
+        r["doc_id"] for r in read_corpus(spark, corpus_dir).select("doc_id").collect()
+    )
+
+    # sequential batch application of the same operator
+    c1 = dedup_batch_against_corpus(df1, None, threshold=0.5)
+    c2 = dedup_batch_against_corpus(df2, c1, threshold=0.5)
+    release_dedup_caches()
+    want = sorted(
+        [r["doc_id"] for r in c1.collect()] + [r["doc_id"] for r in c2.collect()]
+    )
+    assert got == want
+    assert 1 in got and 3 in got and 6 in got
+    assert 2 not in got and 4 not in got and 7 not in got
