@@ -205,3 +205,242 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t3").alias("purchase_users"),
         (F.sum(convert_sec) / F.count("t3")).alias("avg_convert_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dup retention: keep the BEST doc per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+def _dedup_best_oracle() -> str:
+    """Kept-corpus oracle where each near-dup cluster keeps its LONGEST
+    member (tie → min doc_id) instead of the min id: recursive min-label
+    flood over the verified pairs, then a per-root argmax window."""
+    from backend_big_data_spark.plans.extended import _lsh_verified_oracle
+
+    verified = _lsh_verified_oracle().strip()
+    verified = verified[: verified.rindex("ORDER BY")]
+    return f"""
+WITH RECURSIVE near AS (
+{verified}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM near
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM near
+),
+walk(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+),
+clusters AS (SELECT node, MIN(label) AS root FROM walk GROUP BY node),
+scored AS (
+  SELECT c.node, c.root, d.n_chars FROM clusters c
+  JOIN documents d ON d.doc_id = c.node
+),
+winners AS (
+  SELECT node FROM (
+    SELECT node, row_number() OVER (
+      PARTITION BY root ORDER BY n_chars DESC, node
+    ) AS rn FROM scored
+  ) WHERE rn = 1
+),
+exact_canon AS (
+  SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+),
+removed AS (
+  SELECT node AS doc_id FROM scored
+  WHERE node NOT IN (SELECT node FROM winners)
+  UNION
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT keep_id FROM exact_canon)
+    AND doc_id NOT IN (SELECT node FROM winners)
+)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_corpus_dedup_best", oracle=_dedup_best_oracle())
+def doc_corpus_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware retention — the production twist on
+    ``doc_corpus_deduped_cc``: a near-dup cluster keeps its BEST member
+    (here: longest text, tie → min id), not its min id. A min-id rule can
+    keep a truncated fragment over a full article just because it crawled
+    first; retention-by-quality is the policy the public cleaning
+    pipelines actually use. Winner per component via ``max(struct(...))``
+    (one hash aggregate — no window, no self-join); exact non-canonicals
+    are removed unless they ARE a cluster winner (identical texts land in
+    one cluster, whose single winner must survive both rules)."""
+    from backend_big_data_spark.operators.aggregates import argmax_per_group
+    from backend_big_data_spark.operators.graph import connected_components_star
+    from backend_big_data_spark.text.dedup import (
+        doc_shingles,
+        exact_dedup_fingerprints,
+        lsh_verified_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(doc_shingles(docs), threshold=0.5, hash_fn="md5")
+    labels = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    scored = labels.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), on="node"
+    )
+    winners = argmax_per_group(
+        scored,
+        group_by=["component"],
+        order_cols=[F.col("n_chars"), -F.col("node")],
+        payload={"doc_id": F.col("node")},
+    ).select("doc_id")
+    cluster_losers = scored.join(
+        winners, scored.node == winners.doc_id, "left_anti"
+    ).select(F.col("node").alias("doc_id"))
+    exact_non_canon = docs.join(
+        exact_dedup_fingerprints(docs).select(
+            F.col("canonical_doc_id").alias("doc_id")
+        ),
+        on="doc_id",
+        how="left_anti",
+    ).select("doc_id")
+    removed = cluster_losers.unionByName(
+        exact_non_canon.join(winners, on="doc_id", how="left_anti")
+    ).distinct()
+    return (
+        docs.join(removed, on="doc_id", how="left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions: percent_rank / cume_dist / ntile in one pass
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_spend_distribution",
+    oracle="""
+WITH spend AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_mktsegment
+)
+SELECT c_custkey, c_mktsegment, total_spend,
+       CAST(rank() OVER w AS INTEGER) AS spend_rank,
+       FLOOR(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+       FLOOR(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM spend
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY total_spend DESC, c_custkey)
+ORDER BY c_mktsegment, spend_rank
+""",
+)
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-function window coverage (percent_rank / cume_dist /
+    ntile / rank in ONE window pass over a pre-aggregated frame). The
+    window partitions by market segment — bounded per-partition row counts
+    after the keyed aggregation, so no single-partition global sort; the
+    unique (spend DESC, custkey) ordering makes every rank deterministic."""
+    from pyspark.sql import Window
+
+    from backend_big_data_spark.functions.scalars import round_half_up
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spend"), F.col("c_custkey")
+    )
+    return (
+        spend.select(
+            "c_custkey",
+            "c_mktsegment",
+            "total_spend",
+            F.rank().over(w).cast("int").alias("spend_rank"),
+            round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+            round_half_up(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+        .orderBy("c_mktsegment", "spend_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profiling (data-quality summary)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_profile",
+    oracle="""
+SELECT 'o_orderkey' AS col,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_v,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+FROM orders
+ORDER BY col
+""",
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (null/distinct/min/max per column) computed in
+    ONE scan: the three per-column stat sets are aggregates of the same
+    pass (Catalyst plans multi-count_distinct via a single Expand — one
+    shuffle, not one job per column), then unpivoted to the long layout a
+    profiling UI consumes. The DuckDB oracle spells the same result as
+    three scans UNION ALL — same rows, different (worse) plan, which is
+    the point of the comparison."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cnt = F.count(F.lit(1))
+    agg = orders.agg(
+        *[
+            e
+            for c in ("o_orderkey", "o_custkey", "o_totalprice")
+            for e in (
+                (cnt - F.count(c)).alias(f"{c}__nulls"),
+                F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
+            )
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+        )
+        for c in ("o_orderkey", "o_custkey", "o_totalprice")
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.col", "r.n_nulls", "r.n_distinct", "r.min_v", "r.max_v")
+        .orderBy("col")
+    )

@@ -87,6 +87,11 @@ HEADLINE = [
     "doc_blocklist_filter",
     "doc_snapshot_diff",
     "events_funnel_conversion",
+    # round-4 third batch: quality-aware retention, distribution windows,
+    # one-pass profiling
+    "doc_corpus_dedup_best",
+    "customer_spend_distribution",
+    "orders_profile",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

@@ -208,3 +208,37 @@ def test_stream_ingest_dedup_matches_sequential_batches(spark, tmp_path):
     assert got == want
     assert 1 in got and 3 in got and 6 in got
     assert 2 not in got and 4 not in got and 7 not in got
+
+
+# ---------------------------------------------------------------------------
+# quality-aware retention (doc_corpus_dedup_best policy)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_best_keeps_longest_not_min_id(spark, tmp_path):
+    # docs 1/2/3 are a near-dup cluster; 3 is the LONGEST → kept even
+    # though 1 has the min id. doc 4 is standalone. docs 5/6 are exact
+    # dups → canonical (5) kept.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    rows = [
+        (1, base),
+        (2, base + " phi"),
+        (3, base + " phi chi"),
+        (4, "entirely different unrelated content with unique words only"),
+        (5, "twin text one two three four five six seven eight nine"),
+        (6, "twin text one two three four five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "bestsf")
+    df.select(
+        "doc_id", "text", F.lit("en").alias("lang"), F.lit("src").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).write.parquet(sf + "/documents.parquet")
+
+    from backend_big_data_spark.plans.curation import doc_corpus_dedup_best
+    from backend_big_data_spark.text.dedup import release_dedup_caches
+
+    kept = sorted(r["doc_id"] for r in doc_corpus_dedup_best(spark, sf).collect())
+    release_dedup_caches()
+    assert kept == [3, 4, 5]
