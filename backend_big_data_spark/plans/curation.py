@@ -444,3 +444,88 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.col", "r.n_nulls", "r.n_distinct", "r.min_v", "r.max_v")
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantized ANN (similarity/pq.py)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_DSUB = 8
+_PQ_KSUB = 16
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+anch AS (
+  SELECT vec_id, v,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code_id
+  FROM vecs ORDER BY vec_id LIMIT {_PQ_KSUB}
+),
+subids AS (SELECT unnest(range(0, {_PQ_M})) AS sub_id),
+cb AS (
+  SELECT s.sub_id, a.code_id,
+         a.v[s.sub_id*{_PQ_DSUB}+1 : s.sub_id*{_PQ_DSUB}+{_PQ_DSUB}] AS codevec
+  FROM anch a, subids s
+),
+subs AS (
+  SELECT vec_id, s.sub_id,
+         v[s.sub_id*{_PQ_DSUB}+1 : s.sub_id*{_PQ_DSUB}+{_PQ_DSUB}] AS subvec
+  FROM vecs, subids s
+),
+scored AS (
+  SELECT subs.vec_id, subs.sub_id, cb.code_id,
+         list_sum([ (subvec[i] - codevec[i]) * (subvec[i] - codevec[i])
+                    FOR i IN range(1, {_PQ_DSUB} + 1) ]) AS d2
+  FROM subs JOIN cb USING (sub_id)
+),
+best AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT vec_id, sub_id, code_id,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d2, code_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT b.vec_id, flatten(list(cb.codevec ORDER BY b.sub_id)) AS rv
+  FROM best b
+  JOIN cb ON cb.sub_id = b.sub_id AND cb.code_id = b.code_id
+  GROUP BY b.vec_id
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+sc AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, r.rv) AS sim
+  FROM recon r, q
+  WHERE r.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM sc
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+""",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (similarity/pq.py): m=8 subspaces × 16 codes
+    (64× smaller at rest than float64), deterministic anchor codebooks
+    (subvectors of the 16 lowest-id vectors — the oracle-gateable stand-in
+    for per-subspace KMeans), asymmetric full-query × reconstructed-corpus
+    cosine top-5 over the 10 lowest-id query vectors. The entire
+    encode→decode→rank pipeline replays in SQL."""
+    from backend_big_data_spark.similarity.pq import pq_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_cosine_topk(
+        emb, queries, k=5, m=_PQ_M, ksub=_PQ_KSUB, dim=_PQ_M * _PQ_DSUB
+    )

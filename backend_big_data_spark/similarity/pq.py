@@ -1,0 +1,190 @@
+"""Product-quantized (PQ) ANN — subspace codebooks + asymmetric distance.
+
+The third leg of the quantized-ANN family (next to SQ8 and IVF,
+similarity/ann.py): split each vector into ``m`` subvectors, quantize each
+subvector to its nearest entry of a per-subspace codebook, store only the
+``m`` code ids. With ``m=8`` subspaces × 16 codes, a 64-dim float32 vector
+(256 B) compresses to 8 nibbles (4 B) — 64× smaller at rest; search is
+asymmetric (full-precision query vs reconstructed corpus), the classic ADC
+scheme from the public PQ literature (Jégou et al., FAISS's PQ index).
+
+Determinism for the oracle gate: codebooks are normally KMeans-trained per
+subspace; like IVF's fixed-centroid mode, a FIXED anchor policy (the
+subvectors of the ``ksub`` lowest-id corpus vectors) makes encode/decode an
+exact argmin — the ENTIRE pipeline replays in SQL. A KMeans-per-subspace
+trainer can drop in without touching search (same codebook frame contract).
+
+Scale notes:
+- encode is one explode (m rows per vector) + broadcast-join against the
+  tiny codebook + one keyed reassembly agg — shuffles on the vector id
+  only, and at rest the codes table IS the corpus (4 B/vector);
+- squared-L2 to each code is an 8-element fold in whole-stage codegen;
+  both engines sum left-to-right over the same doubles, so argmin ties
+  cannot diverge (and ties proper break on code_id);
+- ADC search here is the exhaustive form (every vector's reconstruction is
+  scored); compose with IVF lists exactly like ``ivf_sq8_cosine_topk``
+  for the sub-linear path — the encode/decode contract is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.operators.windows import topk_per_group
+from backend_big_data_spark.similarity.ann import cosine_sim
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance, summed left-to-right (matches the oracle's
+    list_sum(list_transform(...)) fold order bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def anchor_codebooks(
+    corpus: DataFrame,
+    m: int,
+    d_sub: int,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic per-subspace codebooks: entry ``c`` of subspace ``j``
+    is the ``j``-th subvector of the ``c``-th lowest-id corpus vector.
+    Output: ``(sub_id int, code_id int, codevec array<double>)`` —
+    m × ksub rows, broadcast-sized by construction."""
+    cvec = F.col(vec_col).cast("array<double>")
+    # ksub lowest-id vectors; the limit bounds the window input to ksub
+    # rows, so the unpartitioned row_number sorts a constant-sized frame
+    anchors = (
+        corpus.orderBy(id_col)
+        .limit(ksub)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("__rk"),
+            cvec.alias("__v"),
+        )
+        .select((F.col("__rk") - 1).cast("int").alias("code_id"), "__v")
+    )
+    subs = F.array(
+        *[F.slice(F.col("__v"), j * d_sub + 1, d_sub) for j in range(m)]
+    )
+    return anchors.select(
+        "code_id", F.posexplode(subs).alias("sub_id", "codevec")
+    ).select(F.col("sub_id").cast("int"), "code_id", "codevec")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    d_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every subvector to its nearest codebook entry (squared-L2
+    argmin, ties → min code_id). Output: ``(id_col, sub_id, code_id)`` —
+    the at-rest PQ representation."""
+    cvec = F.col(vec_col).cast("array<double>")
+    subs = F.array(*[F.slice(cvec, j * d_sub + 1, d_sub) for j in range(m)])
+    exploded = corpus.select(
+        F.col(id_col), F.posexplode(subs).alias("sub_id", "subvec")
+    ).select(F.col(id_col), F.col("sub_id").cast("int"), "subvec")
+    scored = exploded.join(F.broadcast(codebooks), "sub_id").select(
+        id_col,
+        "sub_id",
+        "code_id",
+        _sq_l2(F.col("subvec"), F.col("codevec")).alias("d2"),
+    )
+    best = topk_per_group(
+        scored,
+        partition_by=[id_col, "sub_id"],
+        order_by=[F.col("d2"), F.col("code_id")],
+        k=1,
+        rank_col="_rk",
+    )
+    return best.select(id_col, "sub_id", "code_id")
+
+
+def pq_reconstruct(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Decode PQ codes back to approximate vectors: look the codevector up
+    per (sub_id, code_id) and concatenate in subspace order. Output:
+    ``(id_col, recon array<double>)``."""
+    joined = codes.join(F.broadcast(codebooks), ["sub_id", "code_id"])
+    return joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "codevec"))),
+                lambda s: s["codevec"],
+            )
+        ).alias("recon")
+    )
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-ADC top-k: full-precision queries scored against PQ-reconstructed
+    corpus vectors by cosine, tie-break on neighbor id. Same output
+    contract as the other ANN entry points (query_id, neighbor_id,
+    cosine_sim[6dp], rnk)."""
+    assert dim % m == 0, "dim must divide into m equal subspaces"
+    d_sub = dim // m
+    if codebooks is None:
+        codebooks = anchor_codebooks(
+            corpus, m=m, d_sub=d_sub, ksub=ksub, id_col=id_col, vec_col=vec_col
+        )
+    codes = pq_encode(corpus, codebooks, m=m, d_sub=d_sub, id_col=id_col, vec_col=vec_col)
+    recon = pq_reconstruct(codes, codebooks, id_col=id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("recon").alias("nv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    top = topk_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("sim"), F.col("neighbor_id")],
+        k=k,
+        rank_col="rnk",
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("sim"), 6).alias("cosine_sim"),
+        "rnk",
+    ).orderBy("query_id", "rnk")
+
+
+__all__ = [
+    "anchor_codebooks",
+    "pq_cosine_topk",
+    "pq_encode",
+    "pq_reconstruct",
+]

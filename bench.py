@@ -92,6 +92,7 @@ HEADLINE = [
     "doc_corpus_dedup_best",
     "customer_spend_distribution",
     "orders_profile",
+    "ann_pq_topk",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

@@ -242,3 +242,52 @@ def test_dedup_best_keeps_longest_not_min_id(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in doc_corpus_dedup_best(spark, sf).collect())
     release_dedup_caches()
     assert kept == [3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# product quantization invariants
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, n, dim=8, seed=7):
+    import random
+
+    rnd = random.Random(seed)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_anchor_vectors_reconstruct_exactly(spark):
+    from backend_big_data_spark.similarity.pq import (
+        anchor_codebooks,
+        pq_encode,
+        pq_reconstruct,
+    )
+
+    df = _emb(spark, 12, dim=8)
+    cb = anchor_codebooks(df, m=2, d_sub=4, ksub=4)
+    assert cb.count() == 2 * 4
+    codes = pq_encode(df, cb, m=2, d_sub=4)
+    recon = {r["vec_id"]: r["recon"] for r in pq_reconstruct(codes, cb).collect()}
+    orig = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    # the 4 anchor vectors (ids 0-3) are IN the codebook -> exact round-trip
+    for vid in range(4):
+        assert recon[vid] == pytest.approx(orig[vid], abs=0)
+    # codes are the at-rest form: every vector has exactly m rows
+    import collections
+
+    cnt = collections.Counter(r["vec_id"] for r in codes.collect())
+    assert all(v == 2 for v in cnt.values()) and len(cnt) == 12
+
+
+def test_pq_full_codebook_degrades_to_brute_force(spark):
+    from backend_big_data_spark.similarity.ann import brute_force_cosine_topk
+    from backend_big_data_spark.similarity.pq import pq_cosine_topk
+
+    df = _emb(spark, 10, dim=8)
+    queries = df.filter(F.col("vec_id") < 3)
+    # ksub = corpus size -> every vector is an anchor -> reconstruction is
+    # exact -> PQ ranking == brute force ranking
+    pq = pq_cosine_topk(df, queries, k=3, m=2, ksub=10, dim=8)
+    bf = brute_force_cosine_topk(df, queries, k=3)
+    assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, bf.collect()))
