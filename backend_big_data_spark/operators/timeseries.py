@@ -109,3 +109,43 @@ def fill_date_gaps(
     for c, default in value_cols.items():
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(default)))
     return out
+
+
+def ewma_over_days(
+    daily: DataFrame,
+    value_col: str = "day_value",
+    day_col: str = "day",
+    lookback: int = 60,
+) -> DataFrame:
+    """Exponentially-weighted moving average over an ordered daily series,
+    computed as a RECURSIVE fold (``s ← 0.5·s + 0.5·x``) over each row's
+    trailing ``lookback``-row frame.
+
+    Two deliberate choices make this cross-engine bit-exact where the
+    closed-form EWMA is not:
+
+    - α = 0.5: the fold multiplies by exactly-representable 0.5, so every
+      intermediate is an IEEE double both engines compute identically
+      (no ``pow`` — libm ``pow`` implementations may differ in ULPs);
+    - left-to-right fold over the frame (Spark ``aggregate`` ≡ DuckDB
+      ``list_reduce``): identical operation order → identical bits.
+
+    The truncated lookback bounds the frame (beyond 60 halvings the
+    contribution is below double precision anyway) AND keeps the window
+    input bounded. The window is global-ordered but runs on the DAILY
+    aggregate — a few thousand rows regardless of event volume, the same
+    pre-aggregate-then-window pattern as ``orders_trailing_revenue``.
+    """
+    w = (
+        Window.orderBy(day_col).rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    vals = F.collect_list(F.col(value_col)).over(w)
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest,
+        F.element_at(vals, 1),
+        lambda acc, x: acc * 0.5 + 0.5 * x,
+    )
+    return daily.select(
+        day_col, value_col, F.round(ewma, 6).alias("ewma")
+    )

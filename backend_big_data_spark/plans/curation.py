@@ -529,3 +529,96 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_cosine_topk(
         emb, queries, k=5, m=_PQ_M, ksub=_PQ_KSUB, dim=_PQ_M * _PQ_DSUB
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing over the daily event-value series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_ewma",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1
+),
+framed AS (
+  SELECT day, day_value,
+         list(day_value) OVER (
+           ORDER BY day ROWS BETWEEN 59 PRECEDING AND CURRENT ROW
+         ) AS vals
+  FROM daily
+)
+SELECT day, day_value,
+       ROUND(list_reduce(vals, (acc, x) -> acc * 0.5 + 0.5 * x), 6) AS ewma
+FROM framed
+ORDER BY day
+""",
+)
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed daily event value (operators/timeseries.py
+    ``ewma_over_days``): daily decimal-exact aggregate first (bounds the
+    global-ordered window to ~2.5k rows), then a recursive α=0.5 fold over
+    each row's trailing 60-row frame — Spark ``aggregate`` and DuckDB
+    ``list_reduce`` execute the identical left-to-right IEEE fold, so the
+    smoothed series is bit-exact across engines before the 6dp round."""
+    from backend_big_data_spark.operators.timeseries import ewma_over_days
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("day_value")
+    )
+    return ewma_over_days(daily, lookback=60).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) curve codes — the multi-column layout key
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _morton_sql(a: str, b: str, bits: int) -> str:
+    """OR-chain of interleaved bit terms — the literal SQL twin of
+    sources/zorder.py::morton_code (disjoint bits, so | == +)."""
+    # DuckDB (like PostgreSQL) gives user-level operators |, &, << the SAME
+    # precedence, left-associative — every term must be fully parenthesized
+    # or the OR-chain folds into the next shift
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({a}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b}) >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "events_zorder_codes",
+    oracle=f"""
+SELECT event_id,
+       CAST({_morton_sql('user_id & 255', 'event_id & 255', _Z_BITS)} AS BIGINT)
+         AS zcode
+FROM events
+ORDER BY zcode, event_id
+""",
+)
+def events_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-curve codes (sources/zorder.py): interleave the low 8 bits
+    of (user_id, event_id) — the clustering key a two-column-filterable
+    table is laid out on so parquet min/max skipping prunes range boxes on
+    BOTH columns. Pure codegen bit-twiddling; the layout write itself
+    (repartitionByRange on the code) is exercised in
+    tests/test_curation.py with a measured file-pruning win."""
+    from backend_big_data_spark.sources.zorder import morton_code
+
+    ev = load_table(spark, sf_dir, "events")
+    code = morton_code(
+        F.col("user_id").bitwiseAND(F.lit(255)),
+        F.col("event_id").bitwiseAND(F.lit(255)),
+        bits=_Z_BITS,
+    )
+    return (
+        ev.select("event_id", code.alias("zcode"))
+        .orderBy("zcode", "event_id")
+    )

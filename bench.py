@@ -93,6 +93,8 @@ HEADLINE = [
     "customer_spend_distribution",
     "orders_profile",
     "ann_pq_topk",
+    "events_value_ewma",
+    "events_zorder_codes",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

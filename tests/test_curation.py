@@ -291,3 +291,75 @@ def test_pq_full_codebook_degrades_to_brute_force(spark):
     pq = pq_cosine_topk(df, queries, k=3, m=2, ksub=10, dim=8)
     bf = brute_force_cosine_topk(df, queries, k=3)
     assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, bf.collect()))
+
+
+# ---------------------------------------------------------------------------
+# z-order layout: measured file-pruning win
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_layout_prunes_more_files_than_linear(spark, tmp_path):
+    from backend_big_data_spark.sources.zorder import (
+        morton_code,
+        quantize,
+        zorder_layout,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    bounds = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).collect()[0]
+    ck_mn, ck_mx, tp_mn, tp_mx = [float(v) for v in bounds]
+
+    code = morton_code(
+        quantize(F.col("o_custkey"), ck_mn, ck_mx, bits=8),
+        quantize(F.col("o_totalprice"), tp_mn, tp_mx, bits=8),
+        bits=8,
+    )
+    n_files = 16
+    linear = str(tmp_path / "linear")
+    zpath = str(tmp_path / "zorder")
+    # linear layout: sorted by ONE column only (the classic single-key sort)
+    orders.repartitionByRange(n_files, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.parquet(linear)
+    zorder_layout(orders, code, num_files=n_files).write.parquet(zpath)
+
+    # one filter per dimension, each selecting ~10% of that column: the
+    # linear layout answers the custkey filter from ~2 files but must open
+    # ALL files for the price filter; the curve layout answers BOTH from a
+    # strict subset. Z-order's claim is the better WORST case / total
+    # across filter dimensions, not beating a single-key sort on its own
+    # sorted key.
+    ck_lo, ck_hi = ck_mn + 0.45 * (ck_mx - ck_mn), ck_mn + 0.55 * (ck_mx - ck_mn)
+    tp_lo, tp_hi = tp_mn + 0.45 * (tp_mx - tp_mn), tp_mn + 0.55 * (tp_mx - tp_mn)
+    ck_pred = F.col("o_custkey").between(ck_lo, ck_hi)
+    tp_pred = F.col("o_totalprice").between(tp_lo, tp_hi)
+
+    def files_hit(path, pred):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    # layout must not change results
+    for pred in (ck_pred, tp_pred):
+        n_lin = spark.read.parquet(linear).filter(pred).count()
+        n_z = spark.read.parquet(zpath).filter(pred).count()
+        assert n_lin == n_z and n_z > 0
+
+    lin_ck, lin_tp = files_hit(linear, ck_pred), files_hit(linear, tp_pred)
+    z_ck, z_tp = files_hit(zpath, ck_pred), files_hit(zpath, tp_pred)
+    # single-key sort: perfect on its key, hopeless on the other
+    assert lin_ck <= 3 and lin_tp == n_files
+    # curve: strict subset on BOTH dimensions...
+    assert z_ck < n_files and z_tp < n_files
+    # ...and a better worst case and total than the linear layout
+    assert max(z_ck, z_tp) < max(lin_ck, lin_tp)
+    assert z_ck + z_tp < lin_ck + lin_tp
