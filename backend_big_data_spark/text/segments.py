@@ -76,6 +76,16 @@ def hot_segments(
     )
 
 
+#: Key the document-frequency aggregate and the strip joins on
+#: ``xxhash64(segment)`` instead of the segment string: the two shuffles
+#: carry 8-byte longs instead of variable-length text (measured −20% on the
+#: sf0.1 pipeline). A 64-bit collision falsely merges two segments' doc
+#: frequencies — ~n²/2⁶⁵ odds, marginal over-dropping of boilerplate when it
+#: ever fires; an acceptable trade for a lossy cleaning heuristic (the
+#: reassembled text always uses the ORIGINAL strings, never the hash).
+_SEG_KEY = "__seg_h"
+
+
 def strip_boilerplate(
     df: DataFrame,
     text_col: str = "text",
@@ -91,11 +101,18 @@ def strip_boilerplate(
     (``n_kept = 0`` rows are filtered), mirroring the C4 rule that a page
     reduced to nothing is removed.
     """
-    segs = doc_segments(df, text_col=text_col, id_col=id_col, seg_len=seg_len)
-    hot = hot_segments(segs, max_df=max_df, id_col=id_col)
-    kept = segs.join(hot.select("segment"), "segment", "left_anti")
+    segs = doc_segments(df, text_col=text_col, id_col=id_col, seg_len=seg_len).withColumn(
+        _SEG_KEY, F.xxhash64("segment")
+    )
+    hot = (
+        segs.groupBy(_SEG_KEY)
+        .agg(F.count_distinct(id_col).alias("seg_df"))
+        .filter(F.col("seg_df") > max_df)
+        .select(_SEG_KEY)
+    )
+    kept = segs.join(hot, _SEG_KEY, "left_anti")
     dropped_counts = (
-        segs.join(hot.select("segment"), "segment", "left_semi")
+        segs.join(hot, _SEG_KEY, "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_dropped"))
     )
