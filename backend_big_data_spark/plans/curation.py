@@ -622,3 +622,147 @@ def events_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", code.alias("zcode"))
         .orderBy("zcode", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF × PQ composed ANN (similarity/pq.py ivf_pq_cosine_topk)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS list_id, v AS cv FROM vecs WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vv.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY vv.vec_id
+                              ORDER BY list_cosine_similarity(vv.v, c.cv) DESC,
+                                       c.list_id) AS arn
+    FROM vecs vv, cents c
+  ) WHERE arn = 1
+),
+resid AS (
+  SELECT a.vec_id, a.list_id,
+         [vv.v[i] - c.cv[i] FOR i IN range(1, 65)] AS r
+  FROM assign a
+  JOIN vecs vv ON vv.vec_id = a.vec_id
+  JOIN cents c ON c.list_id = a.list_id
+),
+anch AS (
+  SELECT vec_id, r,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code_id
+  FROM resid ORDER BY vec_id LIMIT {_PQ_KSUB}
+),
+subids AS (SELECT unnest(range(0, {_PQ_M})) AS sub_id),
+cb AS (
+  SELECT s.sub_id, a.code_id,
+         a.r[s.sub_id*{_PQ_DSUB}+1 : s.sub_id*{_PQ_DSUB}+{_PQ_DSUB}] AS codevec
+  FROM anch a, subids s
+),
+subs AS (
+  SELECT vec_id, s.sub_id,
+         r[s.sub_id*{_PQ_DSUB}+1 : s.sub_id*{_PQ_DSUB}+{_PQ_DSUB}] AS subvec
+  FROM resid, subids s
+),
+scored AS (
+  SELECT subs.vec_id, subs.sub_id, cb.code_id,
+         list_sum([ (subvec[i] - codevec[i]) * (subvec[i] - codevec[i])
+                    FOR i IN range(1, {_PQ_DSUB} + 1) ]) AS d2
+  FROM subs JOIN cb USING (sub_id)
+),
+best AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT vec_id, sub_id, code_id,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d2, code_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+reconr AS (
+  SELECT b.vec_id, flatten(list(cb.codevec ORDER BY b.sub_id)) AS rhat
+  FROM best b
+  JOIN cb ON cb.sub_id = b.sub_id AND cb.code_id = b.code_id
+  GROUP BY b.vec_id
+),
+recon AS (
+  SELECT rr.vec_id, rs.list_id,
+         [rr.rhat[i] + c.cv[i] FOR i IN range(1, 65)] AS nvq
+  FROM reconr rr
+  JOIN resid rs ON rs.vec_id = rr.vec_id
+  JOIN cents c ON c.list_id = rs.list_id
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT vv.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY vv.vec_id
+                              ORDER BY list_cosine_similarity(vv.v, c.cv) DESC,
+                                       c.list_id) AS prn
+    FROM vecs vv, cents c WHERE vv.vec_id < 10
+  ) WHERE prn <= 3
+),
+approx AS (
+  SELECT p.query_id, r.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, r.nvq) AS asim
+  FROM probes p
+  JOIN recon r ON r.list_id = p.list_id
+  JOIN vecs q ON q.vec_id = p.query_id
+  WHERE r.vec_id <> p.query_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY asim DESC, neighbor_id) AS srn
+    FROM approx
+  ) WHERE srn <= 20
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_cosine_similarity(qv.v, nv.v) AS sim
+  FROM shortlist s
+  JOIN vecs qv ON qv.vec_id = s.query_id
+  JOIN vecs nv ON nv.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM exact
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk
+""",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed ANN (similarity/pq.py ``ivf_pq_cosine_topk``): 8
+    fixed coarse centroids prune lists (nprobe=3), in-list vectors are PQ
+    codes of their RESIDUALS (m=8 × 16 anchor codes — residuals cluster
+    near 0, so the codebook budget concentrates where the data is), ADC
+    scores probed candidates, top-20 re-ranked at full precision. The
+    complete FAISS-style IVF,PQ workhorse, deterministic end-to-end —
+    assignment, residual, encode, decode, probe, and both rankings replay
+    in SQL."""
+    from backend_big_data_spark.similarity.pq import ivf_pq_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    spark_cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    return ivf_pq_cosine_topk(
+        emb,
+        queries,
+        k=5,
+        m=_PQ_M,
+        ksub=_PQ_KSUB,
+        nprobe=3,
+        rerank=20,
+        centroids=spark_cents,
+        dim=_PQ_M * _PQ_DSUB,
+    )

@@ -184,7 +184,130 @@ def pq_cosine_topk(
 
 __all__ = [
     "anchor_codebooks",
+    "ivf_pq_cosine_topk",
     "pq_cosine_topk",
     "pq_encode",
     "pq_reconstruct",
 ]
+
+
+def ivf_pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    nprobe: int = 3,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    centroids: DataFrame,
+    dim: int,
+) -> DataFrame:
+    """IVF lists holding PQ codes of RESIDUALS + full-precision re-rank —
+    the complete FAISS-style "IVFx,PQy" workhorse expressed as DataFrame
+    ops: the coarse quantizer prunes which lists a query touches, each
+    in-list vector is stored as the PQ codes of its residual
+    (``x − centroid`` — residuals concentrate near 0, so the same codebook
+    budget spends its resolution where the data is), ADC scores the probed
+    candidates, and only the top ``rerank`` per query are re-scored
+    against full-precision vectors.
+
+    Deterministic end-to-end with FIXED ``centroids`` and anchor
+    codebooks (residuals of the ``ksub`` lowest-id vectors): assignment,
+    residual, encode, decode, probe, and both rankings replay in SQL.
+
+    Scale: corpus shuffles once on list id; the at-rest form per vector
+    is ``m`` nibble/byte codes + a list id; the re-rank ships only
+    |queries|·rerank ids broadcast against the full-precision table.
+    """
+    assert dim % m == 0
+    d_sub = dim // m
+    cvec = F.col(vec_col).cast("array<double>")
+
+    def nearest_lists(df: DataFrame, prefix: str, n_take: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(f"{prefix}_id"), cvec.alias(f"{prefix}_vec"))
+            .crossJoin(F.broadcast(centroids))
+            .select(
+                f"{prefix}_id",
+                f"{prefix}_vec",
+                "list_id",
+                cosine_sim(F.col(f"{prefix}_vec"), F.col("centroid")).alias("csim"),
+            )
+        )
+        return topk_per_group(
+            scored,
+            partition_by=[f"{prefix}_id"],
+            order_by=[F.desc("csim"), F.col("list_id")],
+            k=n_take,
+            rank_col="_crnk",
+        ).select(f"{prefix}_id", f"{prefix}_vec", "list_id")
+
+    assigned = nearest_lists(corpus, "neighbor", 1)
+    resid = assigned.join(F.broadcast(centroids), "list_id").select(
+        F.col("neighbor_id").alias(id_col),
+        "list_id",
+        F.zip_with(
+            F.col("neighbor_vec"), F.col("centroid"), lambda x, c: x - c
+        ).alias("rvec"),
+    )
+    codebooks = anchor_codebooks(
+        resid, m=m, d_sub=d_sub, ksub=ksub, id_col=id_col, vec_col="rvec"
+    )
+    codes = pq_encode(resid, codebooks, m=m, d_sub=d_sub, id_col=id_col, vec_col="rvec")
+    rhat = pq_reconstruct(codes, codebooks, id_col=id_col)
+    recon = (
+        rhat.join(resid.select(id_col, "list_id"), id_col)
+        .join(F.broadcast(centroids), "list_id")
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "list_id",
+            F.zip_with(F.col("recon"), F.col("centroid"), lambda r, c: r + c).alias(
+                "nv_q"
+            ),
+        )
+    )
+    probes = nearest_lists(queries, "query", nprobe)
+    approx = (
+        recon.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("query_vec"), F.col("nv_q")).alias("asim"),
+        )
+    )
+    shortlist = topk_per_group(
+        approx,
+        partition_by=["query_id"],
+        order_by=[F.desc("asim"), F.col("neighbor_id")],
+        k=rerank,
+        rank_col="_arnk",
+    ).select("query_id", "neighbor_id")
+    full = corpus.select(F.col(id_col).alias("neighbor_id"), cvec.alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"), cvec.alias("qv"))
+    exact = (
+        full.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    top = topk_per_group(
+        exact,
+        partition_by=["query_id"],
+        order_by=[F.desc("sim"), F.col("neighbor_id")],
+        k=k,
+        rank_col="rnk",
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("sim"), 6).alias("cosine_sim"),
+        "rnk",
+    ).orderBy("query_id", "rnk")

@@ -95,6 +95,7 @@ HEADLINE = [
     "ann_pq_topk",
     "events_value_ewma",
     "events_zorder_codes",
+    "ann_ivf_pq_topk",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

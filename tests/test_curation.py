@@ -363,3 +363,24 @@ def test_zorder_layout_prunes_more_files_than_linear(spark, tmp_path):
     # ...and a better worst case and total than the linear layout
     assert max(z_ck, z_tp) < max(lin_ck, lin_tp)
     assert z_ck + z_tp < lin_ck + lin_tp
+
+
+def test_ivf_pq_full_probe_full_rerank_degrades_to_brute_force(spark):
+    from backend_big_data_spark.similarity.ann import brute_force_cosine_topk
+    from backend_big_data_spark.similarity.pq import ivf_pq_cosine_topk
+
+    df = _emb(spark, 20, dim=8, seed=11)
+    queries = df.filter(F.col("vec_id") < 3)
+    cents = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    # nprobe = nlist (every list probed) + ksub = corpus size (residual
+    # codebook contains every residual -> exact reconstruction) + rerank
+    # >= corpus -> identical to brute force
+    out = ivf_pq_cosine_topk(
+        df, queries, k=3, m=2, ksub=20, nprobe=4, rerank=25,
+        centroids=cents, dim=8,
+    )
+    bf = brute_force_cosine_topk(df, queries, k=3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, bf.collect()))
