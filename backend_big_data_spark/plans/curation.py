@@ -766,3 +766,83 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=spark_cents,
         dim=_PQ_M * _PQ_DSUB,
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals from the event log
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from, event_type
+""",
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from a change log: each
+    user's events become half-open validity intervals
+    ``[valid_from, valid_to)`` via one ``lead`` over a user-keyed window
+    (the classic CDC→dimension derivation; pairs with the AS-OF join for
+    temporal fact enrichment). One shuffle on ``user_id``; the unique
+    (ts, event_id) ordering pins interval edges deterministically."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource scan (sources/pyds.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pyds_catalog_scan",
+    oracle="""
+SELECT CAST(s.s * 100 + q.q AS BIGINT) AS event_id,
+       CAST(s.s AS INTEGER) AS shard,
+       ['view','click','purchase','signup','error'][((s.s + q.q) % 5) + 1]
+         AS event_type,
+       ROUND(((s.s * 100 + q.q) * 37 % 1000) / 10.0, 1) AS value
+FROM (SELECT unnest(range(0, 4)) AS s) s,
+     (SELECT unnest(range(0, 100)) AS q) q
+ORDER BY event_id
+""",
+)
+def pyds_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan through the custom Spark 4 Python DataSource
+    (sources/pyds.py ``sharded_catalog``): 4 remote shards read as 4 input
+    partitions. The fake service's row arithmetic is deterministic, so the
+    oracle regenerates the identical table from ``range()`` — certifying
+    the DataSource's schema, partitioning, and row semantics at the same
+    gate as every parquet-backed query. (``sf_dir`` unused: the source IS
+    the external system.)"""
+    from backend_big_data_spark.sources.pyds import register as register_pyds
+
+    register_pyds(spark)
+    df = (
+        spark.read.format("sharded_catalog")
+        .option("shards", 4)
+        .option("rowsPerShard", 100)
+        .load()
+    )
+    return df.orderBy("event_id")

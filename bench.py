@@ -96,6 +96,8 @@ HEADLINE = [
     "events_value_ewma",
     "events_zorder_codes",
     "ann_ivf_pq_topk",
+    "events_scd2_intervals",
+    "pyds_catalog_scan",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
