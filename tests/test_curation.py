@@ -384,3 +384,94 @@ def test_ivf_pq_full_probe_full_rerank_degrades_to_brute_force(spark):
     )
     bf = brute_force_cosine_topk(df, queries, k=3)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, bf.collect()))
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel (applyInPandasWithState) vs the batch query
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_funnel_matches_batch_counts(spark, tmp_path):
+    from backend_big_data_spark.plans.curation import events_funnel_conversion
+    from backend_big_data_spark.streaming.events import read_events_stream
+    from backend_big_data_spark.streaming.funnel import user_funnel_stages
+    from tests.conftest import SF_SMALL
+
+    stream = read_events_stream(spark, SF_SMALL)
+    q = (
+        user_funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_stages")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        """SELECT CAST(COUNT(t_view) AS BIGINT) AS view_users,
+                  CAST(COUNT(t_click) AS BIGINT) AS click_users,
+                  CAST(COUNT(t_purchase) AS BIGINT) AS purchase_users
+           FROM funnel_stages"""
+    ).collect()[0]
+    want = events_funnel_conversion(spark, SF_SMALL).collect()[0]
+    assert got["view_users"] == want["view_users"]
+    assert got["click_users"] == want["click_users"]
+    assert got["purchase_users"] == want["purchase_users"]
+
+
+def test_streaming_funnel_two_batches_ordered_stages(spark, tmp_path):
+    from backend_big_data_spark.streaming.funnel import user_funnel_stages
+
+    b1 = [
+        (1, "2024-01-01 10:00:00", 10, "view"),
+        (2, "2024-01-01 09:00:00", 20, "click"),   # click before any view
+    ]
+    b2 = [
+        (3, "2024-01-01 10:05:00", 10, "click"),   # after 10's view
+        (4, "2024-01-01 10:30:00", 10, "purchase"),
+        (5, "2024-01-01 09:30:00", 20, "view"),    # 20's view AFTER its click
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for name, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "value", F.lit(0.0)
+        ).withColumn("props", F.lit("{}")).coalesce(1).write.parquet(
+            str(in_dir / name)
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = (
+        user_funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_2b")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import pandas as pd
+
+    rows = spark.sql("SELECT * FROM funnel_2b").toPandas()
+    # last emitted update per user = final state
+    final = {
+        int(u): g.iloc[-1] for u, g in rows.groupby("user_id", sort=True)
+    }
+    # user 10 converts across batches: view (b1) -> click+purchase (b2)
+    assert pd.notna(final[10]["t_view"])
+    assert pd.notna(final[10]["t_click"])
+    assert pd.notna(final[10]["t_purchase"])
+    # user 20's click preceded its view -> click stage never fills
+    assert pd.notna(final[20]["t_view"])
+    assert pd.isna(final[20]["t_click"]) and pd.isna(final[20]["t_purchase"])
