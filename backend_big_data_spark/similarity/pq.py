@@ -190,6 +190,7 @@ __all__ = [
     "pq_cosine_topk",
     "pq_encode",
     "pq_reconstruct",
+    "train_pq_codebooks",
 ]
 
 
@@ -338,3 +339,43 @@ def ivf_pq_cosine_topk(
         F.round(F.col("sim"), 6).alias("cosine_sim"),
         "rnk",
     ).orderBy("query_id", "rnk")
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int,
+    d_sub: int,
+    ksub: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """KMeans-per-subspace PQ codebooks — the production trainer behind the
+    same ``(sub_id, code_id, codevec)`` frame contract the anchor policy
+    fills, so ``pq_encode`` / ``pq_cosine_topk`` / ``ivf_pq_cosine_topk``
+    take either interchangeably (``codebooks=...``).
+
+    Training is a driver loop over the ``m`` subspaces (m is small — 8/16;
+    each fit is a DISTRIBUTED pyspark.ml KMeans over that subspace's
+    slices); like the IVF KMeans quantizer and Lloyd training in
+    ml/clustering.py, the trainer itself is inherently rows-only for the
+    oracle gate — search stays SQL-replayable via the fixed-codebook path.
+    KMeans minimizes exactly the encode objective (mean squared subvector
+    distance), so trained codebooks dominate anchors on distortion
+    (tested).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cvec = F.col(vec_col).cast("array<double>")
+    spark = corpus.sparkSession
+    rows = []
+    for j in range(m):
+        sub = corpus.select(
+            array_to_vector(F.slice(cvec, j * d_sub + 1, d_sub)).alias("features")
+        )
+        model = KMeans(k=ksub, seed=seed + j, maxIter=10).fit(sub)
+        for c, center in enumerate(model.clusterCenters()):
+            rows.append((j, c, [float(x) for x in center]))
+    return spark.createDataFrame(
+        rows, "sub_id int, code_id int, codevec array<double>"
+    )

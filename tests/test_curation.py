@@ -475,3 +475,43 @@ def test_streaming_funnel_two_batches_ordered_stages(spark, tmp_path):
     # user 20's click preceded its view -> click stage never fills
     assert pd.notna(final[20]["t_view"])
     assert pd.isna(final[20]["t_click"]) and pd.isna(final[20]["t_purchase"])
+
+
+def test_trained_pq_codebooks_dominate_anchors_on_distortion(spark):
+    from backend_big_data_spark.similarity.pq import (
+        _sq_l2,
+        anchor_codebooks,
+        pq_cosine_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    df = _emb(spark, 80, dim=8, seed=3)
+    m, d_sub, ksub = 2, 4, 4
+
+    def distortion(cb):
+        codes = pq_encode(df, cb, m=m, d_sub=d_sub)
+        subs = F.array(
+            *[F.slice(F.col("embedding"), j * d_sub + 1, d_sub) for j in range(m)]
+        )
+        expl = df.select(
+            "vec_id", F.posexplode(subs).alias("sub_id", "subvec")
+        ).select("vec_id", F.col("sub_id").cast("int"), "subvec")
+        joined = codes.join(expl, ["vec_id", "sub_id"]).join(
+            cb, ["sub_id", "code_id"]
+        )
+        return joined.agg(
+            F.avg(_sq_l2(F.col("subvec"), F.col("codevec")))
+        ).collect()[0][0]
+
+    anch = anchor_codebooks(df, m=m, d_sub=d_sub, ksub=ksub)
+    trained = train_pq_codebooks(df, m=m, d_sub=d_sub, ksub=ksub)
+    assert trained.count() == m * ksub
+    # KMeans minimizes exactly the encode objective
+    assert distortion(trained) <= distortion(anch) + 1e-12
+    # the trained frame drops into the same search path
+    out = pq_cosine_topk(
+        df, df.filter(F.col("vec_id") < 2), k=3, m=m, ksub=ksub, dim=8,
+        codebooks=trained,
+    )
+    assert out.count() == 6
