@@ -846,3 +846,72 @@ def pyds_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted mixture sampling (text/mixing.py)
+# ---------------------------------------------------------------------------
+
+_HID = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "doc_temperature_mix",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+stats AS (
+  SELECT list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+                     (a, x) -> a + x) AS Z,
+         CAST(SUM(n_docs) AS BIGINT) AS N
+  FROM counts
+),
+rates AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(LEAST(1.0,
+               CAST(N AS DOUBLE) * 0.5 * sqrt(CAST(n_docs AS DOUBLE))
+               / Z / n_docs) * 1e6 + 0.5) AS BIGINT) AS thresh
+  FROM counts, stats
+),
+kept AS (
+  SELECT d.source FROM documents d
+  JOIN rates r ON d.source = r.source
+  WHERE ({_HID} % 1000000) < r.thresh
+)
+SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+       r.thresh / 1e6 AS rate,
+       CAST(COALESCE(k.n, 0) AS BIGINT) AS n_kept
+FROM rates r
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM kept GROUP BY source) k
+       ON r.source = k.source
+ORDER BY r.source
+""",
+)
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (α=0.5) source rebalancing (text/mixing.py):
+    per-source sampling rates ∝ sqrt(n_s), normalized to keep half the
+    corpus, applied by deterministic hash membership — rare sources keep
+    a larger fraction, dominant sources shrink. The rate computation is
+    bit-exact across engines (sqrt not pow; group-ordered fold for the
+    normalizer; integer millionths threshold before the hash compare).
+    Per-source report: corpus size, applied rate, kept count."""
+    from backend_big_data_spark.text.mixing import temperature_mix, temperature_mix_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = temperature_mix_rates(docs, keep_frac=0.5)
+    kept_counts = (
+        temperature_mix(docs, keep_frac=0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept_counts, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            (F.col("thresh") / 1e6).alias("rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

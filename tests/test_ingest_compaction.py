@@ -174,3 +174,57 @@ def test_compaction_refuses_overwrite(spark, tmp_path):
     with pytest.raises((Py4JJavaError, Exception)):
         # mode("error"): compaction never clobbers an existing publish target
         compact_parquet_dataset(spark, src, out)
+
+
+def test_dynamic_partition_overwrite_touches_only_batch_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from backend_big_data_spark.sources.overwrite import overwrite_partitions
+
+    path = str(tmp_path / "daily")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0), (3, "2024-01-03", 30.0)],
+        "id long, day string, v double",
+    )
+    base.write.partitionBy("day").parquet(path)
+    import pathlib
+
+    before = {
+        p.name: sorted(f.name for f in p.iterdir() if f.suffix == ".parquet")
+        for p in pathlib.Path(path).iterdir()
+        if p.name.startswith("day=")
+    }
+
+    # backfill day 2 only (new values, two rows)
+    batch = spark.createDataFrame(
+        [(20, "2024-01-02", 99.0), (21, "2024-01-02", 98.0)],
+        "id long, day string, v double",
+    )
+    touched = overwrite_partitions(batch, path, ["day"])
+    assert touched == [("2024-01-02",)]
+
+    after = {
+        p.name: sorted(f.name for f in p.iterdir() if f.suffix == ".parquet")
+        for p in pathlib.Path(path).iterdir()
+        if p.name.startswith("day=")
+    }
+    # untouched partitions keep their exact files; day 2 was replaced
+    assert after["day=2024-01-01"] == before["day=2024-01-01"]
+    assert after["day=2024-01-03"] == before["day=2024-01-03"]
+    assert after["day=2024-01-02"] != before["day=2024-01-02"]
+
+    # partition values read back type-inferred (string "2024-01-02" → DATE)
+    got = {
+        (str(r["day"]), r["id"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1),
+        ("2024-01-02", 20),
+        ("2024-01-02", 21),
+        ("2024-01-03", 3),
+    }
+    # conf restored (no leak into later writes)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").lower()
+        == "static"
+    )

@@ -123,3 +123,30 @@ def test_projection_preserves_cosine_approximately(spark):
     cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
     assert cos(v0, v1) > 0.7
     assert cos(v0, v2) < -0.95  # exact negation stays exactly opposite
+
+
+def test_temperature_mix_flattens_head_and_hits_target(spark):
+    from pyspark.sql import functions as F
+
+    from backend_big_data_spark.text.mixing import (
+        temperature_mix,
+        temperature_mix_rates,
+    )
+
+    # head source 10x the tail
+    rows = [(i, "head" if i < 1000 else "tail") for i in range(1100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {
+        r["source"]: r["thresh"] / 1e6
+        for r in temperature_mix_rates(df, keep_frac=0.5).collect()
+    }
+    # temperature sampling keeps a LARGER fraction of the tail
+    assert rates["tail"] > rates["head"]
+    kept = temperature_mix(df, keep_frac=0.5)
+    n = kept.count()
+    # hash membership is approximate per group; overall target within 10%
+    assert abs(n - 550) < 110
+    # deterministic: same rows every run
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in temperature_mix(df, keep_frac=0.5).collect())
+    assert a == b
