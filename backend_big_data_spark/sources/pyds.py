@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 #: Deterministic event-type cycle for the fake service (shared with tests).
@@ -101,6 +102,9 @@ class CatalogDataSource(DataSource):
     def reader(self, schema) -> CatalogShardReader:
         return CatalogShardReader(dict(self.options))
 
+    def simpleStreamReader(self, schema) -> "CatalogStreamReader":
+        return CatalogStreamReader(dict(self.options))
+
 
 def register(spark) -> None:
     # runtime SQLConf: off by default in Spark 4.1; required for
@@ -112,6 +116,54 @@ def register(spark) -> None:
 __all__ = [
     "CatalogDataSource",
     "CatalogShardReader",
+    "CatalogStreamReader",
     "EVENT_TYPES",
     "register",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: the same catalog as an exactly-once offset-based stream
+# ---------------------------------------------------------------------------
+
+
+class CatalogStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based streaming read of the catalog: the offset is a single
+    monotonically increasing row sequence number per shard-interleaved
+    order (``{"pos": n}``), each micro-batch drains up to
+    ``rowsPerBatch`` new rows. ``readBetweenOffsets`` replays any
+    (start, end) range deterministically — this is what gives a custom
+    Python source exactly-once REPLAY under checkpoint recovery; Spark
+    persists the offsets, the source just honors them.
+    """
+
+    def __init__(self, options: dict):
+        opts = {k.lower(): v for k, v in options.items()}
+        self.total_rows = int(opts.get("totalrows", 40))
+        self.rows_per_batch = int(opts.get("rowsperbatch", 10))
+        self.rows_per_shard = int(opts.get("rowspershard", 100))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        for event_id in range(start, end):
+            shard = event_id // self.rows_per_shard
+            seq = event_id % self.rows_per_shard
+            etype = EVENT_TYPES[(shard + seq) % len(EVENT_TYPES)]
+            value = round((event_id * 37 % 1000) / 10.0, 1)
+            yield (event_id, shard, etype, value)
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.rows_per_batch, self.total_rows)
+        # iter(list): the wrapper advances it (needs an iterator) AND
+        # pickles it for prefetch/replay bookkeeping (a generator cannot
+        # pickle; a list_iterator can)
+        return iter(list(self._rows(lo, hi))), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(start["pos"], end["pos"])))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to acknowledge for the synthetic service

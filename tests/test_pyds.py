@@ -73,3 +73,39 @@ def test_unfiltered_reader_fetches_all_shards():
     assert len(list(r.read(InputPartition(1)))) == 5
     types = {t[2] for t in r.read(InputPartition(0))}
     assert types <= set(EVENT_TYPES)
+
+
+def test_streaming_read_drains_in_offset_batches(spark, tmp_path):
+    register(spark)
+    stream = (
+        spark.readStream.format("sharded_catalog")
+        .option("totalRows", 40)
+        .option("rowsPerBatch", 10)
+        .load()
+    )
+    # default micro-batch trigger: the simple stream reader prefetches one
+    # batch per trigger, so poll until the bounded source is drained
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT COUNT(*) c FROM pyds_stream").collect()[0]["c"] >= 40:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+    rows = spark.sql("SELECT * FROM pyds_stream ORDER BY event_id").collect()
+    # the stream drains exactly totalRows, each exactly once, and the rows
+    # match the batch source's arithmetic for the same ids
+    assert [r["event_id"] for r in rows] == list(range(40))
+    batch = {t[0]: t for t in _read(spark, shards=1, rowsPerShard=40).collect()}
+    for r in rows:
+        b = batch[r["event_id"]]
+        assert (r["event_type"], r["value"]) == (b[2], b[3])
