@@ -75,3 +75,41 @@ def read_json_with_quarantine(
         F.col(corrupt_col).alias("raw_record")
     )
     return QuarantinedRead(good, quarantine, parsed)
+
+
+def read_evolving_parquet(
+    spark: "SparkSession",
+    path: str,
+    expected: "StructType | str | None" = None,
+) -> "DataFrame":
+    """Read a parquet dataset whose files were written under DIFFERENT
+    schema versions (columns added over time) as one unified frame.
+
+    ``mergeSchema=true`` makes Spark reconcile footers across files
+    (normally it trusts one random footer — new columns silently vanish
+    when the sampled file predates them); rows from older files carry
+    nulls in the newer columns. When ``expected`` is given, the result is
+    additionally aligned to it: missing expected columns materialize as
+    typed nulls and unexpected extras are dropped — the contract an
+    ingest job enforces so downstream plans never break on a schema that
+    ran ahead of the code.
+
+    Scale note: footer merging reads every file's FOOTER (not data) once
+    at planning — at very large file counts pin the canonical schema via
+    ``expected`` and skip mergeSchema on the hot path; this helper is the
+    backfill/exploration reader.
+    """
+    from pyspark.sql.types import StructType
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expected is None:
+        return df
+    if isinstance(expected, str):
+        expected = StructType.fromDDL(expected)
+    cols = []
+    for f in expected.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

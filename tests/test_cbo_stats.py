@@ -79,3 +79,13 @@ def test_stats_informed_broadcast_of_small_side(cbo):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_analyze_tables_helper_populates_stats(spark):
+    from backend_big_data_spark.sources.stats import analyze_tables
+
+    analyze_tables(spark, "/root/testdata/sf0.001", names=("region",))
+    rows = spark.sql("DESCRIBE EXTENDED stats_region").collect()
+    stat_line = [r for r in rows if r["col_name"] == "Statistics"]
+    assert stat_line and "rows" in stat_line[0]["data_type"]
+    spark.sql("DROP TABLE IF EXISTS stats_region")

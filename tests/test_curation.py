@@ -515,3 +515,66 @@ def test_trained_pq_codebooks_dominate_anchors_on_distortion(spark):
         codebooks=trained,
     )
     assert out.count() == 6
+
+
+# ---------------------------------------------------------------------------
+# late-data dead-letter routing
+# ---------------------------------------------------------------------------
+
+
+def test_late_router_splits_by_event_clock(spark, tmp_path):
+    from backend_big_data_spark.streaming.latedata import (
+        read_event_clock,
+        route_late_stream,
+    )
+
+    def ev(eid, ts, uid=1):
+        return (eid, ts, uid, "view")
+
+    b1 = [ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:30:00")]
+    # batch 2: one fresh row, one >1h older than the clock (10:30) -> late,
+    # and one 59-min-old row -> still on time
+    b2 = [
+        ev(3, "2024-01-01 11:00:00"),
+        ev(4, "2024-01-01 09:15:00"),
+        ev(5, "2024-01-01 09:31:00"),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for name, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+            str(in_dir / name)
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    main_dir = str(tmp_path / "main")
+    late_dir = str(tmp_path / "late")
+    q = route_late_stream(
+        stream, main_dir, late_dir, checkpoint=str(tmp_path / "ck"), delay="1 hour"
+    )
+    q.awaitTermination(120)
+
+    main_ids = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(main_dir + "/batch=*").collect()
+    )
+    late_ids = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(late_dir + "/batch=*").collect()
+    )
+    assert main_ids == [1, 2, 3, 5]
+    assert late_ids == [4]
+    # clock advanced to the max event time seen (11:00)
+    import datetime
+
+    clock = read_event_clock(spark, main_dir)
+    assert clock == int(
+        datetime.datetime(2024, 1, 1, 11, 0, tzinfo=datetime.timezone.utc).timestamp()
+    ) * 1_000_000

@@ -228,3 +228,30 @@ def test_dynamic_partition_overwrite_touches_only_batch_partitions(spark, tmp_pa
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").lower()
         == "static"
     )
+
+
+def test_read_evolving_parquet_merges_and_aligns(spark, tmp_path):
+    from backend_big_data_spark.sources.ingest import read_evolving_parquet
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    v1.write.parquet(path + "/batch=1")
+    v2.write.parquet(path + "/batch=2")
+
+    merged = read_evolving_parquet(spark, path)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+    # aligned to an expected contract: missing col materializes as typed
+    # null, extras dropped, order pinned
+    aligned = read_evolving_parquet(
+        spark, path, expected="id long, score double, lang string"
+    )
+    assert aligned.columns == ["id", "score", "lang"]
+    arows = {r["id"]: r for r in aligned.collect()}
+    assert arows[1]["lang"] is None and arows[1]["score"] is None
+    assert arows[2]["score"] == 9.5
