@@ -915,3 +915,41 @@ def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom aggregate (pandas GROUPED_AGG UDAF): geometric mean
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_value_geomean_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geomean_value,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def order_value_geomean_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric-mean order value per priority via the JVM algebraic form
+    (operators/udaf.py ``geometric_mean_expr`` — partial-agg friendly,
+    the scale path). The pandas GROUPED_AGG UDAF twin
+    (``geometric_mean``) computes the same statistic through the custom-
+    aggregate extension point and is asserted equal in tests — UDAF
+    coverage without putting Python on the gated hot path."""
+    from backend_big_data_spark.operators.udaf import geometric_mean_expr
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(geometric_mean_expr(F.col("o_totalprice")), 4).alias(
+                "geomean_value"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

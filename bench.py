@@ -99,6 +99,7 @@ HEADLINE = [
     "events_scd2_intervals",
     "pyds_catalog_scan",
     "doc_temperature_mix",
+    "order_value_geomean_by_priority",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

@@ -578,3 +578,43 @@ def test_late_router_splits_by_event_clock(spark, tmp_path):
     assert clock == int(
         datetime.datetime(2024, 1, 1, 11, 0, tzinfo=datetime.timezone.utc).timestamp()
     ) * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# pandas GROUPED_AGG UDAF
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_agg_udaf_matches_algebraic_twin(spark):
+    from backend_big_data_spark.operators.udaf import (
+        geometric_mean,
+        geometric_mean_expr,
+    )
+    from tests.conftest import SF_SMALL
+
+    orders = spark.read.parquet(SF_SMALL + "/orders.parquet")
+    udaf = {
+        r["o_orderpriority"]: r["g"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(geometric_mean(F.col("o_totalprice")).alias("g"))
+        .collect()
+    }
+    alg = {
+        r["o_orderpriority"]: r["g"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(geometric_mean_expr(F.col("o_totalprice")).alias("g"))
+        .collect()
+    }
+    assert set(udaf) == set(alg) and len(udaf) == 5
+    for k in udaf:
+        assert udaf[k] == pytest.approx(alg[k], rel=1e-9)
+    # and as a WINDOW aggregate (the other place GROUPED_AGG UDAFs plug in)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority")
+    with_g = orders.select(
+        "o_orderpriority", geometric_mean(F.col("o_totalprice")).over(w).alias("g")
+    ).distinct()
+    got = {r["o_orderpriority"]: r["g"] for r in with_g.collect()}
+    for k in got:
+        assert got[k] == pytest.approx(alg[k], rel=1e-9)

@@ -52,6 +52,28 @@ def timed(fn) -> float:
     return best
 
 
+def _funnel_count(ev) -> int:
+    """The events_funnel_conversion chain inlined over a given frame."""
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1"))
+    s2 = (ev.filter(F.col("event_type") == "click").join(s1, "user_id")
+          .filter(F.col("ts") > F.col("t1")).groupBy("user_id")
+          .agg(F.min("ts").alias("t2")))
+    s3 = (ev.filter(F.col("event_type") == "purchase").join(s2, "user_id")
+          .filter(F.col("ts") > F.col("t2")).groupBy("user_id")
+          .agg(F.min("ts").alias("t3")))
+    return s1.join(s2, "user_id", "left").join(s3, "user_id", "left").count()
+
+
+def _scd2_count(ev) -> int:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", F.lead("ts").over(w).alias("valid_to")
+    ).count()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale_experiment")
@@ -113,7 +135,30 @@ def main() -> None:
                 ).join(index.select("shingle").distinct(), "shingle", "semi").count()
             )
         )
-        ev.unpersist(); ve.unpersist(); probes.unpersist()
+        # round-4b shapes: funnel chain, SCD2 window, temperature-mix
+        # rates, PQ encode. Segment dedup is deliberately absent for the
+        # same reason as the dedup ops: replicated TEXTS multiply each
+        # segment's document frequency, so "hot" grows with the factor —
+        # that measures the replication artifact, not the plan.
+        from backend_big_data_spark.similarity.pq import anchor_codebooks, pq_encode  # noqa: PLC0415
+        from backend_big_data_spark.text.mixing import temperature_mix  # noqa: PLC0415
+
+        results.setdefault("funnel (3 chained keyed MINs)", []).append(
+            timed(lambda: _funnel_count(ev))
+        )
+        results.setdefault("SCD2 intervals (lead window)", []).append(
+            timed(lambda: _scd2_count(ev))
+        )
+        dd = replicate(docs, "doc_id", factor, n_doc)
+        dd.count()
+        results.setdefault("temperature mix (rates + hash filter)", []).append(
+            timed(lambda: temperature_mix(dd).count())
+        )
+        cb = anchor_codebooks(ve, m=8, d_sub=8, ksub=16)
+        results.setdefault("PQ encode (min-struct argmin)", []).append(
+            timed(lambda: pq_encode(ve, cb, m=8, d_sub=8).count())
+        )
+        ev.unpersist(); ve.unpersist(); probes.unpersist(); dd.unpersist()
 
     print(f"factors: {FACTORS}  (sf_dir={sf_dir}, min-of-{RUNS})")
     for shape, times in results.items():
