@@ -953,3 +953,46 @@ def order_value_geomean_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates: stddev / variance / correlation / covariance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_stats_profile",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       ROUND(var_samp(l_quantity), 4) AS qty_var,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate coverage (stddev_samp / var_samp / corr /
+    covar_samp) in one hash aggregate per return flag — all numerically
+    stable single-pass merge formulas in both engines, so the 4-6 dp
+    rounds sit far above the merge-order noise floor. Useful as the
+    feature-stats pass a training pipeline runs before normalization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+                "qty_disc_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
