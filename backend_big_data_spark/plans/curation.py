@@ -996,3 +996,77 @@ def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA-baseline anomaly flags over the daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_daily_anomalies",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1
+),
+framed AS (
+  SELECT day, day_value,
+         list(day_value) OVER (
+           ORDER BY day ROWS BETWEEN 59 PRECEDING AND CURRENT ROW
+         ) AS vals
+  FROM daily
+),
+sm AS (
+  SELECT day, day_value,
+         list_reduce(vals, (acc, x) -> acc * 0.5 + 0.5 * x) AS ewma
+  FROM framed
+),
+base AS (
+  SELECT day, day_value, lag(ewma) OVER (ORDER BY day) AS baseline FROM sm
+)
+SELECT day, day_value,
+       ROUND(baseline, 6) AS baseline,
+       ROUND(day_value / baseline, 6) AS ratio,
+       (day_value / baseline > 1.2 OR day_value / baseline < 0.8) AS is_anomaly
+FROM base
+WHERE baseline IS NOT NULL
+ORDER BY day
+""",
+)
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-style anomaly flags: each day compared against the PRIOR
+    day's EWMA (the smoothed baseline cannot contain the day under test —
+    a same-day baseline would absorb the spike it should flag). Same
+    bit-exact recursive fold as ``events_value_ewma`` + one lag; both
+    windows run on the bounded daily aggregate. Days outside ±20% of
+    baseline are flagged."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("day_value")
+    )
+    # the fold is inlined (not ewma_over_days) because the BASELINE must be
+    # the UNROUNDED smoothed value — that helper's 6dp output round is its
+    # own gate contract, and rounding before the lag/ratio would compound
+    w = Window.orderBy("day").rowsBetween(-59, Window.currentRow)
+    vals = F.collect_list("day_value").over(w)
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    ewma = F.aggregate(rest, F.element_at(vals, 1), lambda a, x: a * 0.5 + 0.5 * x)
+    base = daily.select(
+        "day", "day_value", F.lag(ewma).over(Window.orderBy("day")).alias("baseline")
+    )
+    ratio = F.col("day_value") / F.col("baseline")
+    return (
+        base.filter(F.col("baseline").isNotNull())
+        .select(
+            "day",
+            "day_value",
+            F.round("baseline", 6).alias("baseline"),
+            F.round(ratio, 6).alias("ratio"),
+            ((ratio > 1.2) | (ratio < 0.8)).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
