@@ -1070,3 +1070,66 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join with prefix filtering (text/setjoin.py)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_join_oracle() -> str:
+    from backend_big_data_spark.plans.documents import _SHINGLES_CTE, _TOKS_CTE
+
+    return f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
+ranked AS (
+  SELECT e.doc_id, e.shingle, d.df FROM ex e JOIN dfreq d USING (shingle)
+),
+docs AS (
+  SELECT doc_id, list(shingle ORDER BY df, shingle) AS ord_toks,
+         COUNT(*) AS sz
+  FROM ranked GROUP BY doc_id
+),
+pref AS (
+  SELECT doc_id,
+         unnest(ord_toks[1 : CAST(sz - ceil(0.5 * sz) + 1 AS INT)]) AS shingle
+  FROM docs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(fa.shingles, fb.shingles)) AS isz,
+         len(fa.shingles) AS la, len(fb.shingles) AS lb
+  FROM cand c
+  JOIN sh fa ON fa.doc_id = c.doc_a
+  JOIN sh fb ON fb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, CAST(isz AS INTEGER) AS intersection_size,
+       ROUND(CAST(isz AS DOUBLE) / (la + lb - isz), 6) AS jaccard
+FROM ver
+WHERE CAST(isz AS DOUBLE) / (la + lb - isz) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("doc_prefix_join_pairs", oracle=_prefix_join_oracle())
+def doc_prefix_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style EXACT Jaccard join (text/setjoin.py): rarest-first
+    global shingle order, per-doc prefix indexing (|d| − ⌈t·|d|⌉ + 1),
+    prefix-only candidate join, exact array-intersect verify. Unlike the
+    max_df-capped form this is exact, and unlike the uncapped inverted
+    index the hot shingles are never join keys — the scale-safe exact
+    path for threshold 0.5."""
+    from backend_big_data_spark.text.dedup import doc_shingles
+    from backend_big_data_spark.text.setjoin import prefix_filtered_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filtered_jaccard_pairs(
+        doc_shingles(docs), threshold=0.5
+    ).orderBy("doc_a", "doc_b")

@@ -102,6 +102,7 @@ HEADLINE = [
     "order_value_geomean_by_priority",
     "lineitem_stats_profile",
     "events_daily_anomalies",
+    "doc_prefix_join_pairs",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

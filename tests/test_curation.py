@@ -618,3 +618,45 @@ def test_grouped_agg_udaf_matches_algebraic_twin(spark):
     got = {r["o_orderpriority"]: r["g"] for r in with_g.collect()}
     for k in got:
         assert got[k] == pytest.approx(alg[k], rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact set-similarity join
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_join_equals_uncapped_inverted_index(spark):
+    from backend_big_data_spark.text.dedup import (
+        doc_shingles,
+        ngram_jaccard_pairs,
+        release_dedup_caches,
+    )
+    from backend_big_data_spark.text.setjoin import prefix_filtered_jaccard_pairs
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    sh = doc_shingles(docs)
+    want = sorted(
+        map(tuple, ngram_jaccard_pairs(sh, threshold=0.5).collect())
+    )
+    got = sorted(
+        map(tuple, prefix_filtered_jaccard_pairs(sh, threshold=0.5).collect())
+    )
+    release_dedup_caches()
+    assert got == want and len(got) > 0
+
+
+def test_prefix_join_hot_shingle_never_joins(spark):
+    from backend_big_data_spark.text.setjoin import prefix_filtered_jaccard_pairs
+
+    # every doc shares one boilerplate shingle (df = n): in the naive
+    # inverted index that one key alone expands to n(n-1)/2 pairs; in the
+    # prefix join it is the LAST token in the global order and (for
+    # t=0.5, docs of >=4 shingles) outside every prefix — so the two
+    # actually-similar docs are found from their rare shingles only
+    rows = [(i, ["common"] + [f"u{i}_{j}" for j in range(9)]) for i in range(20)]
+    rows[1] = (1, rows[0][1][:8] + ["x1", "x2"])  # 7 shared of 10+ → J>0.5
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    out = prefix_filtered_jaccard_pairs(df, threshold=0.5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert pairs == {(0, 1)}
