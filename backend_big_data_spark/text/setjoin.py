@@ -36,11 +36,21 @@ def prefix_filtered_jaccard_pairs(
     shingled: DataFrame,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    positional: bool = True,
 ) -> DataFrame:
     """All pairs with exact Jaccard ≥ ``threshold`` over distinct-shingle
     sets. Output: (doc_a, doc_b, intersection_size int, jaccard double
     [6dp]) — the same contract as ``ngram_jaccard_pairs`` (tested equal
-    uncapped)."""
+    uncapped).
+
+    ``positional=True`` adds PPJoin's positional filter: a prefix match at
+    positions (i, j) bounds the achievable overlap by
+    ``1 + min(|A|−i, |B|−j)`` (everything before the match in EITHER set is
+    definitionally disjoint from the other's tail under the shared order),
+    and J ≥ t needs overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉ — candidates whose bound
+    falls short are dropped BEFORE the distinct/verify stages. Pure
+    candidate pruning: the verified output is identical (tested).
+    """
     ex = shingled.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = ex.join(dfreq, "shingle")
@@ -55,24 +65,41 @@ def prefix_filtered_jaccard_pairs(
     pref = docs.select(
         F.col(id_col),
         sz.alias("sz"),
-        F.explode(F.slice(F.col("ord_toks"), 1, prefix_len)).alias("shingle"),
+        F.posexplode(F.slice(F.col("ord_toks"), 1, prefix_len)).alias(
+            "pos", "shingle"
+        ),
     )
     a = pref.select(
-        F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"), "shingle"
+        F.col(id_col).alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+        "shingle",
     )
     b = pref.select(
-        F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"), "shingle"
+        F.col(id_col).alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+        "shingle",
     )
     # length pruning is engine-side-only pruning (J >= t forces
     # t·|A| <= |B| whenever |B| <= |A|): it shrinks the candidate set but
     # cannot change the verified OUTPUT, so the SQL oracle may omit it
+    cond = (
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("sz_b") >= threshold * F.col("sz_a"))
+        & (F.col("sz_a") >= threshold * F.col("sz_b"))
+    )
+    if positional:
+        ubound = 1 + F.least(
+            F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+        )
+        alpha = F.ceil(
+            F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
+        )
+        cond = cond & (ubound >= alpha)
     cand = (
         a.join(b, "shingle")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("sz_b") >= threshold * F.col("sz_a"))
-            & (F.col("sz_a") >= threshold * F.col("sz_b"))
-        )
+        .filter(cond)
         .select("doc_a", "doc_b")
         .distinct()
     )
