@@ -31,13 +31,23 @@ def snapshot_diff(
     'changed', 'unchanged'}. Full-outer join on the id; content equality by
     md5 fingerprint so document payloads never cross the shuffle.
     """
-    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__old_fp"))
-    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__new_fp"))
+    # presence is carried explicitly — classifying on fingerprint nullness
+    # would misread a NULL text (md5(NULL) = NULL) as absence
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__old_fp"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__new_fp"),
+        F.lit(True).alias("__in_new"),
+    )
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("__old_fp").isNull(), "added")
-        .when(F.col("__new_fp").isNull(), "removed")
-        .when(F.col("__old_fp") == F.col("__new_fp"), "unchanged")
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(F.col("__old_fp").eqNullSafe(F.col("__new_fp")), "unchanged")
         .otherwise("changed")
     )
     return joined.select(F.col(id_col), status.alias("status"))

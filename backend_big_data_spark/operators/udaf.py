@@ -32,6 +32,12 @@ from pyspark.sql.functions import pandas_udf
 def geometric_mean(v: pd.Series) -> float:
     """exp(mean(log v)) over the group's positive values (GROUPED_AGG)."""
     arr = v.to_numpy(dtype="float64")
+    # positive subset only — matches the algebraic twin, where F.log
+    # returns NULL for x <= 0 and avg skips nulls; an all-non-positive
+    # group yields NULL in both forms
+    arr = arr[arr > 0]
+    if arr.size == 0:
+        return None
     return float(np.exp(np.log(arr).mean()))
 
 

@@ -16,6 +16,7 @@ identical output types. Value parity rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +58,14 @@ def _oracle_validator():
     return _VALIDATOR
 
 
+#: Escape hatch for environments without DuckDB or without the photo test
+#: fixture (the photo oracles read tests/data/photos.parquet, so DESCRIBE
+#: touches that file at import): set SPARK_GRAFT_SKIP_ORACLE_VALIDATION=1
+#: to register without the import-time type-check (the pytest sweep and the
+#: driver gate still validate at run time).
+_SKIP_VALIDATION = os.environ.get("SPARK_GRAFT_SKIP_ORACLE_VALIDATION") == "1"
+
+
 def _validate_oracle(name: str, sql: str) -> None:
     """Type-check the oracle at REGISTRATION: it must parse/resolve against
     the driver's table schemas, and no output column may be HUGEINT /
@@ -66,6 +75,8 @@ def _validate_oracle(name: str, sql: str) -> None:
     (events_daily_pivot, photo_top_owners, photo_owner_profiles); failing
     at import beats failing at the next driver run. The pytest sweep
     (test_oracle_parity) re-checks against the REAL parquet schemas."""
+    if _SKIP_VALIDATION:
+        return
     try:
         desc = _oracle_validator().execute(
             f"DESCRIBE ({sql.rstrip().rstrip(';')})"

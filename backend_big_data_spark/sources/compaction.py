@@ -115,7 +115,19 @@ def compact_parquet_dataset(
     partitions' buckets; a 100 TB table compacts partition-parallel
     instead of through one global round-robin exchange.
     """
-    df: DataFrame = spark.read.parquet(in_path)
+    # partition values stay the literal directory strings: type inference
+    # would read month=01 back as int 1 and the compacted write would
+    # re-render the directory as month=1 — a silently different layout
+    _TI = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_ti = spark.conf.get(_TI, None)
+    spark.conf.set(_TI, "false")
+    try:
+        df: DataFrame = spark.read.parquet(in_path)
+    finally:
+        if prev_ti is None:
+            spark.conf.unset(_TI)
+        else:
+            spark.conf.set(_TI, prev_ti)
     target_bytes = target_file_mb * 1024 * 1024
 
     if not partition_by:
@@ -134,38 +146,66 @@ def compact_parquet_dataset(
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
         raise ValueError(f"partition_by columns not in dataset: {missing}")
-    per_part = partition_file_stats(spark, in_path, len(partition_by))
+    depth = len(partition_by)
+    per_part = partition_file_stats(spark, in_path, depth)
     n_before = sum(n for n, _ in per_part.values())
     bytes_total = sum(b for _, b in per_part.values())
-    # per-partition file target, joined in as a tiny broadcast map keyed on
-    # the hive directory components (null → __HIVE_DEFAULT_PARTITION__)
-    targets = [
-        (*(c.split("=", 1)[1] for c in key), max(1, math.ceil(b / target_bytes)))
-        for key, (_, b) in sorted(per_part.items())
-    ]
-    n_target = sum(t[-1] for t in targets)
+    # Per-partition (cumulative file offset, file target), keyed by the
+    # partition DIRECTORY string exactly as the FS listing produced it.
+    # Rows are matched to their stats via input_file_name() — the row's own
+    # source path — never by casting partition VALUES back to strings,
+    # which silently misses whenever hive escaping or type inference
+    # changes the rendering (month=01 reads back as int 1 ≠ '01').
+    targets = []
+    offset = 0
+    for key, (_, b) in sorted(per_part.items()):
+        nfiles = max(1, math.ceil(b / target_bytes))
+        targets.append(("/".join(key), offset, nfiles))
+        offset += nfiles
+    n_target = offset
     tmap = spark.createDataFrame(
-        targets,
-        ", ".join(f"__pv{i} string" for i in range(len(partition_by)))
-        + ", __nfiles int",
+        targets, "__pdir string, __offset int, __nfiles int"
     )
-    join_cond = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_HIVE_NULL))
-        == F.col(f"__pv{i}")
-        for i, c in enumerate(partition_by)
-    ]
-    # deterministic row → bucket assignment; buckets per partition = its own
-    # file target. repartition on (partition cols, bucket) keys the shuffle
-    # so every output file holds one partition's rows only.
+    # row → partition dir: decode the file URI (input_file_name URI-escapes
+    # special characters), strip the scheme and the dataset root, keep the
+    # first `depth` components. Root resolved through the same Hadoop Path
+    # normalization partition_file_stats used.
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(in_path)
+    root = p.getFileSystem(conf).getFileStatus(p).getPath().toUri().getPath()
+    row_dir = F.concat_ws(
+        "/", F.slice(F.split(F.col("__rel"), "/"), 1, depth)
+    )
+    # deterministic row → GLOBAL bucket ordinal (partition offset + local
+    # bucket): every output file has its own bucket value, and the range
+    # repartition maps distinct ordinals to distinct shuffle partitions —
+    # hash-partitioning on (partition, bucket) let unrelated buckets
+    # collide into double-size files
     data_cols = [c for c in df.columns if c not in partition_by]
-    bucket = F.pmod(
+    local_bucket = F.pmod(
         F.abs(F.xxhash64(*[F.col(c) for c in data_cols])), F.col("__nfiles")
     )
+    gbucket = F.when(
+        F.col("__nfiles").isNull(),
+        F.raise_error(
+            F.concat(F.lit("partition stats missed source dir: "), F.col("__rel"))
+        ).cast("int"),
+    ).otherwise(F.col("__offset") + local_bucket)
     (
-        df.join(F.broadcast(tmap), join_cond, "left")
-        .withColumn("__bucket", F.coalesce(bucket, F.lit(0)))
-        .repartition(n_target, *partition_by, F.col("__bucket"))
-        .drop("__bucket", "__nfiles", *[f"__pv{i}" for i in range(len(partition_by))])
+        df.withColumn(
+            "__rel",
+            F.regexp_replace(
+                F.url_decode(F.input_file_name()),
+                "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?",
+                "",
+            ).substr(F.lit(len(root) + 2), F.lit(1 << 20)),
+        )
+        .withColumn("__pdir", row_dir)
+        .join(F.broadcast(tmap), "__pdir", "left")
+        .withColumn("__gbucket", gbucket)
+        .repartitionByRange(n_target, F.col("__gbucket"))
+        .drop("__rel", "__pdir", "__gbucket", "__offset", "__nfiles")
         .write.mode("error")
         .partitionBy(*partition_by)
         .parquet(out_path)

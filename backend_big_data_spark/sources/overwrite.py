@@ -31,18 +31,26 @@ def overwrite_partitions(
     """Overwrite exactly the ``partition_by`` partitions present in ``df``
     at ``path``; returns the replaced partition tuples (sorted)."""
     spark = df.sparkSession
-    touched = sorted(
-        tuple(r) for r in df.select(*partition_by).distinct().collect()
-    )
-    prev = spark.conf.get(_MODE_KEY, None)
-    spark.conf.set(_MODE_KEY, "dynamic")
+    # persist before the audit collect: otherwise the caller's lineage
+    # (possibly an expensive or nondeterministic pipeline) executes twice —
+    # once for the partition listing, again for the write — and the audit
+    # list could disagree with what the write actually replaced
+    df = df.persist()
     try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        touched = sorted(
+            tuple(r) for r in df.select(*partition_by).distinct().collect()
+        )
+        prev = spark.conf.get(_MODE_KEY, None)
+        spark.conf.set(_MODE_KEY, "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(_MODE_KEY)
+            else:
+                spark.conf.set(_MODE_KEY, prev)
     finally:
-        if prev is None:
-            spark.conf.unset(_MODE_KEY)
-        else:
-            spark.conf.set(_MODE_KEY, prev)
+        df.unpersist()
     return touched
 
 

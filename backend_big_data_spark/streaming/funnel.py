@@ -41,21 +41,32 @@ def user_funnel_stages(events: DataFrame) -> DataFrame:
         t1, t2, t3 = state.get if state.exists else (None, None, None)
         import pandas as pd
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for _, row in pdf.iterrows():
-                ts = int(row["ts"].timestamp())
-                et = row["event_type"]
-                if et == "view" and (t1 is None or ts < t1):
-                    t1 = ts
-                elif et == "click" and t1 is not None and ts > t1 and (
-                    t2 is None or ts < t2
-                ):
-                    t2 = ts
-                elif et == "purchase" and t2 is not None and ts > t2 and (
-                    t3 is None or ts < t3
-                ):
-                    t3 = ts
+        # concatenate ALL Arrow chunks before sorting: a group larger than
+        # arrow.maxRecordsPerBatch arrives as multiple chunks, and sorting
+        # each chunk independently would process a later-chunk view after
+        # an earlier-chunk click, silently missing the stage
+        chunks = list(pdfs)
+        if not chunks:  # state-only invocation (e.g. under a timeout conf)
+            state.update((t1, t2, t3))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "t_view": [t1], "t_click": [t2],
+                 "t_purchase": [t3]}
+            )
+            return
+        whole = pd.concat(chunks, ignore_index=True)
+        for _, row in whole.sort_values("ts").iterrows():
+            ts = int(row["ts"].timestamp())
+            et = row["event_type"]
+            if et == "view" and (t1 is None or ts < t1):
+                t1 = ts
+            elif et == "click" and t1 is not None and ts > t1 and (
+                t2 is None or ts < t2
+            ):
+                t2 = ts
+            elif et == "purchase" and t2 is not None and ts > t2 and (
+                t3 is None or ts < t3
+            ):
+                t3 = ts
         state.update((t1, t2, t3))
         yield pd.DataFrame(
             {

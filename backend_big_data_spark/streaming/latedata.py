@@ -40,14 +40,25 @@ def _state_dir(main_dir: str) -> str:
     return os.path.join(main_dir, "_event_clock")
 
 
-def read_event_clock(spark: SparkSession, main_dir: str) -> int | None:
-    """Stored max event time (epoch micros), or None before any batch."""
+def read_event_clock(
+    spark: SparkSession, main_dir: str, before_batch: int | None = None
+) -> int | None:
+    """Stored max event time (epoch micros), or None before any batch.
+
+    ``before_batch``: consider only state written by batches with a
+    STRICTLY SMALLER id — the replay guard: a replayed batch N must see
+    the clock as it stood before N's own (possibly crash-torn) first
+    attempt, or it would compute a later threshold and split differently
+    than the original run."""
     path = _state_dir(main_dir)
-    if not os.path.isdir(path) or not any(
-        n.startswith("batch=") for n in os.listdir(path)
-    ):
+    batches = [
+        n for n in (os.listdir(path) if os.path.isdir(path) else [])
+        if n.startswith("batch=")
+        and (before_batch is None or int(n.split("=", 1)[1]) < before_batch)
+    ]
+    if not batches:
         return None
-    df = spark.read.parquet(path + "/batch=*")
+    df = spark.read.parquet(*[f"{path}/{b}" for b in batches])
     row = df.agg(F.max("max_ts_us").alias("m")).collect()[0]
     return None if row["m"] is None else int(row["m"])
 
@@ -65,7 +76,7 @@ def late_router_sink(
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        clock = read_event_clock(spark, main_dir)
+        clock = read_event_clock(spark, main_dir, before_batch=batch_id)
         ts_us = F.unix_micros(F.col(ts_col))
         if clock is None:
             late = batch.limit(0)

@@ -510,11 +510,12 @@ def incremental_dedup_kept(
     """
     base = docs.select(F.col(id_col), F.col(text_col), is_new.alias("__new"))
     # The pair table is tiny (near-dup pairs only) but its producing subtree
-    # (LSH bands + exact verify) is the most expensive plan in the module —
-    # and it feeds TWO consumers here (cross-near removal, within-batch
-    # components). Persist so it materializes once; released via
-    # release_dedup_caches() like every other intermediate.
-    verified_pairs = _persist(verified_pairs, True)
+    # (LSH bands + exact verify) is the most expensive plan in the module.
+    # With within_batch_near it feeds TWO consumers (cross-near removal,
+    # within-batch components) — persist so it materializes once, released
+    # via release_dedup_caches(). Cross-only mode has ONE consumer: a
+    # persist there is pure cost plus a cache entry to leak.
+    verified_pairs = _persist(verified_pairs, within_batch_near)
     fps = base.select(
         F.col(id_col), F.md5(text_col).alias("__fp"), F.col("__new")
     )

@@ -255,3 +255,47 @@ def test_read_evolving_parquet_merges_and_aligns(spark, tmp_path):
     arows = {r["id"]: r for r in aligned.collect()}
     assert arows[1]["lang"] is None and arows[1]["score"] is None
     assert arows[2]["score"] == 9.5
+
+
+def test_partitioned_compaction_zero_padded_values_and_exact_targets(spark, tmp_path):
+    """Regression: partition dirs whose STRING value re-infers differently
+    ('month=01' reads back as int 1) used to miss the stats join and
+    collapse to one file; matching now keys on the row's own source path.
+    Also: bucket → file mapping is exact (no hash collisions merging two
+    target files)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "padsrc")
+    out = str(tmp_path / "padout")
+    df = (
+        spark.range(6_000)
+        .withColumn("month", F.when(F.col("id") % 2 == 0, "01").otherwise("11"))
+        .withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+    )
+    df.repartition(6).write.partitionBy("month").parquet(src)
+    n_before, _ = dataset_file_stats(spark, src)
+    assert n_before == 12
+
+    # ~tiny target so each partition needs MULTIPLE files — sizing must
+    # reach the join (the old cast-string match nulled out and forced 1)
+    stats = compact_parquet_dataset(
+        spark, src, out, target_file_mb=1, partition_by=["month"]
+    )
+    import math
+    import pathlib
+
+    per_part = {}
+    for d in pathlib.Path(out).glob("month=*"):
+        per_part[d.name] = len(list(d.glob("*.parquet")))
+    # both partitions exist, and file counts equal the computed targets
+    # EXACTLY (range repartition on the global bucket ordinal)
+    assert set(per_part) == {"month=01", "month=11"}
+    assert sum(per_part.values()) == stats["files_after"] == stats["target_files"]
+    assert all(v >= 1 for v in per_part.values())
+    back = spark.read.parquet(out)
+    assert back.count() == 6_000
+    # month read back as int (type inference) — data equivalence via sums
+    assert (
+        back.agg(F.sum(F.crc32(F.col("payload")))).collect()[0][0]
+        == df.agg(F.sum(F.crc32(F.col("payload")))).collect()[0][0]
+    )
