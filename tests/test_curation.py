@@ -660,3 +660,20 @@ def test_prefix_join_hot_shingle_never_joins(spark):
     out = prefix_filtered_jaccard_pairs(df, threshold=0.5)
     pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
     assert pairs == {(0, 1)}
+
+
+def test_strip_boilerplate_is_idempotent_on_real_corpus(spark):
+    """Property: surviving segments all have doc-frequency <= max_df, so a
+    second pass removes nothing — the cleaning is a fixed point."""
+    from backend_big_data_spark.text.segments import strip_boilerplate
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    once = strip_boilerplate(docs, seg_len=4, max_df=2).select(
+        F.col("doc_id"), F.col("clean_text").alias("text")
+    )
+    twice = strip_boilerplate(once, seg_len=4, max_df=2)
+    a = {(r["doc_id"], r["clean_text"]) for r in twice.collect()}
+    b = {(r["doc_id"], r["text"]) for r in once.collect()}
+    assert a == b
+    assert twice.filter(F.col("n_dropped") > 0).count() == 0
