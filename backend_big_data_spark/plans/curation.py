@@ -1133,3 +1133,48 @@ def doc_prefix_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filtered_jaccard_pairs(
         doc_shingles(docs), threshold=0.5
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (fixed-weight logistic classifier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_quality_score_lr",
+    oracle=r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS n_distinct,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> x IN ('the','a','an','of','and','in','to','is','it','that'))) AS DOUBLE) AS stop_hits,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS chars_no_ws
+  FROM documents
+),
+z AS (
+  SELECT doc_id,
+         -2.0 + 1.5 * (n_distinct / n_tokens)
+              + 2.0 * (stop_hits / n_tokens)
+              + 0.1 * (chars_no_ws / n_tokens)
+              + 0.3 * ln(n_tokens) AS zv
+  FROM f
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-zv)), 6) AS quality_score,
+       (zv >= 0) AS keep
+FROM z ORDER BY doc_id
+""",
+)
+def doc_quality_score_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filter, scoring side (text/filtering.py
+    ``quality_score_lr``): fixed published logistic weights over TTR /
+    stopword density / avg token length / log token count — the trained
+    artifact pinned as plan constants so the whole scorer replays in SQL
+    (same pattern as fixed-centroid KMeans / anchor PQ codebooks). The
+    keep verdict is the linear score's sign, never the sigmoid's libm
+    tail. Pure codegen — zero shuffles before any downstream agg."""
+    from backend_big_data_spark.text.filtering import quality_score_lr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score_lr(docs).orderBy("doc_id")

@@ -64,4 +64,61 @@ def blocklist_profile(
     )
 
 
-__all__ = ["DEFAULT_BLOCKLIST", "blocked_hits", "blocklist_profile"]
+#: Published fixed weights for the logistic quality scorer (the fastText/
+#: classifier-based quality-filter analog from the public pretraining
+#: literature, with the TRAINED artifact pinned as plan constants the same
+#: way the ANN family pins centroids/codebooks — scoring stays pure SQL).
+LR_WEIGHTS = {
+    "bias": -2.0,
+    "ttr": 1.5,
+    "stopword_ratio": 2.0,
+    "avg_token_len": 0.1,
+    "log_tokens": 0.3,
+}
+
+
+def quality_score_lr(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality score: logistic over (type-token ratio, stopword
+    density, avg token length, log token count) with the fixed
+    ``LR_WEIGHTS``. Output: ``(id_col, quality_score double [6dp], keep
+    boolean)``; ``keep`` is decided on the LINEAR score's sign (≡ sigmoid
+    ≥ 0.5) so the verdict never rides the sigmoid's libm tail. Pure
+    codegen column math — the scoring side of a quality classifier with
+    training done elsewhere (any trainer that emits these weights drops
+    in)."""
+    from backend_big_data_spark.text.quality import EN_STOPWORDS
+
+    t = tokens(F.col(text_col))
+    n_tokens = F.size(t).cast("double")
+    ttr = F.size(F.array_distinct(t)) / n_tokens
+    stop = blocked_hits(t, EN_STOPWORDS) / n_tokens
+    avg_len = (
+        F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n_tokens
+    )
+    w = LR_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["ttr"]) * ttr
+        + F.lit(w["stopword_ratio"]) * stop
+        + F.lit(w["avg_token_len"]) * avg_len
+        + F.lit(w["log_tokens"]) * F.log(n_tokens)
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.select(
+        F.col(id_col),
+        F.round(score, 6).alias("quality_score"),
+        (z >= 0).alias("keep"),
+    )
+
+
+__all__ = [
+    "DEFAULT_BLOCKLIST",
+    "LR_WEIGHTS",
+    "blocked_hits",
+    "blocklist_profile",
+    "quality_score_lr",
+]

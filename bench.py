@@ -103,6 +103,7 @@ HEADLINE = [
     "lineitem_stats_profile",
     "events_daily_anomalies",
     "doc_prefix_join_pairs",
+    "doc_quality_score_lr",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
