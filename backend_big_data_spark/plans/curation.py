@@ -1178,3 +1178,154 @@ def doc_quality_score_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return quality_score_lr(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# The full cleaning pipeline as ONE declarative plan (stage funnel report)
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_oracle() -> str:
+    return rf"""
+WITH d0 AS (SELECT doc_id, text, source FROM documents),
+-- stage 1: blocklist density <= 5%
+t1 AS (
+  SELECT doc_id, text, source,
+         string_split_regex(trim(text), '\s+') AS t FROM d0
+),
+d1 AS (
+  SELECT doc_id, text, source FROM t1
+  WHERE CAST(len(list_filter(t, x -> list_contains({DEFAULT_BLOCKLIST!r}, x))) AS DOUBLE)
+        / len(t) <= 0.05
+),
+-- stage 2: boilerplate strip (4-token segments, df > 2 within SURVIVORS)
+t2 AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM d1
+),
+segs0 AS (
+  SELECT doc_id, source,
+         [{{'seg_idx': i,
+            'segment': array_to_string(t[i*4+1 : i*4+4], ' ')}}
+          FOR i IN range(0, CAST(ceil(len(t)/4.0) AS INT))] AS ss
+  FROM t2 WHERE len(t) > 0
+),
+segs AS (
+  SELECT doc_id, source, s.seg_idx AS seg_idx, s.segment AS segment
+  FROM (SELECT doc_id, source, unnest(ss) AS s FROM segs0)
+),
+hot AS (
+  SELECT segment FROM segs GROUP BY segment
+  HAVING COUNT(DISTINCT doc_id) > 2
+),
+kept_segs AS (
+  SELECT * FROM segs WHERE segment NOT IN (SELECT segment FROM hot)
+),
+d2 AS (
+  SELECT doc_id, source,
+         array_to_string(list(segment ORDER BY seg_idx), ' ') AS text
+  FROM kept_segs GROUP BY doc_id, source
+),
+-- stage 3: exact dedup on the CLEANED text (min doc_id canonical)
+canon AS (
+  SELECT MIN(doc_id) AS keep_id FROM d2 GROUP BY md5(text)
+),
+d3 AS (
+  SELECT * FROM d2 WHERE doc_id IN (SELECT keep_id FROM canon)
+),
+-- stage 4: logistic quality keep (linear score sign)
+t4 AS (
+  SELECT doc_id, text, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS n_distinct,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> x IN ('the','a','an','of','and','in','to','is','it','that'))) AS DOUBLE) AS stop_hits,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS chars_no_ws
+  FROM d3
+),
+d4 AS (
+  SELECT doc_id, text, source FROM t4
+  WHERE -2.0 + 1.5 * (n_distinct / n_tokens)
+             + 2.0 * (stop_hits / n_tokens)
+             + 0.1 * (chars_no_ws / n_tokens)
+             + 0.3 * ln(n_tokens) >= 0
+),
+-- stage 5: temperature mix (alpha=0.5, keep half) over SURVIVORS
+counts AS (SELECT source, COUNT(*) AS n_docs FROM d4 GROUP BY source),
+stats AS (
+  SELECT list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+                     (a, x) -> a + x) AS Z,
+         CAST(SUM(n_docs) AS BIGINT) AS N
+  FROM counts
+),
+rates AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0,
+               CAST(N AS DOUBLE) * 0.5 * sqrt(CAST(n_docs AS DOUBLE))
+               / Z / n_docs) * 1e6 + 0.5) AS BIGINT) AS thresh
+  FROM counts, stats
+),
+d5 AS (
+  SELECT d.doc_id FROM d4 d JOIN rates r ON d.source = r.source
+  WHERE (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         % 1000000) < r.thresh
+)
+SELECT * FROM (
+  SELECT '0_raw' AS stage, CAST((SELECT COUNT(*) FROM d0) AS BIGINT) AS n_docs
+  UNION ALL SELECT '1_blocklist', CAST((SELECT COUNT(*) FROM d1) AS BIGINT)
+  UNION ALL SELECT '2_boilerplate', CAST((SELECT COUNT(*) FROM d2) AS BIGINT)
+  UNION ALL SELECT '3_exact_dedup', CAST((SELECT COUNT(*) FROM d3) AS BIGINT)
+  UNION ALL SELECT '4_quality', CAST((SELECT COUNT(*) FROM d4) AS BIGINT)
+  UNION ALL SELECT '5_temperature_mix', CAST((SELECT COUNT(*) FROM d5) AS BIGINT)
+) ORDER BY stage
+"""
+
+
+@register("doc_cleaning_pipeline_funnel", oracle=_pipeline_oracle())
+def doc_cleaning_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one declarative plan — blocklist
+    density filter → cross-document boilerplate strip (frequencies
+    computed within survivors) → exact dedup on the CLEANED text →
+    logistic quality keep → temperature-weighted source rebalance — with
+    a per-stage survivor count report (the funnel a pipeline dashboard
+    shows). Each stage is the already-certified operator composed
+    unchanged; Catalyst sees one DAG, so scans/exchanges are shared
+    across stages instead of one job per stage. Stage semantics are
+    data-dependent end-to-end (each stage sees the previous stage's
+    output), which is exactly what the oracle replays."""
+    from backend_big_data_spark.text.dedup import exact_dedup_fingerprints
+    from backend_big_data_spark.text.filtering import blocklist_profile, quality_score_lr
+    from backend_big_data_spark.text.mixing import temperature_mix
+    from backend_big_data_spark.text.segments import strip_boilerplate
+
+    d0 = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    bl = blocklist_profile(d0, max_ratio=0.05)
+    d1 = d0.join(bl.filter(F.col("kept")).select("doc_id"), "doc_id", "semi")
+    stripped = strip_boilerplate(d1, seg_len=4, max_df=2)
+    d2 = stripped.select(
+        "doc_id", F.col("clean_text").alias("text")
+    ).join(d0.select("doc_id", "source"), "doc_id")
+    canon = exact_dedup_fingerprints(d2).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    d3 = d2.join(canon, "doc_id", "semi")
+    q = quality_score_lr(d3)
+    d4 = d3.join(q.filter(F.col("keep")).select("doc_id"), "doc_id", "semi")
+    d5 = temperature_mix(d4, keep_frac=0.5)
+    counts = [
+        ("0_raw", d0),
+        ("1_blocklist", d1),
+        ("2_boilerplate", d2),
+        ("3_exact_dedup", d3),
+        ("4_quality", d4),
+        ("5_temperature_mix", d5),
+    ]
+    frames = [
+        df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+        for stage, df in counts
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("stage")

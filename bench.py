@@ -104,6 +104,7 @@ HEADLINE = [
     "events_daily_anomalies",
     "doc_prefix_join_pairs",
     "doc_quality_score_lr",
+    "doc_cleaning_pipeline_funnel",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
