@@ -111,15 +111,18 @@ _FRONT = [
 ]
 # Round-5 rotation note: this window re-certifies everything drifted in
 # round 4 plus the previously-uncovered six; the next _FRONT should lead
-# with the 19 round-4 queries that did not fit this window (all
+# with the 24 round-4 queries that did not fit this window (all
 # pytest-oracle-certified this round): the TPC-H five (q7_volume_shipping,
 # q9_product_profit, q12_shipping_tiers, q14_promo_revenue,
 # q19_disjunctive_revenue), the curation batch (doc_segment_dedup,
 # doc_blocklist_filter, doc_snapshot_diff, events_funnel_conversion,
 # doc_corpus_dedup_best, customer_spend_distribution, orders_profile,
-# doc_temperature_mix), the ANN additions (ann_pq_topk, ann_ivf_pq_topk),
-# and the layout/timeseries/source additions (events_value_ewma,
-# events_zorder_codes, events_scd2_intervals, pyds_catalog_scan); then the
+# doc_temperature_mix, doc_quality_score_lr,
+# doc_cleaning_pipeline_funnel, doc_prefix_join_pairs), the ANN additions
+# (ann_pq_topk, ann_ivf_pq_topk), the layout/timeseries/source additions
+# (events_value_ewma, events_zorder_codes, events_scd2_intervals,
+# events_daily_anomalies, pyds_catalog_scan), and the aggregate additions
+# (order_value_geomean_by_priority, lineitem_stats_profile); then the
 # displaced backfill five (orders_by_month, events_by_hour,
 # avg_order_value_by_year, first_order_per_customer,
 # top_order_per_customer), then rotate
