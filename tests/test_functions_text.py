@@ -228,3 +228,26 @@ def test_hash_sampling_stability_and_consistency(spark):
     o1 = [r.doc_id for r in deterministic_shuffle(df, F.col("doc_id")).collect()]
     o2 = [r.doc_id for r in deterministic_shuffle(df, F.col("doc_id")).collect()]
     assert o1 == o2 and o1 != sorted(o1)
+
+
+def test_arrow_optimized_python_udf_matches_row_udf(spark):
+    """Spark 4 Arrow-optimized Python UDF (useArrow=True): same semantics
+    as the classic pickled row UDF, vectorized Arrow transfer — the
+    documented migration path for unavoidable scalar Python. (The engine's
+    hot paths stay JVM-side; this pins the escape hatch's contract.)"""
+    from pyspark.sql import functions as F
+
+    def fold_case(s: str) -> str:
+        return s.swapcase() if s else s
+
+    arrow_udf = F.udf(fold_case, "string", useArrow=True)
+    row_udf = F.udf(fold_case, "string", useArrow=False)
+    df = spark.createDataFrame(
+        [("MiXeD",), ("lower",), ("UPPER",), (None,)], "s string"
+    )
+    a = [r["a"] for r in df.select(arrow_udf("s").alias("a")).collect()]
+    b = [r["b"] for r in df.select(row_udf("s").alias("b")).collect()]
+    assert a == b == ["mIxEd", "LOWER", "upper", None]
+    # and it composes inside ordinary column expressions
+    out = df.select(F.upper(arrow_udf("s")).alias("u")).collect()
+    assert [r["u"] for r in out] == ["MIXED", "LOWER", "UPPER", None]

@@ -105,3 +105,30 @@ def test_photo_search_stays_jvm_side(spark):
 def test_photo_owner_profiles_single_aggregate_no_window(spark):
     plan = _plan(spark, "photo_owner_profiles")
     assert "Window" not in plan  # argmax via max(struct), not row_number
+
+
+def test_join_strategy_hints_control_physical_join(spark):
+    """Join-strategy control coverage: the same equi-join planned as
+    broadcast / sort-merge / shuffle-hash purely via hints — the knobs a
+    100 TB tuning session actually turns when AQE's default is wrong."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    orders = spark.read.parquet(SF_SMALL + "/orders.parquet")
+    cust = spark.read.parquet(SF_SMALL + "/customer.parquet")
+
+    def physical(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    j = orders.join(cust.hint("broadcast"), orders.o_custkey == cust.c_custkey)
+    assert "BroadcastHashJoin" in physical(j)
+    j = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+    assert "SortMergeJoin" in physical(j)
+    j = orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+    assert "ShuffledHashJoin" in physical(j)
+    # results identical regardless of strategy
+    counts = {
+        h: orders.join(cust.hint(h), orders.o_custkey == cust.c_custkey).count()
+        for h in ("broadcast", "merge", "shuffle_hash")
+    }
+    assert len(set(counts.values())) == 1
