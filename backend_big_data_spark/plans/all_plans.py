@@ -111,7 +111,7 @@ _FRONT = [
 ]
 # Round-5 rotation note: this window re-certifies everything drifted in
 # round 4 plus the previously-uncovered six; the next _FRONT should lead
-# with the 24 round-4 queries that did not fit this window (all
+# with the 25 round-4 queries that did not fit this window (all
 # pytest-oracle-certified this round): the TPC-H five (q7_volume_shipping,
 # q9_product_profit, q12_shipping_tiers, q14_promo_revenue,
 # q19_disjunctive_revenue), the curation batch (doc_segment_dedup,

@@ -1140,32 +1140,50 @@ def doc_prefix_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "doc_quality_score_lr",
-    oracle=r"""
-WITH f AS (
+def _lr_features_sql(src: str) -> str:
+    """Feature CTE body for the logistic scorer over table/CTE ``src`` —
+    stopword list interpolated from the ONE definition the engine uses."""
+    from backend_big_data_spark.text.quality import EN_STOPWORDS
+
+    stop = ",".join(f"'{w}'" for w in EN_STOPWORDS)
+    return rf"""
   SELECT doc_id,
          CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
          CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS n_distinct,
          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-              x -> x IN ('the','a','an','of','and','in','to','is','it','that'))) AS DOUBLE) AS stop_hits,
+              x -> x IN ({stop}))) AS DOUBLE) AS stop_hits,
          CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS chars_no_ws
-  FROM documents
+  FROM {src}"""
+
+
+def _lr_z_sql() -> str:
+    """The linear score expression, interpolated from LR_WEIGHTS — one
+    source of truth shared by the scorer and pipeline oracles."""
+    from backend_big_data_spark.text.filtering import LR_WEIGHTS as w
+
+    return (
+        f"{w['bias']} + {w['ttr']} * (n_distinct / n_tokens) "
+        f"+ {w['stopword_ratio']} * (stop_hits / n_tokens) "
+        f"+ {w['avg_token_len']} * (chars_no_ws / n_tokens) "
+        f"+ {w['log_tokens']} * ln(n_tokens)"
+    )
+
+
+def _quality_lr_oracle() -> str:
+    return f"""
+WITH f AS ({_lr_features_sql("documents")}
 ),
 z AS (
-  SELECT doc_id,
-         -2.0 + 1.5 * (n_distinct / n_tokens)
-              + 2.0 * (stop_hits / n_tokens)
-              + 0.1 * (chars_no_ws / n_tokens)
-              + 0.3 * ln(n_tokens) AS zv
-  FROM f
+  SELECT doc_id, {_lr_z_sql()} AS zv FROM f
 )
 SELECT doc_id,
        ROUND(1.0 / (1.0 + exp(-zv)), 6) AS quality_score,
-       (zv >= 0) AS keep
+       (FLOOR(zv * 1e6 + 0.5) >= 0) AS keep
 FROM z ORDER BY doc_id
-""",
-)
+"""
+
+
+@register("doc_quality_score_lr", oracle=_quality_lr_oracle())
 def doc_quality_score_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-based quality filter, scoring side (text/filtering.py
     ``quality_score_lr``): fixed published logistic weights over TTR /
@@ -1232,22 +1250,13 @@ canon AS (
 d3 AS (
   SELECT * FROM d2 WHERE doc_id IN (SELECT keep_id FROM canon)
 ),
--- stage 4: logistic quality keep (linear score sign)
-t4 AS (
-  SELECT doc_id, text, source,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
-         CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS n_distinct,
-         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-              x -> x IN ('the','a','an','of','and','in','to','is','it','that'))) AS DOUBLE) AS stop_hits,
-         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS chars_no_ws
-  FROM d3
+-- stage 4: logistic quality keep (grid-snapped linear score sign;
+-- features + weights interpolated from the engine's single definition)
+t4 AS ({_lr_features_sql("d3")}
 ),
 d4 AS (
-  SELECT doc_id, text, source FROM t4
-  WHERE -2.0 + 1.5 * (n_distinct / n_tokens)
-             + 2.0 * (stop_hits / n_tokens)
-             + 0.1 * (chars_no_ws / n_tokens)
-             + 0.3 * ln(n_tokens) >= 0
+  SELECT d3.doc_id, d3.text, d3.source FROM t4 JOIN d3 USING (doc_id)
+  WHERE FLOOR(({_lr_z_sql()}) * 1e6 + 0.5) >= 0
 ),
 -- stage 5: temperature mix (alpha=0.5, keep half) over SURVIVORS
 counts AS (SELECT source, COUNT(*) AS n_docs FROM d4 GROUP BY source),

@@ -85,8 +85,9 @@ def quality_score_lr(
     """Model-based quality score: logistic over (type-token ratio, stopword
     density, avg token length, log token count) with the fixed
     ``LR_WEIGHTS``. Output: ``(id_col, quality_score double [6dp], keep
-    boolean)``; ``keep`` is decided on the LINEAR score's sign (≡ sigmoid
-    ≥ 0.5) so the verdict never rides the sigmoid's libm tail. Pure
+    boolean)``; ``keep`` is the LINEAR score's sign (≡ sigmoid ≥ 0.5)
+    snapped to a millionths grid, so neither the sigmoid's libm tail nor
+    a last-bit ``ln`` divergence can flip the verdict cross-engine. Pure
     codegen column math — the scoring side of a quality classifier with
     training done elsewhere (any trainer that emits these weights drops
     in)."""
@@ -108,10 +109,14 @@ def quality_score_lr(
         + F.lit(w["log_tokens"]) * F.log(n_tokens)
     )
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # verdict on the linear score snapped to a millionths grid (same
+    # convention as temperature_mix's integer threshold): z contains a
+    # libm ln term, and engines' last-bit differences must not be able to
+    # flip the sign comparison
     return df.select(
         F.col(id_col),
         F.round(score, 6).alias("quality_score"),
-        (z >= 0).alias("keep"),
+        (F.floor(z * 1e6 + F.lit(0.5)) >= 0).alias("keep"),
     )
 
 

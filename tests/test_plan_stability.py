@@ -118,7 +118,10 @@ def test_join_strategy_hints_control_physical_join(spark):
     cust = spark.read.parquet(SF_SMALL + "/customer.parquet")
 
     def physical(df):
-        return df._jdf.queryExecution().executedPlan().toString()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
 
     j = orders.join(cust.hint("broadcast"), orders.o_custkey == cust.c_custkey)
     assert "BroadcastHashJoin" in physical(j)
