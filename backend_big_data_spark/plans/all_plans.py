@@ -26,6 +26,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round4,
     tpch_suite,
     curation,
+    round4b,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -111,8 +112,9 @@ _FRONT = [
 ]
 # Round-5 rotation note: this window re-certifies everything drifted in
 # round 4 plus the previously-uncovered six; the next _FRONT should lead
-# with the 25 round-4 queries that did not fit this window (all
-# pytest-oracle-certified this round): the TPC-H five (q7_volume_shipping,
+# with the 27 round-4 queries that did not fit this window (all
+# pytest-oracle-certified this round): the late curation pair
+# (doc_semdedup_kept, doc_dsir_weights), the TPC-H five (q7_volume_shipping,
 # q9_product_profit, q12_shipping_tiers, q14_promo_revenue,
 # q19_disjunctive_revenue), the curation batch (doc_segment_dedup,
 # doc_blocklist_filter, doc_snapshot_diff, events_funnel_conversion,

@@ -1,0 +1,117 @@
+"""Late round-4 additions: embedding-space semantic dedup (SemDeDup) and
+hashed-ngram importance weighting (DSIR) — the two remaining published
+building blocks of an LLM training-data curation pipeline that the engine
+did not yet expose as first-class queries.
+
+Both are oracle-gated end-to-end: SemDeDup through the fixed-centroid
+trick (assignment + within-cluster cosine are deterministic), DSIR through
+integer fixed-point accumulation of md5-hashed features (bit-identical on
+any engine at any parallelism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.plans.registry import register
+from backend_big_data_spark.similarity.semdedup import semdedup
+from backend_big_data_spark.sources.catalog import load_table
+from backend_big_data_spark.text.dsir import LAMBDA_SCALE, importance_weights
+
+# Deterministic anchor centroids: the first 10 corpus vectors — the same
+# fixed-quantizer convention as kmeans_embedding_clusters / IVF.
+_SEMDEDUP_ORACLE = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv FROM vecs WHERE vec_id < 10
+), assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vv.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY vv.vec_id
+                              ORDER BY list_distance(vv.v, c.cv), c.cluster) AS rn
+    FROM vecs vv, cents c
+  ) WHERE rn = 1
+), lab AS (
+  SELECT a.vec_id, a.cluster, v.v FROM assign a JOIN vecs v USING (vec_id)
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM lab a JOIN lab b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) > 0.3
+)
+SELECT l.vec_id, l.cluster, (d.vec_id IS NULL) AS kept
+FROM lab l LEFT JOIN dropped d ON l.vec_id = d.vec_id
+ORDER BY l.vec_id
+"""
+
+
+@register("doc_semdedup_kept", oracle=_SEMDEDUP_ORACLE)
+def doc_semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) over the embeddings table: k-means
+    bucket (fixed anchor centroids, vec_id < 10), exact cosine only within
+    a cluster, drop any vector with a lower-id neighbor above tau=0.3.
+    The quadratic term is bounded per cluster — the LAION-scale semantic
+    dedup shape. See `similarity/semdedup.py` for the plan anatomy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    return semdedup(emb, centroids, threshold=0.3).orderBy("vec_id")
+
+
+_DSIR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]{2,}') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) >= 2
+), feat AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 256 AS bucket,
+         COUNT(*) AS n
+  FROM grams GROUP BY 1, 2, 3
+), tmodel AS (
+  SELECT bucket, SUM(n) AS ct FROM feat WHERE lang = 'en' GROUP BY 1
+), rmodel AS (
+  SELECT bucket, SUM(n) AS cr FROM feat GROUP BY 1
+), lam AS (
+  SELECT b.bucket,
+         CAST(floor((ln((COALESCE(ct, 0) + 0.5)
+                         / ((SELECT SUM(ct) FROM tmodel) + 128.0))
+                     - ln((COALESCE(cr, 0) + 0.5)
+                          / ((SELECT SUM(cr) FROM rmodel) + 128.0)))
+                    * 10000 + 0.5) AS BIGINT) AS lambda_fp
+  FROM (SELECT unnest(range(0, 256)) AS bucket) b
+  LEFT JOIN tmodel ON b.bucket = tmodel.bucket
+  LEFT JOIN rmodel ON b.bucket = rmodel.bucket
+), scored AS (
+  SELECT f.doc_id, SUM(f.n * l.lambda_fp) AS weight_fp
+  FROM feat f JOIN lam l ON f.bucket = l.bucket GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(weight_fp, 0) AS BIGINT) AS weight_fp,
+       CAST(COALESCE(weight_fp, 0) AS BIGINT) / 10000.0 AS weight
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_dsir_weights", oracle=_DSIR_ORACLE)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (arXiv:2302.03169): target = the corpus's
+    English slice, raw = everything; features = md5-hashed unigrams ∪
+    bigrams into 256 buckets; per-doc weight = integer fixed-point sum of
+    per-bucket log-likelihood ratios (exact, order-independent — see
+    `text/dsir.py`). Downstream, `doc_temperature_mix`-style samplers
+    consume these weights for the resampling step."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = importance_weights(docs, target)
+    assert LAMBDA_SCALE == 10_000  # oracle literal above
+    return w.orderBy("doc_id")

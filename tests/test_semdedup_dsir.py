@@ -1,0 +1,123 @@
+"""Semantics tests for SemDeDup (similarity/semdedup.py) and DSIR
+(text/dsir.py) beyond the oracle-parity gate (which hash-checks both
+registered queries at sf0.001/sf0.01)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.similarity.semdedup import semdedup
+from backend_big_data_spark.text.dsir import importance_weights
+from tests.conftest import SF_SMALL
+
+
+def _toy_vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # anchor, cluster 0
+        (1, [0.0, 1.0, 0.0]),   # anchor, cluster 1
+        (10, [1.0, 0.01, 0.0]),  # near-dup of 0 (same cluster)
+        (11, [1.0, 0.02, 0.0]),  # near-dup of 0 and 10
+        (20, [0.0, 1.0, 0.5]),   # cluster 1, not a dup of 1 at tau=0.99
+        (21, [0.0, 1.0, 0.5]),   # exact dup of 20
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _toy_centroids(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cluster int, centroid array<double>",
+    )
+
+
+def test_semdedup_drops_higher_id_near_dups(spark):
+    out = semdedup(
+        _toy_vectors(spark), _toy_centroids(spark), threshold=0.99
+    ).collect()
+    kept = {r.vec_id: r.kept for r in out}
+    assert kept == {0: True, 1: True, 10: False, 11: False, 20: True, 21: False}
+    clusters = {r.vec_id: r.cluster for r in out}
+    assert clusters[10] == clusters[0] == 0
+    assert clusters[20] == clusters[1] == 1
+
+
+def test_semdedup_keeps_everything_at_impossible_threshold(spark):
+    out = semdedup(_toy_vectors(spark), _toy_centroids(spark), threshold=1.5)
+    assert out.filter(~F.col("kept")).count() == 0
+
+
+def test_semdedup_every_cluster_keeps_a_member(spark):
+    """The exemplar rule never empties a cluster: the min-id member has no
+    lower-id neighbor, so it always survives."""
+    from backend_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    out = semdedup(emb, cents, threshold=0.3)
+    per_cluster = (
+        out.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.min(F.when(F.col("kept"), F.col("vec_id"))).alias("first_kept"),
+            F.min("vec_id").alias("first_member"),
+        )
+        .collect()
+    )
+    assert per_cluster
+    for row in per_cluster:
+        assert 1 <= row.n_kept <= row.n
+        assert row.first_kept == row.first_member  # min-id always survives
+
+
+def _toy_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox sleeps under the old tree", "en"),
+        (3, "der schnelle braune fuchs springt ueber den hund", "de"),
+        (4, "le renard brun rapide saute par dessus le chien", "fr"),
+        (5, "", "en"),  # no extractable grams -> weight 0
+        (6, "the quick brown fox", "de"),  # en-looking text, de label
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    docs = _toy_docs(spark)
+    w = importance_weights(docs, docs.filter(F.col("lang") == "en"))
+    by_id = {r.doc_id: r.weight_fp for r in w.collect()}
+    # English docs built from target-model grams score above the non-English
+    assert by_id[1] > by_id[3] and by_id[1] > by_id[4]
+    assert by_id[2] > by_id[3]
+    # doc 6 shares the target's grams despite its label -> beats true de/fr
+    assert by_id[6] > by_id[3] and by_id[6] > by_id[4]
+    assert by_id[5] == 0
+
+
+def test_dsir_weights_invariant_under_repartition(spark):
+    """Integer fixed-point accumulation: the weight is EXACTLY the same at
+    any parallelism (an FP-sum implementation would drift in the last
+    ulps)."""
+    docs = _toy_docs(spark)
+    target = docs.filter(F.col("lang") == "en")
+    a = {
+        r.doc_id: r.weight_fp
+        for r in importance_weights(docs.repartition(1), target).collect()
+    }
+    b = {
+        r.doc_id: r.weight_fp
+        for r in importance_weights(
+            docs.repartition(7, "doc_id"), target.repartition(3)
+        ).collect()
+    }
+    assert a == b
+
+
+def test_dsir_weight_column_is_fp_scaled(spark):
+    docs = _toy_docs(spark)
+    w = importance_weights(docs, docs.filter(F.col("lang") == "en"))
+    for r in w.collect():
+        assert r.weight == r.weight_fp / 10_000
