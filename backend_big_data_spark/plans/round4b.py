@@ -18,6 +18,7 @@ from backend_big_data_spark.plans.registry import register
 from backend_big_data_spark.similarity.semdedup import semdedup
 from backend_big_data_spark.sources.catalog import load_table
 from backend_big_data_spark.text.dsir import LAMBDA_SCALE, importance_weights
+from backend_big_data_spark.text.pii import PII_PATTERNS, pii_profile
 
 # Deterministic anchor centroids: the first 10 corpus vectors — the same
 # fixed-quantizer convention as kmeans_embedding_clusters / IVF.
@@ -115,3 +116,52 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = importance_weights(docs, target)
     assert LAMBDA_SCALE == 10_000  # oracle literal above
     return w.orderBy("doc_id")
+
+
+def _pii_oracle() -> str:
+    """Interpolated from PII_PATTERNS — one pattern definition drives both
+    engines (the patterns avoid lookaround/backrefs so Java regex and RE2
+    agree)."""
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrub = "text"
+    for _, pat, token in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         'reach user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.0.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.1 ' || text AS text
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       md5({scrub}) AS redacted_md5
+FROM planted ORDER BY doc_id
+"""
+
+
+@register("doc_pii_redacted", oracle=_pii_oracle())
+def doc_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit (`text/pii.py`): per-document match counts per PII
+    class + md5 of the redacted text. The synthetic corpus carries no
+    organic PII, so the query PLANTS one email/phone/IPv4 per document
+    deterministically from doc_id (both engines plant identically) — the
+    planted-signal convention used by the stratified-sampling and
+    blocklist oracles. Map-only; fuses into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        did,
+        F.concat(
+            F.lit("reach user"), did.cast("string"),
+            F.lit("@example.com or +1 555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."), (did % 256).cast("string"), F.lit(".1 "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return pii_profile(planted).orderBy("doc_id")

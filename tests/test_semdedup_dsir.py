@@ -121,3 +121,41 @@ def test_dsir_weight_column_is_fp_scaled(spark):
     w = importance_weights(docs, docs.filter(F.col("lang") == "en"))
     for r in w.collect():
         assert r.weight == r.weight_fp / 10_000
+
+
+def test_pii_redaction_removes_every_match(spark):
+    from backend_big_data_spark.text.pii import pii_profile, redact
+
+    rows = [
+        (1, "mail me at jane.doe+spam@corp.example.org today"),
+        (2, "call +1 555-0199 or +44 201-7777 now"),
+        (3, "server 192.168.001.1 and 10.0.0.255 are down"),
+        (4, "no pii here at all"),
+        (5, "a@b.io and +9 123-4567 and 1.2.3.4"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = {r.doc_id: r for r in pii_profile(docs).collect()}
+    assert (prof[1].n_email, prof[1].n_phone, prof[1].n_ipv4) == (1, 0, 0)
+    assert (prof[2].n_email, prof[2].n_phone, prof[2].n_ipv4) == (0, 2, 0)
+    assert (prof[3].n_email, prof[3].n_phone, prof[3].n_ipv4) == (0, 0, 2)
+    assert (prof[4].n_email, prof[4].n_phone, prof[4].n_ipv4) == (0, 0, 0)
+    assert (prof[5].n_email, prof[5].n_phone, prof[5].n_ipv4) == (1, 1, 1)
+
+    # scrubbing is complete: re-profiling the redacted text finds nothing
+    from pyspark.sql import functions as F
+
+    rescrubbed = pii_profile(
+        docs.select("doc_id", redact(F.col("text")).alias("text"))
+    )
+    residue = rescrubbed.select(
+        F.sum(F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")).alias("n")
+    ).collect()[0].n
+    assert residue == 0
+    redacted = {
+        r.doc_id: r.text
+        for r in docs.select(
+            "doc_id", redact(F.col("text")).alias("text")
+        ).collect()
+    }
+    assert redacted[5] == "[EMAIL] and [PHONE] and [IP]"
+    assert redacted[4] == "no pii here at all"
