@@ -135,3 +135,70 @@ def test_join_strategy_hints_control_physical_join(spark):
         for h in ("broadcast", "merge", "shuffle_hash")
     }
     assert len(set(counts.values())) == 1
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """Runtime row-level filtering (the 100 TB shuffle-join path): with a
+    selective filter on the creation side of a shuffle join, Spark injects
+    a Bloom filter (`bloom_filter_agg` build + `might_contain` probe) on
+    the application side so most probe rows drop BEFORE the exchange.
+    Thresholds are tuned down for the test corpus (the defaults are sized
+    for multi-GB scans); result equivalence with the feature off is
+    asserted alongside the plan feature."""
+    from backend_big_data_spark.sources.catalog import load_table
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+    )
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in keys}
+
+    def build():
+        lineitem = load_table(spark, SF_SMALL, "lineitem")
+        orders = load_table(spark, SF_SMALL, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        return (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1B",
+        )
+        with_bloom = build()
+        optimized = (
+            with_bloom._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "bloom_filter_agg" in optimized
+        assert "might_contain" in optimized
+        rows_on = with_bloom.collect()
+
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = build()
+        assert "might_contain" not in (
+            plain._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert rows_on == plain.collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

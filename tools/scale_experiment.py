@@ -158,6 +158,40 @@ def main() -> None:
         results.setdefault("PQ encode (min-struct argmin)", []).append(
             timed(lambda: pq_encode(ve, cb, m=8, d_sub=8).count())
         )
+        # late round-4 shapes: SemDeDup and DSIR. For SemDeDup the centroid
+        # count scales WITH the factor and each replica's vectors are pushed
+        # far from the other replicas' (offset on dim 0), so per-cluster
+        # membership stays flat — otherwise identical replicas would pile
+        # into the lowest-id replica's clusters and the within-cluster
+        # quadratic term would measure the replication artifact.
+        from backend_big_data_spark.similarity.semdedup import semdedup  # noqa: PLC0415
+        from backend_big_data_spark.text.dsir import importance_weights  # noqa: PLC0415
+
+        spread = ve.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, i: x
+                + F.when(i == 0, (F.col("vec_id") / n_vec).cast("int") * 1e6)
+                .otherwise(F.lit(0.0)),
+            ),
+        ).persist()
+        spread.count()
+        cents = spread.filter(F.col("vec_id") % n_vec < 10).select(
+            F.col("vec_id").cast("int").alias("cluster"),
+            F.col("embedding").alias("centroid"),
+        )
+        results.setdefault("SemDeDup (assign + in-cluster pairs)", []).append(
+            timed(lambda: semdedup(spread, cents, threshold=0.3).count())
+        )
+        spread.unpersist()
+        results.setdefault("DSIR weights (hashed-ngram models)", []).append(
+            timed(
+                lambda: importance_weights(
+                    dd, dd.filter(F.col("lang") == "en")
+                ).count()
+            )
+        )
         ev.unpersist(); ve.unpersist(); probes.unpersist(); dd.unpersist()
 
     print(f"factors: {FACTORS}  (sf_dir={sf_dir}, min-of-{RUNS})")
