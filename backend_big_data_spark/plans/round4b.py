@@ -165,3 +165,54 @@ def doc_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_profile(planted).orderBy("doc_id")
+
+
+_BIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{2,}') AS t
+  FROM documents
+), uni AS (
+  SELECT unnest(t) AS w1 FROM toks
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY 1
+), v AS (
+  SELECT COUNT(*) AS v FROM c1
+), occ0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> {'w1': t[i], 'bigram': t[i] || ' ' || t[i + 1]})) AS s
+  FROM toks WHERE len(t) >= 2
+), occ AS (
+  SELECT doc_id, s.w1 AS w1, s.bigram AS bigram FROM occ0
+), c2 AS (
+  SELECT bigram, COUNT(*) AS c2 FROM occ GROUP BY 1
+), scored AS (
+  SELECT o.doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+         -SUM(CAST(floor((ln(c2.c2 + 0.5)
+                          - ln(c1.c1 + 0.5 * (SELECT v FROM v)))
+                         * 10000 + 0.5) AS BIGINT)) AS nll_fp
+  FROM occ o JOIN c2 ON o.bigram = c2.bigram JOIN c1 ON o.w1 = c1.w1
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       CAST(COALESCE(nll_fp, 0) AS BIGINT) AS nll_fp,
+       CASE WHEN n_bigrams > 0
+            THEN (CAST(nll_fp AS BIGINT) / 10000.0) / n_bigrams END AS avg_nll
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_bigram_perplexity", oracle=_BIGRAM_LM_ORACLE)
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (arXiv:1911.00359): per-document NLL
+    under an add-k-smoothed bigram model trained BY the same plan (two
+    corpus count aggregates). Per-bigram log-probs are fixed-point
+    integers before the per-doc sum — the DSIR determinism convention.
+    See `text/lm.py` for the model and the 100 TB notes (pinned model
+    tables drop in for the self-trained counts)."""
+    from backend_big_data_spark.text.lm import bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_nll(docs).orderBy("doc_id")

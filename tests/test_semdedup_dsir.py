@@ -159,3 +159,36 @@ def test_pii_redaction_removes_every_match(spark):
     }
     assert redacted[5] == "[EMAIL] and [PHONE] and [IP]"
     assert redacted[4] == "no pii here at all"
+
+
+def test_bigram_lm_scores_fluent_text_lower(spark):
+    """Docs made of corpus-frequent bigrams get lower per-bigram NLL than
+    docs of unique bigrams; sub-2-token docs score (0, 0, NULL)."""
+    from backend_big_data_spark.text.lm import bigram_nll
+
+    common = "the cat sat on the mat"
+    rows = (
+        [(i, common) for i in range(10)]
+        + [(100, "zq xv wk pj qg bn")]  # every bigram unique in the corpus
+        + [(101, "word")]  # one token -> no bigrams
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_nll(docs).collect()}
+    assert out[0].n_bigrams == 5
+    assert out[100].n_bigrams == 5
+    assert out[0].avg_nll < out[100].avg_nll
+    assert out[0].nll_fp == out[9].nll_fp  # identical docs, identical score
+    assert (out[101].n_bigrams, out[101].nll_fp, out[101].avg_nll) == (0, 0, None)
+
+
+def test_bigram_lm_invariant_under_repartition(spark):
+    from backend_big_data_spark.text.lm import bigram_nll
+    from backend_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = {r.doc_id: r.nll_fp for r in bigram_nll(docs.repartition(1)).collect()}
+    b = {
+        r.doc_id: r.nll_fp
+        for r in bigram_nll(docs.repartition(13, "doc_id")).collect()
+    }
+    assert a == b
