@@ -49,6 +49,7 @@ def assign_to_centroids(
     centroids: DataFrame,
     array_col: str = "embedding",
     id_col: str = "vec_id",
+    block_col: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment against a FIXED ``(cluster int,
     centroid array<double>)`` frame — the KMeans E-step as a pure
@@ -61,7 +62,16 @@ def assign_to_centroids(
 
     Scale: the corpus never shuffles — one map-side broadcast join plus a
     keyed window over (point × k) rows; at 100 TB this is the scoring
-    shape, with the model a k-row broadcast."""
+    shape, with the model a k-row broadcast.
+
+    Brute-force assignment is O(n·k): when k must GROW with the corpus
+    (SemDeDup sizes k so per-cluster membership stays bounded), pass
+    ``block_col`` — a coarse partition key present on BOTH frames (an IVF
+    coarse cell, an LSH bucket, a shard) — and each point compares only
+    against its block's centroids, restoring linear scaling (measured:
+    50× corpus with k ∝ n went 23.5× superlinear unblocked, flat
+    blocked; PERF.md). The centroid side keeps the broadcast hint — drop
+    to a keyed join upstream if the model outgrows broadcast range."""
     from pyspark.sql.window import Window
 
     v = F.col(array_col).cast("array<double>")
@@ -70,11 +80,14 @@ def assign_to_centroids(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = (
-        df.select(F.col(id_col), v.alias(array_col))
-        .crossJoin(F.broadcast(centroids))
-        .select(F.col(id_col), F.col("cluster"), sqdist.alias("__d2"))
-    )
+    base_cols = [F.col(id_col), v.alias(array_col)]
+    if block_col is not None:
+        base = df.select(*base_cols, F.col(block_col))
+        joined = base.join(F.broadcast(centroids), on=block_col)
+    else:
+        base = df.select(*base_cols)
+        joined = base.crossJoin(F.broadcast(centroids))
+    scored = joined.select(F.col(id_col), F.col("cluster"), sqdist.alias("__d2"))
     w = Window.partitionBy(id_col).orderBy("__d2", "cluster")
     return (
         scored.withColumn("__rn", F.row_number().over(w))

@@ -94,20 +94,63 @@ def fingerprint_binary(media: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_batch(media: DataFrame, fake: bool = False) -> DataFrame:
+def decode_image_batch(
+    media: DataFrame, fake: bool = False, codec: str | None = None
+) -> DataFrame:
     """Decode image payloads → (media_id, width, height, channels, features).
 
-    The real codec path requires an imaging library not present in this
-    container and raises ``NotImplementedError``. ``fake=True`` runs a
-    clearly-marked deterministic stand-in (dimensions & an 8-dim feature
-    vector derived from the payload's sha256) so the Spark plumbing — Arrow
-    batch shape, schema, partition behavior — is fully exercised.
+    ``codec="ppm"`` is a REAL decode path (binary netpbm P6, parsed with
+    numpy only — `multimodal/ppm.py`): dimensions from the header, raster
+    decoded, features = per-channel mean/std; malformed payloads yield a
+    NULL-width row (the quarantine convention). General formats (JPEG/PNG)
+    require an imaging library not present in this container and raise
+    ``NotImplementedError``; ``fake=True`` runs a clearly-marked
+    deterministic stand-in (dimensions & an 8-dim feature vector derived
+    from the payload's sha256) so the Spark plumbing — Arrow batch shape,
+    schema, partition behavior — is fully exercised either way.
     """
+    if codec == "ppm":
+
+        def compute_ppm(batches):
+            import pandas as pd
+
+            from backend_big_data_spark.multimodal.ppm import (
+                channel_stats,
+                decode_ppm,
+            )
+
+            for pdf in batches:
+                rows = {
+                    "media_id": [], "width": [], "height": [],
+                    "channels": [], "features": [],
+                }
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    rows["media_id"].append(mid)
+                    try:
+                        arr = decode_ppm(bytes(payload or b""))
+                    except ValueError:
+                        rows["width"].append(None)
+                        rows["height"].append(None)
+                        rows["channels"].append(None)
+                        rows["features"].append(None)
+                        continue
+                    rows["width"].append(arr.shape[1])
+                    rows["height"].append(arr.shape[0])
+                    rows["channels"].append(3)
+                    rows["features"].append(channel_stats(arr))
+                yield pd.DataFrame(rows)
+
+        return media.select("media_id", "payload").mapInPandas(
+            compute_ppm,
+            schema="media_id long, width int, height int, channels int, "
+            "features array<double>",
+        )
     if not fake:
         raise NotImplementedError(
-            "image decoding requires an imaging library (e.g. Pillow) that is "
-            "not available in this environment; pass fake=True for the "
-            "deterministic test double"
+            "decoding this format requires an imaging library (e.g. Pillow) "
+            "that is not available in this environment; pass codec='ppm' for "
+            "the real netpbm path or fake=True for the deterministic test "
+            "double"
         )
 
     def compute(batches):
@@ -133,18 +176,55 @@ def decode_image_batch(media: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def resize_image_batch(
-    media: DataFrame, width: int, height: int, fake: bool = False
+    media: DataFrame, width: int, height: int, fake: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
     """Resize image payloads → (media_id, payload, meta) with updated
-    dimensions. Real codec path STUBBED (no imaging library in this
-    container); ``fake=True`` emits a deterministic payload (sha256 of
-    input ⊕ target dims) with the right schema so partitioning/batching is
-    exercised end-to-end.
+    dimensions. ``codec="ppm"`` is a REAL path: decode → nearest-neighbor
+    resize (numpy index maps) → re-encode P6; malformed payloads yield a
+    NULL payload row. Other formats are STUBBED (no imaging library in
+    this container); ``fake=True`` emits a deterministic payload (sha256
+    of input ⊕ target dims) with the right schema so
+    partitioning/batching is exercised end-to-end.
     """
+    if codec == "ppm":
+
+        def compute_ppm(batches):
+            import pandas as pd
+
+            from backend_big_data_spark.multimodal.ppm import (
+                decode_ppm,
+                encode_ppm,
+                resize_nearest,
+            )
+
+            for pdf in batches:
+                out = {"media_id": [], "payload": [], "width": [], "height": []}
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    out["media_id"].append(mid)
+                    try:
+                        arr = decode_ppm(bytes(payload or b""))
+                    except ValueError:
+                        out["payload"].append(None)
+                        out["width"].append(None)
+                        out["height"].append(None)
+                        continue
+                    out["payload"].append(
+                        encode_ppm(resize_nearest(arr, width, height))
+                    )
+                    out["width"].append(width)
+                    out["height"].append(height)
+                yield pd.DataFrame(out)
+
+        return media.select("media_id", "payload").mapInPandas(
+            compute_ppm,
+            schema="media_id long, payload binary, width int, height int",
+        )
     if not fake:
         raise NotImplementedError(
-            "image resize requires an imaging library (e.g. Pillow); pass "
-            "fake=True for the deterministic test double"
+            "resizing this format requires an imaging library (e.g. Pillow); "
+            "pass codec='ppm' for the real netpbm path or fake=True for the "
+            "deterministic test double"
         )
 
     def compute(batches):

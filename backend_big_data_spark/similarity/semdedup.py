@@ -46,6 +46,7 @@ def semdedup(
     threshold: float,
     id_col: str = "vec_id",
     array_col: str = "embedding",
+    block_col: str | None = None,
 ) -> DataFrame:
     """Cluster-bucketed semantic dedup: ``(id, cluster, kept)`` for every
     input vector, ``kept`` false iff some lower-id vector in the same
@@ -55,9 +56,16 @@ def semdedup(
     frame (train once with `ml/clustering.kmeans_fit_predict`, or pin
     anchor vectors) — pinning it makes the operator deterministic and
     oracle-checkable, the same trick as IVF / fixed-centroid KMeans.
+
+    ``block_col``: coarse partition key on BOTH frames for hierarchical
+    assignment when k scales with the corpus — see
+    `ml/clustering.assign_to_centroids`.
     """
     labeled = df.join(
-        assign_to_centroids(df, centroids, array_col=array_col, id_col=id_col),
+        assign_to_centroids(
+            df, centroids, array_col=array_col, id_col=id_col,
+            block_col=block_col,
+        ),
         on=id_col,
     )
     dropped = (

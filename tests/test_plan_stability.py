@@ -202,3 +202,20 @@ def test_runtime_bloom_filter_join_injection(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_semdedup_has_no_cartesian_product(spark):
+    """SemDeDup's pair stage joins on the cluster key and its assignment
+    stage broadcasts the k-row centroid frame — the all-pairs cartesian
+    never appears."""
+    plan = _plan(spark, "doc_semdedup_kept")
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_scoring_join_broadcasts_the_model(spark):
+    """DSIR's per-bucket log-ratio table is <= NUM_BUCKETS rows; the
+    scoring join must broadcast it (a shuffle there would repartition the
+    whole corpus on a 256-ary key)."""
+    plan = _plan(spark, "doc_dsir_weights")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

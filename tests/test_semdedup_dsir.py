@@ -192,3 +192,43 @@ def test_bigram_lm_invariant_under_repartition(spark):
         for r in bigram_nll(docs.repartition(13, "doc_id")).collect()
     }
     assert a == b
+
+
+def test_semdedup_blocked_assignment_matches_unblocked_within_block(spark):
+    """Hierarchical (blocked) assignment: each point compares only against
+    its block's centroids — with two well-separated shards, blocked and
+    unblocked agree exactly (the coarse key is correct by construction),
+    while the blocked plan is O(n·k/B) instead of O(n·k)."""
+    from backend_big_data_spark.similarity.semdedup import semdedup
+
+    # shard 0 lives near the origin, shard 1 is offset by +1000 on dim 0
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0), (1, [0.0, 1.0, 0.0], 0),
+        (10, [1.0, 0.01, 0.0], 0), (20, [0.0, 1.0, 0.5], 0),
+        (100, [1001.0, 0.0, 0.0], 1), (101, [1000.0, 1.0, 0.0], 1),
+        (110, [1001.0, 0.01, 0.0], 1), (121, [1000.0, 1.0, 0.5], 1),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, blk int"
+    )
+    cents = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0), (1, [0.0, 1.0, 0.0], 0),
+            (2, [1001.0, 0.0, 0.0], 1), (3, [1000.0, 1.0, 0.0], 1),
+        ],
+        "cluster int, centroid array<double>, blk int",
+    )
+    blocked = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semdedup(
+            vecs, cents, threshold=0.99, block_col="blk"
+        ).collect()
+    }
+    unblocked = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semdedup(
+            vecs.drop("blk"), cents.drop("blk"), threshold=0.99
+        ).collect()
+    }
+    assert blocked == unblocked
+    assert blocked[110] == (2, False)  # near-dup of 100 in its own shard
