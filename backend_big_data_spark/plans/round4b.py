@@ -216,3 +216,62 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_nll(docs).orderBy("doc_id")
+
+
+_UNIMAX_ORACLE = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_rows, COUNT(*) * 2 AS cap FROM documents GROUP BY 1
+), ranked AS (
+  SELECT lang, n_rows, cap,
+         row_number() OVER (ORDER BY cap, lang) AS i,
+         SUM(cap) OVER (ORDER BY cap, lang
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         COUNT(*) OVER () AS k
+  FROM counts
+), t AS (
+  SELECT MAX(CASE WHEN s + (k - i) * cap <= 600 THEN i END) AS t FROM ranked
+), lvl AS (
+  SELECT CASE
+           WHEN (SELECT t FROM t) IS NULL
+             THEN FLOOR(600.0 / (SELECT MAX(k) FROM ranked))
+           WHEN (SELECT t FROM t) = (SELECT MAX(k) FROM ranked)
+             THEN 600
+           ELSE FLOOR((600 - (SELECT r.s FROM ranked r, t WHERE r.i = t.t))
+                      / ((SELECT MAX(k) FROM ranked) - (SELECT t FROM t)))
+         END AS level
+), alloc AS (
+  SELECT lang, n_rows,
+         CAST(LEAST(cap, (SELECT level FROM lvl)) AS BIGINT) AS alloc
+  FROM ranked
+), dranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT), doc_id) AS rk
+  FROM documents
+)
+SELECT d.doc_id, d.lang,
+       CAST(FLOOR(a.alloc / a.n_rows)
+            + CASE WHEN d.rk <= a.alloc % a.n_rows THEN 1 ELSE 0 END
+            AS INTEGER) AS n_epochs
+FROM dranked d JOIN alloc a USING (lang)
+WHERE FLOOR(a.alloc / a.n_rows)
+      + CASE WHEN d.rk <= a.alloc % a.n_rows THEN 1 ELSE 0 END > 0
+ORDER BY d.doc_id
+"""
+
+
+@register("doc_unimax_mix", oracle=_UNIMAX_ORACLE)
+def doc_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (arXiv:2304.09151): spread a 600-row
+    training budget uniformly across languages with a 2-epoch cap per
+    language — closed-form water-filling over two window cumulative sums
+    (no driver loop), per-doc epoch counts assigned in the deterministic
+    hash order. Completes the mixing family next to temperature sampling
+    (`doc_temperature_mix`) and fixed repetition (`doc_repetition_mix`).
+    See `text/mixing.py::unimax_allocation`."""
+    from backend_big_data_spark.text.mixing import unimax_epochs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_epochs(docs, budget=600, max_epochs=2).orderBy("doc_id")

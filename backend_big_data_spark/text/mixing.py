@@ -113,3 +113,118 @@ def temperature_mix(
     return df.join(F.broadcast(rates), group_col).filter(
         stable_hash(F.col(id_col)) % 1000000 < F.col("thresh")
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 2,
+    group_col: str = "lang",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    more effective language sampling for large-scale multilingual
+    pretraining", arXiv:2304.09151): spread a total training budget
+    UNIFORMLY across groups, capping each group at ``max_epochs`` passes
+    over its data — the published alternative to temperature sampling
+    that stops the head languages from swallowing the budget without
+    over-epoching the tail.
+
+    Water-filling has a closed form over caps sorted ascending
+    (c_1 ≤ … ≤ c_K, prefix sums S_i): the capped prefix is the largest t
+    with ``S_t + (K−t)·c_t ≤ budget``, the level is
+    ``L = (budget − S_t)/(K−t)``, and each group receives
+    ``min(cap, floor(L))`` rows — so the whole allocator is two window
+    cumulative sums over a K-row aggregate, no driver loop, no collect
+    (up to K−1 rows of budget round away; documented, deterministic).
+
+    Output: one row per group — ``(group, n_rows, cap, alloc)``.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0 or max_epochs <= 0:
+        raise ValueError("budget and max_epochs must be positive")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_rows"))
+    caps = counts.withColumn(
+        "cap", (F.col("n_rows") * max_epochs).cast("long")
+    )
+    w = Window.orderBy("cap", group_col)
+    wall = Window.partitionBy()
+    ranked = (
+        caps.withColumn("__i", F.row_number().over(w))
+        .withColumn("__s", F.sum("cap").over(w))
+        .withColumn("__k", F.count("*").over(wall))
+    )
+    # t = max prefix index with S_i + (K-i)*c_i <= budget (0 if none)
+    with_t = ranked.withColumn(
+        "__t",
+        F.max(
+            F.when(
+                F.col("__s") + (F.col("__k") - F.col("__i")) * F.col("cap")
+                <= budget,
+                F.col("__i"),
+            )
+        ).over(wall),
+    ).withColumn(
+        "__st",
+        F.max(
+            F.when(F.col("__i") == F.col("__t"), F.col("__s"))
+        ).over(wall),
+    )
+    level = F.when(
+        F.col("__t").isNull(),
+        F.floor(F.lit(budget) / F.col("__k")),
+    ).otherwise(
+        F.when(
+            F.col("__t") == F.col("__k"), F.lit(budget)  # everything capped
+        ).otherwise(
+            F.floor(
+                (F.lit(budget) - F.col("__st"))
+                / (F.col("__k") - F.col("__t"))
+            )
+        )
+    )
+    return with_t.select(
+        group_col,
+        "n_rows",
+        "cap",
+        F.least(F.col("cap"), level.cast("long")).alias("alloc"),
+    )
+
+
+def unimax_epochs(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 2,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-row epoch counts realizing the UniMax allocation: within each
+    group the ``alloc`` rows-worth of budget becomes ``e = alloc / n``
+    full epochs for every row plus one extra epoch for the ``alloc mod n``
+    rows that rank first in the group's deterministic hash order (stable
+    across runs/engines — the text/sampling.py convention). Rows with
+    zero epochs are dropped. Output: (id, group, n_epochs)."""
+    from pyspark.sql import Window
+
+    from backend_big_data_spark.text.sampling import stable_hash
+
+    alloc = unimax_allocation(df, budget, max_epochs, group_col).select(
+        group_col, "n_rows", "alloc"
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        stable_hash(F.col(id_col)), id_col
+    )
+    ranked = df.select(id_col, group_col).withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    e = F.floor(F.col("alloc") / F.col("n_rows")).cast("int")
+    extra = (F.col("__rk") <= F.col("alloc") % F.col("n_rows")).cast("int")
+    return (
+        ranked.join(F.broadcast(alloc), on=group_col)
+        .select(
+            id_col,
+            group_col,
+            (e + extra).alias("n_epochs"),
+        )
+        .filter(F.col("n_epochs") > 0)
+    )

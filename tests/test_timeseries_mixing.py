@@ -150,3 +150,66 @@ def test_temperature_mix_flattens_head_and_hits_target(spark):
     a = sorted(r["doc_id"] for r in kept.collect())
     b = sorted(r["doc_id"] for r in temperature_mix(df, keep_frac=0.5).collect())
     assert a == b
+
+
+def test_unimax_allocation_water_filling(spark):
+    """Known-answer water-filling: caps [4, 20, 40] (max_epochs=2), budget
+    21 -> tiny lang capped at 4, remaining 17 split floor(17/2)=8 each."""
+    from backend_big_data_spark.text.mixing import unimax_allocation
+
+    rows = (
+        [(i, "tiny") for i in range(2)]
+        + [(10 + i, "mid") for i in range(10)]
+        + [(100 + i, "big") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    alloc = {
+        r.lang: (r.cap, r.alloc)
+        for r in unimax_allocation(df, budget=21, max_epochs=2).collect()
+    }
+    assert alloc == {"tiny": (4, 4), "mid": (20, 8), "big": (40, 8)}
+
+
+def test_unimax_allocation_budget_exceeds_caps(spark):
+    from backend_big_data_spark.text.mixing import unimax_allocation
+
+    rows = [(i, "a") for i in range(3)] + [(10 + i, "b") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    alloc = {
+        r.lang: r.alloc
+        for r in unimax_allocation(df, budget=1000, max_epochs=2).collect()
+    }
+    assert alloc == {"a": 6, "b": 10}  # everything capped at 2 epochs
+
+
+def test_unimax_allocation_no_group_capped(spark):
+    from backend_big_data_spark.text.mixing import unimax_allocation
+
+    rows = [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    alloc = {
+        r.lang: r.alloc
+        for r in unimax_allocation(df, budget=10, max_epochs=2).collect()
+    }
+    assert alloc == {"a": 5, "b": 5}
+
+
+def test_unimax_epochs_realize_allocation(spark):
+    """Epoch counts sum to the allocation per group; the 2-epoch rows are
+    the group's lowest-hash-rank rows (stable across runs)."""
+    from backend_big_data_spark.text.mixing import unimax_allocation, unimax_epochs
+
+    rows = [(i, "a") for i in range(4)] + [(100 + i, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    alloc = {
+        r.lang: r.alloc
+        for r in unimax_allocation(df, budget=13, max_epochs=2).collect()
+    }
+    ep = unimax_epochs(df, budget=13, max_epochs=2).collect()
+    per_group = {}
+    for r in ep:
+        per_group.setdefault(r.lang, 0)
+        per_group[r.lang] += r.n_epochs
+    assert per_group == alloc
+    again = unimax_epochs(df, budget=13, max_epochs=2).collect()
+    assert sorted(map(tuple, ep)) == sorted(map(tuple, again))
