@@ -275,3 +275,39 @@ def doc_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unimax_epochs(docs, budget=600, max_epochs=2).orderBy("doc_id")
+
+
+_HARD_NEG_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 10
+), a AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv, label AS nl
+  FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
+  FROM q, a WHERE nl != ql
+), r AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rnk
+FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
+
+
+@register("embedding_hard_negatives", oracle=_HARD_NEG_ORACLE)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR/ANCE): top-5 most-similar DIFFERENT-label
+    corpus vectors per anchor (vec_id < 10) — the near-misses a bi-encoder
+    trains against. Brute-force scorer + label predicate; the filter
+    composes unchanged with the sub-linear ANN candidate generators. See
+    `similarity/negatives.py`."""
+    from backend_big_data_spark.similarity.negatives import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).orderBy("query_id", "rnk")

@@ -105,6 +105,11 @@ HEADLINE = [
     "doc_prefix_join_pairs",
     "doc_quality_score_lr",
     "doc_cleaning_pipeline_funnel",
+    "doc_semdedup_kept",
+    "doc_dsir_weights",
+    "doc_pii_redacted",
+    "doc_bigram_perplexity",
+    "doc_unimax_mix",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

@@ -232,3 +232,23 @@ def test_semdedup_blocked_assignment_matches_unblocked_within_block(spark):
     }
     assert blocked == unblocked
     assert blocked[110] == (2, False)  # near-dup of 100 in its own shard
+
+
+def test_hard_negatives_exclude_anchor_label(spark):
+    """Every mined negative has a different label than its anchor; ranks
+    are contiguous from 1; neighbors are the best cross-label matches
+    (a same-label vector closer than the rank-1 negative must exist or
+    not affect the list)."""
+    from backend_big_data_spark.similarity.negatives import hard_negatives
+    from backend_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5).collect()
+    by_q = {}
+    for r in out:
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+    assert set(by_q) == set(range(10))
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
