@@ -92,9 +92,11 @@ def bucket_log_ratios(
         return per_bucket
 
     def smoothed_log(c: Column, t: Column) -> Column:
+        # totals coalesce too: an EMPTY side (no target docs yet) degrades
+        # to the uniform smoothed model instead of NULLing every lambda
         return F.log(
             (F.coalesce(c, F.lit(0)) + F.lit(SMOOTH))
-            / (t + F.lit(SMOOTH * num_buckets))
+            / (F.coalesce(t, F.lit(0)) + F.lit(SMOOTH * num_buckets))
         )
 
     buckets = target_counts.sparkSession.range(num_buckets).select(

@@ -252,3 +252,13 @@ def test_hard_negatives_exclude_anchor_label(spark):
     assert set(by_q) == set(range(10))
     for ranks in by_q.values():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_dsir_empty_target_degrades_to_uniform_model(spark):
+    """No target docs yet (cold start): every lambda is the uniform-vs-raw
+    ratio, finite — weights are defined, not NULL."""
+    docs = _toy_docs(spark)
+    w = importance_weights(docs, docs.filter(F.col("lang") == "nonexistent"))
+    rows = w.collect()
+    assert len(rows) == 6
+    assert all(r.weight_fp is not None for r in rows)
