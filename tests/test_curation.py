@@ -677,3 +677,67 @@ def test_strip_boilerplate_is_idempotent_on_real_corpus(spark):
     b = {(r["doc_id"], r["text"]) for r in once.collect()}
     assert a == b
     assert twice.filter(F.col("n_dropped") > 0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# streaming curated ingest (scrub -> quality gate -> corpus dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_curated_ingest_scrubs_filters_and_dedups(spark, tmp_path):
+    from backend_big_data_spark.streaming.curated_ingest import (
+        curate_batch,
+        curated_ingest_stream,
+    )
+    from backend_big_data_spark.streaming.ingest_dedup import read_corpus
+    from backend_big_data_spark.text.dedup import release_dedup_caches
+
+    base = "w" + " x y z a b c d e f g h i j k l m n o p q r s t u v"
+    pii_tail = " reach out for the early dataset access program today"
+    rows_b1 = [
+        (1, base),
+        (2, ("spam " * 20).strip()),          # low TTR, no stopwords -> quality fail
+        (3, "contact alice@example.org" + pii_tail),   # PII; passes after scrub
+        (4, base),                             # exact within-batch dup of 1
+    ]
+    rows_b2 = [
+        (5, base + " tail2"),                  # near-dup of admitted 1
+        (6, "another standalone document with its own distinct token stream"),
+        # same text as 3 except a DIFFERENT email: after redaction the two
+        # are byte-identical -> exact dup vs the scrubbed corpus. This only
+        # dedups if scrub runs BEFORE fingerprinting (the pipeline order).
+        (7, "contact bob@example.net" + pii_tail),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    df1 = _docs(spark, rows_b1)
+    df2 = _docs(spark, rows_b2)
+    df1.coalesce(1).write.parquet(str(in_dir / "b1"))
+    df2.coalesce(1).write.parquet(str(in_dir / "b2"))
+
+    corpus_dir = str(tmp_path / "corpus")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = curated_ingest_stream(
+        stream, corpus_dir, checkpoint=str(tmp_path / "ckpt"), threshold=0.5
+    )
+    q.awaitTermination(120)
+    release_dedup_caches()
+
+    corpus = {
+        r["doc_id"]: r["text"] for r in read_corpus(spark, corpus_dir).collect()
+    }
+    assert sorted(corpus) == [1, 3, 6]
+    assert "[EMAIL]" in corpus[3] and "@" not in corpus[3]
+
+    # streaming == sequential batch application of the same operator
+    c1 = curate_batch(df1, None, threshold=0.5)
+    c2 = curate_batch(df2, c1, threshold=0.5)
+    release_dedup_caches()
+    want = sorted(
+        [r["doc_id"] for r in c1.collect()] + [r["doc_id"] for r in c2.collect()]
+    )
+    assert sorted(corpus) == want
