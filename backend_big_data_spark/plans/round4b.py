@@ -311,3 +311,59 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(
         emb, emb.filter(F.col("vec_id") < 10), k=5
     ).orderBy("query_id", "rnk")
+
+
+_SEMDEDUP_BLOCKED_ORACLE = """
+WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster, label, v AS cv FROM (
+    SELECT vec_id, label, v,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM vecs
+  ) WHERE rn <= 2
+), assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vv.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY vv.vec_id
+                              ORDER BY list_distance(vv.v, c.cv), c.cluster) AS rn
+    FROM vecs vv JOIN cents c ON vv.label = c.label
+  ) WHERE rn = 1
+), lab AS (
+  SELECT a.vec_id, a.cluster, v.v FROM assign a JOIN vecs v USING (vec_id)
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM lab a JOIN lab b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) > 0.3
+)
+SELECT l.vec_id, l.cluster, (d.vec_id IS NULL) AS kept
+FROM lab l LEFT JOIN dropped d ON l.vec_id = d.vec_id
+ORDER BY l.vec_id
+"""
+
+
+@register("doc_semdedup_blocked", oracle=_SEMDEDUP_BLOCKED_ORACLE)
+def doc_semdedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with HIERARCHICAL assignment — the 100 TB form: each
+    vector compares only against its coarse block's centroids (here the
+    natural ``label`` key; an IVF cell or LSH bucket in production), so
+    assignment is O(n·k/B) instead of O(n·k). Centroids = the two
+    lowest-id vectors per block. Measured: unblocked assignment went
+    23.5× superlinear at 50× corpus with k ∝ n; this path stays flat
+    (PERF.md)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    cents = (
+        emb.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .select(
+            F.col("vec_id").cast("int").alias("cluster"),
+            F.col("label"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    return semdedup(
+        emb, cents, threshold=0.3, block_col="label"
+    ).orderBy("vec_id")
