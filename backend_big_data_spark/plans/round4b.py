@@ -62,7 +62,9 @@ def doc_semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, centroids, threshold=0.3).orderBy("vec_id")
 
 
-_DSIR_ORACLE = """
+# Shared CTE chain for the DSIR scorer — one definition drives both the
+# weights oracle and the resampling oracle.
+_DSIR_CTES = """
 WITH toks AS (
   SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]{2,}') AS t
   FROM documents
@@ -94,12 +96,15 @@ WITH toks AS (
 ), scored AS (
   SELECT f.doc_id, SUM(f.n * l.lambda_fp) AS weight_fp
   FROM feat f JOIN lam l ON f.bucket = l.bucket GROUP BY 1
-)
-SELECT d.doc_id,
-       CAST(COALESCE(weight_fp, 0) AS BIGINT) AS weight_fp,
-       CAST(COALESCE(weight_fp, 0) AS BIGINT) / 10000.0 AS weight
-FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
-ORDER BY d.doc_id
+), weights AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(weight_fp, 0) AS BIGINT) AS weight_fp,
+         CAST(COALESCE(weight_fp, 0) AS BIGINT) / 10000.0 AS weight
+  FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+)"""
+
+_DSIR_ORACLE = _DSIR_CTES + """
+SELECT doc_id, weight_fp, weight FROM weights ORDER BY doc_id
 """
 
 
@@ -367,3 +372,37 @@ def doc_semdedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(
         emb, cents, threshold=0.3, block_col="label"
     ).orderBy("vec_id")
+
+
+_DSIR_RESAMPLED_ORACLE = _DSIR_CTES + """
+, drawn AS (
+  SELECT doc_id, weight,
+         weight + (-ln(-ln(
+           ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000) + 0.5) / 1000000.0))) AS score
+  FROM weights
+)
+SELECT doc_id, weight FROM (
+  SELECT doc_id, weight FROM drawn ORDER BY score DESC, doc_id LIMIT 200
+) ORDER BY doc_id
+"""
+
+
+@register("doc_dsir_resampled", oracle=_DSIR_RESAMPLED_ORACLE)
+def doc_dsir_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection step: 200 docs drawn without replacement
+    with probability ∝ exp(importance weight) via deterministic
+    Gumbel-top-k (Kool et al. 2019 — the Gumbel comes from the stable id
+    hash, so the draw replays bit-for-bit on any engine). One global
+    TakeOrdered over the scored corpus, no sequential sampling state.
+    See `text/dsir.py::gumbel_topk_sample`."""
+    from backend_big_data_spark.text.dsir import (
+        gumbel_topk_sample,
+        importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = importance_weights(docs, docs.filter(F.col("lang") == "en"))
+    return gumbel_topk_sample(w.select("doc_id", "weight"), n=200).orderBy(
+        "doc_id"
+    )

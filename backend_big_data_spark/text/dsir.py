@@ -154,3 +154,29 @@ def importance_weights(
             (F.coalesce("weight_fp", F.lit(0)) / LAMBDA_SCALE).alias("weight"),
         )
     )
+
+
+def gumbel_topk_sample(
+    weights: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """The DSIR resampling step: draw ``n`` docs WITHOUT replacement with
+    probability ∝ exp(weight) via the Gumbel-top-k trick (Kool et al.
+    2019, arXiv:1903.06059): add an independent Gumbel to each log-weight
+    and take the global top-n — a single TakeOrdered, no sequential
+    sampling state. The Gumbel is derived from the stable md5 hash of the
+    id (u = (h mod 1e6 + 0.5)/1e6, g = -ln(-ln(u))), so the draw is a
+    pure function of the data — reproducible on any engine, any
+    parallelism, any run."""
+    from backend_big_data_spark.text.sampling import stable_hash
+
+    u = (stable_hash(F.col(id_col)) % 1_000_000 + F.lit(0.5)) / 1_000_000.0
+    gumbel = -F.log(-F.log(u))
+    return (
+        weights.withColumn("__score", F.col(weight_col) + gumbel)
+        .orderBy(F.desc("__score"), id_col)
+        .limit(n)
+        .select(id_col, weight_col)
+    )

@@ -262,3 +262,21 @@ def test_dsir_empty_target_degrades_to_uniform_model(spark):
     rows = w.collect()
     assert len(rows) == 6
     assert all(r.weight_fp is not None for r in rows)
+
+
+def test_gumbel_topk_sample_prefers_heavy_docs_and_is_deterministic(spark):
+    from backend_big_data_spark.text.dsir import gumbel_topk_sample
+
+    # Gumbel noise lies in roughly [-2, 7] for the md5-derived u values;
+    # +100 weights dominate it, so all heavy docs must be drawn.
+    rows = [(i, 100.0 if i < 10 else -100.0) for i in range(100)]
+    w = spark.createDataFrame(rows, "doc_id long, weight double")
+    drawn = {r.doc_id for r in gumbel_topk_sample(w, n=20).collect()}
+    assert len(drawn) == 20
+    assert set(range(10)) <= drawn
+
+    again = {r.doc_id for r in gumbel_topk_sample(w.repartition(7), n=20).collect()}
+    assert drawn == again
+
+    everything = gumbel_topk_sample(w, n=500).count()
+    assert everything == 100
