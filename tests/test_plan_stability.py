@@ -219,3 +219,20 @@ def test_dsir_scoring_join_broadcasts_the_model(spark):
     plan = _plan(spark, "doc_dsir_weights")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_lm_has_no_cartesian_and_keyed_model_joins(spark):
+    """The LM scorer's model joins are keyed on bigram/token (the
+    inverted shape — no broadcast assumption for corpus-sized models);
+    the only nested-loop is the 1-row vocabulary broadcast."""
+    plan = _plan(spark, "doc_bigram_perplexity")
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_resampling_is_global_topk(spark):
+    """Gumbel-top-k must plan as TakeOrderedAndProject — a global sort
+    (or single-partition window) here would funnel the corpus through
+    one task."""
+    plan = _plan(spark, "doc_dsir_resampled")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
