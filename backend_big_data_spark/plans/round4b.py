@@ -406,3 +406,51 @@ def doc_dsir_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gumbel_topk_sample(w.select("doc_id", "weight"), n=200).orderBy(
         "doc_id"
     )
+
+
+_BM25_ORACLE = """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{2,}') AS t
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(t) AS dl, t FROM d
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+), postings AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, dl, unnest(t) AS term FROM dl
+  ) WHERE term IN ('join', 'hash', 'customer')
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM postings GROUP BY 1
+), scored AS (
+  SELECT p.doc_id,
+         SUM(CAST(floor(
+           ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+           * ((p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)))
+           * 10000 + 0.5) AS BIGINT)) AS score_fp
+  FROM postings p JOIN dfreq f ON p.term = f.term CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id, CAST(score_fp AS BIGINT) / 10000.0 AS score,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT doc_id, score_fp,
+         row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 20 ORDER BY rnk
+"""
+
+
+@register("doc_bm25_search", oracle=_BM25_ORACLE)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (`text/bm25.py`): top-20 docs for the query
+    {join, hash, customer} — Lucene-form idf, k1=1.2, b=0.75, per-term
+    partial scores fixed-pointed before the per-doc sum, global top-k as
+    one TakeOrdered. The lexical half of hybrid retrieval next to the
+    ANN paths. NOTE the oracle multiplies in the engine's association
+    order — idf * (tf_part) — so the doubles agree bit-for-bit."""
+    from backend_big_data_spark.text.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["join", "hash", "customer"], k=20).orderBy("rnk")

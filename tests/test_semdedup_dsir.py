@@ -280,3 +280,36 @@ def test_gumbel_topk_sample_prefers_heavy_docs_and_is_deterministic(spark):
 
     everything = gumbel_topk_sample(w, n=500).count()
     assert everything == 100
+
+
+def test_bm25_ranks_matching_docs_and_is_deterministic(spark):
+    from backend_big_data_spark.text.bm25 import bm25_topk
+
+    rows = [
+        (1, "spark joins hash tables " + "filler " * 20),
+        (2, "hash hash hash join join hash"),        # dense in query terms
+        (3, "completely unrelated words only here"),
+        (4, "one hash mention inside a very long document " + "pad " * 60),
+        (5, "hash join"),                             # short, dense
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, ["hash", "join"], k=10)
+    rows_out = out.collect()
+    ids = [r.doc_id for r in sorted(rows_out, key=lambda r: r.rnk)]
+    assert 3 not in ids            # no query term -> never retrieved
+    assert ids[0] in (2, 5)        # dense short docs outrank padded ones
+    assert [r.rnk for r in sorted(rows_out, key=lambda r: r.rnk)] == list(
+        range(1, len(ids) + 1)
+    )
+    assert all(r.score > 0 for r in rows_out)
+
+    again = [
+        (r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(docs.repartition(7), ["hash", "join"], k=10).collect()
+    ]
+    assert sorted(again) == sorted((r.doc_id, r.score, r.rnk) for r in rows_out)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [], k=5)
