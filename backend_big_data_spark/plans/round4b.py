@@ -408,7 +408,9 @@ def doc_dsir_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_ORACLE = """
+# Shared BM25 CTE chain (through per-doc fixed-point scores + ranks) —
+# drives both the standalone search oracle and the hybrid-fusion oracle.
+_BM25_CTES = """
 WITH d AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{2,}') AS t
   FROM documents
@@ -431,14 +433,16 @@ WITH d AS (
            * 10000 + 0.5) AS BIGINT)) AS score_fp
   FROM postings p JOIN dfreq f ON p.term = f.term CROSS JOIN stats s
   GROUP BY 1
-)
-SELECT doc_id, CAST(score_fp AS BIGINT) / 10000.0 AS score,
-       CAST(rnk AS INTEGER) AS rnk
-FROM (
+), bmranked AS (
   SELECT doc_id, score_fp,
          row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rnk
   FROM scored
-) WHERE rnk <= 20 ORDER BY rnk
+)"""
+
+_BM25_ORACLE = _BM25_CTES + """
+SELECT doc_id, CAST(score_fp AS BIGINT) / 10000.0 AS score,
+       CAST(rnk AS INTEGER) AS rnk
+FROM bmranked WHERE rnk <= 20 ORDER BY rnk
 """
 
 
@@ -454,3 +458,54 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, ["join", "hash", "customer"], k=20).orderBy("rnk")
+
+
+_HYBRID_ORACLE = _BM25_CTES + """
+, vq AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), anns AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           (SELECT qv FROM vq)) DESC,
+                    vec_id) AS rnk
+  FROM embeddings WHERE vec_id != 0
+), contribs AS (
+  SELECT doc_id, 1000000000 // (60 + rnk) AS c FROM bmranked WHERE rnk <= 50
+  UNION ALL
+  SELECT doc_id, 1000000000 // (60 + rnk) AS c FROM anns WHERE rnk <= 50
+), fused AS (
+  SELECT doc_id, SUM(c) AS rrf_fp FROM contribs GROUP BY 1
+)
+SELECT doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp, CAST(rn AS INTEGER) AS rnk
+FROM (
+  SELECT doc_id, rrf_fp,
+         row_number() OVER (ORDER BY rrf_fp DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= 10 ORDER BY rnk
+"""
+
+
+@register("doc_hybrid_search", oracle=_HYBRID_ORACLE)
+def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 for {join, hash, customer} fused
+    with the embedding top-50 for corpus vector 0 (vec_id ≡ doc_id in
+    the synthetic tables) via Reciprocal Rank Fusion — exact integer
+    SCALE DIV (60 + rank) contributions, so fusion carries zero float
+    risk across engines. The production hybrid-search shape: two bounded
+    top-N lists, one bounded merge. See `similarity/hybrid.py`,
+    `text/bm25.py`."""
+    from backend_big_data_spark.similarity.ann import brute_force_cosine_topk
+    from backend_big_data_spark.similarity.hybrid import rrf_fuse
+    from backend_big_data_spark.text.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lexical = bm25_topk(docs, ["join", "hash", "customer"], k=50).select(
+        "doc_id", "rnk"
+    )
+    semantic = (
+        brute_force_cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rnk"))
+    )
+    return rrf_fuse([lexical, semantic], top=10).orderBy("rnk")

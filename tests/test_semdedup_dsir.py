@@ -313,3 +313,29 @@ def test_bm25_ranks_matching_docs_and_is_deterministic(spark):
 
     with pytest.raises(ValueError):
         bm25_topk(docs, [], k=5)
+
+
+def test_rrf_fusion_integer_exact_and_order(spark):
+    """RRF: a doc in both lists outranks docs in one; contributions are
+    exact integers (SCALE DIV (k+rnk)); determinism across partitioning."""
+    from backend_big_data_spark.similarity.hybrid import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rnk int"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (4, 2), (5, 3)], "doc_id long, rnk int"
+    )
+    out = {r.doc_id: (r.rrf_fp, r.rnk) for r in rrf_fuse([a, b]).collect()}
+    # doc 3: 1/(60+3) + 1/(60+1) in 1e9 fixed point, exact integer div
+    assert out[3][0] == 1_000_000_000 // 63 + 1_000_000_000 // 61
+    assert out[3][1] == 1  # only doc in both lists -> fused rank 1
+    assert out[1][0] == 1_000_000_000 // 61
+    # equal contributions tie-break on id: doc 1 (rank1 in a) vs doc 3? no;
+    # docs 1 and... doc 1 vs doc 4: 1/61 > 1/62
+    assert out[1][1] < out[4][1]
+    again = {
+        r.doc_id: (r.rrf_fp, r.rnk)
+        for r in rrf_fuse([a.repartition(5), b.repartition(3)]).collect()
+    }
+    assert out == again
