@@ -509,3 +509,55 @@ def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("neighbor_id").alias("doc_id"), F.col("rnk"))
     )
     return rrf_fuse([lexical, semantic], top=10).orderBy("rnk")
+
+
+_TOKS_CTE = (
+    r"toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t "
+    "FROM documents)"
+)
+_SHINGLES_CTE = (
+    "sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "FOR i IN range(1, len(t)-1)]) AS shingles FROM toks WHERE len(t) >= 3)"
+)
+
+_SIMILAR_TO_DOC_ORACLE = f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+q AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id = 0),
+nq AS (SELECT COUNT(*) AS nq FROM q),
+e AS (
+  SELECT doc_id, len(shingles) AS ca, unnest(shingles) AS shingle
+  FROM sh WHERE doc_id != 0
+), i AS (
+  SELECT e.doc_id, e.ca, COUNT(*) AS inter
+  FROM e JOIN q ON e.shingle = q.shingle GROUP BY 1, 2
+)
+SELECT doc_id, CAST(inter AS BIGINT) AS intersection_size,
+       ROUND(inter / (ca + (SELECT nq FROM nq) - inter), 6) AS jaccard,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT doc_id, ca, inter,
+         row_number() OVER (
+           ORDER BY inter / (ca + (SELECT nq FROM nq) - inter) DESC,
+                    doc_id) AS rnk
+  FROM i
+) WHERE rnk <= 10 ORDER BY rnk
+"""
+
+
+@register("doc_similar_to_query", oracle=_SIMILAR_TO_DOC_ORACLE)
+def doc_similar_to_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point near-dup lookup: the top-10 corpus documents by exact 3-gram
+    Jaccard against document 0 — "show me documents like this one", the
+    triage view behind any dedup or contamination hit. The query doc's
+    shingles broadcast; the corpus side is one broadcast join + a
+    doc-keyed count (no self-join). See `text/dedup.py::jaccard_vs_query`."""
+    from backend_big_data_spark.text.dedup import doc_shingles, jaccard_vs_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, persist=False)
+    return jaccard_vs_query(
+        sh.filter(F.col("doc_id") != 0),
+        sh.filter(F.col("doc_id") == 0).select("shingles"),
+        k=10,
+    ).orderBy("rnk")

@@ -738,3 +738,57 @@ def containment_vs_index(
         n_cont.alias("n_contaminated"),
         F.round(n_cont / F.col("n_shingles"), 6).alias("contamination"),
     )
+
+
+def jaccard_vs_query(
+    shingled: DataFrame,
+    query_shingled: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serving-side near-dup LOOKUP: top-k corpus documents by exact
+    shingle Jaccard against ONE query document — the point-query twin of
+    the corpus-wide pair jobs above ("show me documents like this one",
+    the triage view over any dedup/contamination hit).
+
+    ``query_shingled`` is a one-row ``(shingles array)`` frame; its
+    distinct shingles broadcast, so the corpus side is one semi-ish
+    broadcast join + a per-doc count — no self-join, no shuffle beyond
+    the doc-keyed aggregate. Output: (id, intersection_size, jaccard
+    [6dp], rnk), ranked by raw Jaccard with id tie-break.
+    """
+    from pyspark.sql import Window
+
+    qs = query_shingled.select(
+        F.explode("shingles").alias("shingle")
+    ).distinct()
+    nq = qs.agg(F.count("*").alias("__nq"))
+    e = shingled.select(
+        F.col(id_col),
+        F.size("shingles").alias("__ca"),
+        F.explode("shingles").alias("shingle"),
+    )
+    inter = (
+        e.join(F.broadcast(qs), on="shingle")
+        .groupBy(id_col, "__ca")
+        .agg(F.count("*").alias("intersection_size"))
+    )
+    j = F.col("intersection_size") / (
+        F.col("__ca") + F.col("__nq") - F.col("intersection_size")
+    )
+    top = (
+        inter.crossJoin(F.broadcast(nq))
+        .withColumn("__j", j)
+        .orderBy(F.desc("__j"), id_col)
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("__j"), id_col)  # bounded: k rows
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select(
+            id_col,
+            "intersection_size",
+            F.round("__j", 6).alias("jaccard"),
+            "rnk",
+        )
+    )

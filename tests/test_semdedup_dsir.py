@@ -339,3 +339,27 @@ def test_rrf_fusion_integer_exact_and_order(spark):
         for r in rrf_fuse([a.repartition(5), b.repartition(3)]).collect()
     }
     assert out == again
+
+
+def test_jaccard_vs_query_finds_planted_near_dup(spark):
+    from backend_big_data_spark.text.dedup import doc_shingles, jaccard_vs_query
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),                      # the query doc
+        (1, base + " extra"),           # near-dup -> rank 1
+        (2, "alpha beta gamma " + "x y z " * 5),  # partial overlap
+        (3, "entirely different words with no shared shingles at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = doc_shingles(docs, persist=False)
+    out = jaccard_vs_query(
+        sh.filter("doc_id != 0"), sh.filter("doc_id = 0").select("shingles"), k=5
+    ).collect()
+    by_rank = {r.rnk: r for r in out}
+    assert by_rank[1].doc_id == 1 and by_rank[1].jaccard > 0.8
+    assert by_rank[2].doc_id == 2
+    assert all(r.doc_id != 3 for r in out)  # zero overlap -> not retrieved
+    assert [r.rnk for r in sorted(out, key=lambda r: r.rnk)] == list(
+        range(1, len(out) + 1)
+    )
