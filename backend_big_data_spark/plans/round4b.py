@@ -561,3 +561,51 @@ def doc_similar_to_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.filter(F.col("doc_id") == 0).select("shingles"),
         k=10,
     ).orderBy("rnk")
+
+
+_TRIPLETS_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 10
+), a AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv, label AS nl
+  FROM embeddings
+), s AS (
+  SELECT query_id, nid, nl, ql, list_cosine_similarity(qv, nv) AS sim
+  FROM q, a WHERE nid != query_id
+), p AS (
+  SELECT query_id, nid, sim FROM (
+    SELECT query_id, nid, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, nid) AS rn
+    FROM s WHERE nl = ql
+  ) WHERE rn = 1
+), n AS (
+  SELECT query_id, nid, sim FROM (
+    SELECT query_id, nid, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, nid) AS rn
+    FROM s WHERE nl != ql
+  ) WHERE rn = 1
+)
+SELECT p.query_id, p.nid AS positive_id, n.nid AS negative_id,
+       ROUND(p.sim, 6) AS positive_sim, ROUND(n.sim, 6) AS negative_sim,
+       ROUND(ROUND(p.sim, 6) - ROUND(n.sim, 6), 6) AS margin
+FROM p JOIN n ON p.query_id = n.query_id
+ORDER BY p.query_id
+"""
+
+
+@register("embedding_training_triplets", oracle=_TRIPLETS_ORACLE)
+def embedding_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet construction: for each anchor
+    (vec_id < 10), the nearest same-label item (positive), the nearest
+    different-label item (hard negative), and their similarity margin —
+    the triplet-loss input layout; negative margins flag the anchors most
+    worth mining. See `similarity/negatives.py::training_triplets`."""
+    from backend_big_data_spark.similarity.negatives import training_triplets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return training_triplets(
+        emb, emb.filter(F.col("vec_id") < 10)
+    ).orderBy("query_id")

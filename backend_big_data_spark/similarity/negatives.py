@@ -21,16 +21,19 @@ from backend_big_data_spark.operators.windows import topk_per_group
 from backend_big_data_spark.similarity.ann import cosine_sim
 
 
-def hard_negatives(
+def label_matched_topk(
     corpus: DataFrame,
     anchors: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    same_label: bool = False,
 ) -> DataFrame:
-    """Top-k highest-cosine DIFFERENT-label corpus items per anchor.
-    Output: (query_id, neighbor_id, cosine_sim, rnk), deterministic id
+    """Top-k highest-cosine corpus items per anchor, restricted to the
+    SAME label (``same_label=True`` — in-class positives) or a DIFFERENT
+    label (hard negatives). The anchor itself is always excluded. Output:
+    (query_id, neighbor_id, cosine_sim, rnk), deterministic id
     tie-break."""
     q = anchors.select(
         F.col(id_col).alias("query_id"),
@@ -42,9 +45,15 @@ def hard_negatives(
         F.col(vec_col).cast("array<double>").alias("__nv"),
         F.col(label_col).alias("__nl"),
     )
+    label_pred = (
+        F.col("__nl") == F.col("__ql")
+        if same_label
+        else F.col("__nl") != F.col("__ql")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col("__nl") != F.col("__ql"))
+        .filter(label_pred)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
@@ -62,4 +71,58 @@ def hard_negatives(
         "neighbor_id",
         F.round("sim", 6).alias("cosine_sim"),
         F.col("rnk"),
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Top-k highest-cosine DIFFERENT-label corpus items per anchor."""
+    return label_matched_topk(
+        corpus, anchors, k, id_col, vec_col, label_col, same_label=False
+    )
+
+
+def training_triplets(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(anchor, positive, hard negative) triplets for contrastive
+    training (the triplet-loss / InfoNCE input layout): positive = the
+    nearest SAME-label item, negative = the nearest DIFFERENT-label item,
+    margin = positive_sim - negative_sim (the quantity triplet loss
+    drives above a threshold; a negative margin marks the anchors most
+    worth mining). One broadcast of the anchor set drives both scored
+    passes; everything downstream is two keyed argmax windows on bounded
+    (anchor x corpus-restriction) frames."""
+    pos = label_matched_topk(
+        corpus, anchors, k=1, id_col=id_col, vec_col=vec_col,
+        label_col=label_col, same_label=True,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("positive_id"),
+        F.col("cosine_sim").alias("positive_sim"),
+    )
+    neg = label_matched_topk(
+        corpus, anchors, k=1, id_col=id_col, vec_col=vec_col,
+        label_col=label_col, same_label=False,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("negative_id"),
+        F.col("cosine_sim").alias("negative_sim"),
+    )
+    return pos.join(neg, on="query_id").select(
+        "query_id", "positive_id", "negative_id", "positive_sim",
+        "negative_sim",
+        F.round(F.col("positive_sim") - F.col("negative_sim"), 6).alias(
+            "margin"
+        ),
     )

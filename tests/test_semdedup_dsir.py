@@ -363,3 +363,20 @@ def test_jaccard_vs_query_finds_planted_near_dup(spark):
     assert [r.rnk for r in sorted(out, key=lambda r: r.rnk)] == list(
         range(1, len(out) + 1)
     )
+
+
+def test_training_triplets_semantics(spark):
+    """Positive shares the anchor's label, negative doesn't, neither is
+    the anchor; margin = positive_sim - negative_sim."""
+    from backend_big_data_spark.similarity.negatives import training_triplets
+    from backend_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = training_triplets(emb, emb.filter(F.col("vec_id") < 10)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert labels[r.positive_id] == labels[r.query_id]
+        assert labels[r.negative_id] != labels[r.query_id]
+        assert r.positive_id != r.query_id
+        assert abs(r.margin - round(r.positive_sim - r.negative_sim, 6)) < 1e-9
