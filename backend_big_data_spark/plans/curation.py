@@ -1277,7 +1277,11 @@ d5 AS (
   SELECT d.doc_id FROM d4 d JOIN rates r ON d.source = r.source
   WHERE (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
          % 1000000) < r.thresh
-)
+)"""
+
+
+def _pipeline_oracle_funnel() -> str:
+    return _pipeline_oracle() + """
 SELECT * FROM (
   SELECT '0_raw' AS stage, CAST((SELECT COUNT(*) FROM d0) AS BIGINT) AS n_docs
   UNION ALL SELECT '1_blocklist', CAST((SELECT COUNT(*) FROM d1) AS BIGINT)
@@ -1289,18 +1293,10 @@ SELECT * FROM (
 """
 
 
-@register("doc_cleaning_pipeline_funnel", oracle=_pipeline_oracle())
-def doc_cleaning_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WHOLE curation pipeline as one declarative plan — blocklist
-    density filter → cross-document boilerplate strip (frequencies
-    computed within survivors) → exact dedup on the CLEANED text →
-    logistic quality keep → temperature-weighted source rebalance — with
-    a per-stage survivor count report (the funnel a pipeline dashboard
-    shows). Each stage is the already-certified operator composed
-    unchanged; Catalyst sees one DAG, so scans/exchanges are shared
-    across stages instead of one job per stage. Stage semantics are
-    data-dependent end-to-end (each stage sees the previous stage's
-    output), which is exactly what the oracle replays."""
+def _pipeline_stage_frames(spark: SparkSession, sf_dir: str) -> list:
+    """The six stage frames of the cleaning pipeline, shared by the
+    funnel report and the per-doc removal audit. Persists the two
+    multi-consumer boundaries (see the funnel docstring)."""
     from backend_big_data_spark.text.dedup import exact_dedup_fingerprints
     from backend_big_data_spark.text.filtering import blocklist_profile, quality_score_lr
     from backend_big_data_spark.text.mixing import temperature_mix
@@ -1310,13 +1306,11 @@ def doc_cleaning_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = blocklist_profile(d0, max_ratio=0.05)
     d1 = d0.join(bl.filter(F.col("kept")).select("doc_id"), "doc_id", "semi")
     stripped = strip_boilerplate(d1, seg_len=4, max_df=2)
-    # Materialization points: every later stage (and its funnel count)
-    # consumes d2, so without a checkpoint here the boilerplate-strip
-    # subtree (explode + df agg + anti-join + reassembly) re-executes once
-    # per downstream branch — measured 13.8 s → 3.4 s at sf0.1 from these
-    # two persists. This is the real pipeline shape too: stage boundaries
-    # are checkpoints. CacheManager dedupes by plan, so re-invocations
-    # reuse the same entry instead of stacking copies.
+    # Materialization points: every later stage (and each report branch)
+    # consumes d2/d4 — without a checkpoint the boilerplate-strip subtree
+    # re-executes once per downstream branch (measured 13.8 s -> 3.4 s at
+    # sf0.1 from these two persists). CacheManager dedupes by plan, so
+    # re-invocations reuse the same entry instead of stacking copies.
     d2 = (
         stripped.select("doc_id", F.col("clean_text").alias("text"))
         .join(d0.select("doc_id", "source"), "doc_id")
@@ -1331,19 +1325,29 @@ def doc_cleaning_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.filter(F.col("keep")).select("doc_id"), "doc_id", "semi"
     ).persist()
     d5 = temperature_mix(d4, keep_frac=0.5)
-    counts = [
-        ("0_raw", d0),
-        ("1_blocklist", d1),
-        ("2_boilerplate", d2),
-        ("3_exact_dedup", d3),
-        ("4_quality", d4),
-        ("5_temperature_mix", d5),
-    ]
+    return [d0, d1, d2, d3, d4, d5]
+
+
+@register("doc_cleaning_pipeline_funnel", oracle=_pipeline_oracle_funnel())
+def doc_cleaning_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one declarative plan — blocklist
+    density filter → cross-document boilerplate strip (frequencies
+    computed within survivors) → exact dedup on the CLEANED text →
+    logistic quality keep → temperature-weighted source rebalance — with
+    a per-stage survivor count report (the funnel a pipeline dashboard
+    shows). Each stage is the already-certified operator composed
+    unchanged; Catalyst sees one DAG, so scans/exchanges are shared
+    across stages instead of one job per stage. Stage semantics are
+    data-dependent end-to-end (each stage sees the previous stage's
+    output), which is exactly what the oracle replays."""
+    stages = _pipeline_stage_frames(spark, sf_dir)
+    names = ["0_raw", "1_blocklist", "2_boilerplate", "3_exact_dedup",
+             "4_quality", "5_temperature_mix"]
     frames = [
         df.agg(F.count(F.lit(1)).alias("n_docs")).select(
             F.lit(stage).alias("stage"), "n_docs"
         )
-        for stage, df in counts
+        for stage, df in zip(names, stages)
     ]
     out = frames[0]
     for f in frames[1:]:

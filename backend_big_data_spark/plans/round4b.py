@@ -609,3 +609,57 @@ def embedding_training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_triplets(
         emb, emb.filter(F.col("vec_id") < 10)
     ).orderBy("query_id")
+
+
+def _removal_audit_oracle() -> str:
+    from backend_big_data_spark.plans.curation import _pipeline_oracle
+
+    return _pipeline_oracle() + """
+SELECT d0.doc_id,
+       CASE WHEN d5.doc_id IS NOT NULL THEN 'kept'
+            WHEN d4.doc_id IS NOT NULL THEN 'dropped_mix'
+            WHEN d3.doc_id IS NOT NULL THEN 'removed_quality'
+            WHEN d2.doc_id IS NOT NULL THEN 'removed_exact_dup'
+            WHEN d1.doc_id IS NOT NULL THEN 'removed_boilerplate'
+            ELSE 'removed_blocklist' END AS status
+FROM d0
+LEFT JOIN d1 ON d0.doc_id = d1.doc_id
+LEFT JOIN d2 ON d0.doc_id = d2.doc_id
+LEFT JOIN d3 ON d0.doc_id = d3.doc_id
+LEFT JOIN d4 ON d0.doc_id = d4.doc_id
+LEFT JOIN d5 ON d0.doc_id = d5.doc_id
+ORDER BY d0.doc_id
+"""
+
+
+@register("doc_removal_audit", oracle=_removal_audit_oracle())
+def doc_removal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document provenance for the cleaning pipeline — "why was my
+    doc dropped?": the FIRST stage that removed it (blocklist,
+    boilerplate-emptied, exact dup, quality, mix) or 'kept'. Reuses the
+    funnel's shared stage frames (`plans/curation._pipeline_stage_frames`,
+    persisted boundaries included), attribution = a chain of left
+    semi-markers — the audit table an ops dashboard joins against user
+    reports."""
+    from backend_big_data_spark.plans.curation import _pipeline_stage_frames
+
+    stages = _pipeline_stage_frames(spark, sf_dir)
+    d0 = stages[0].select("doc_id")
+    statuses = [
+        "removed_blocklist",  # failed stage 1
+        "removed_boilerplate",
+        "removed_exact_dup",
+        "removed_quality",
+        "dropped_mix",
+    ]
+    out = d0
+    for i, frame in enumerate(stages[1:], start=1):
+        out = out.join(
+            frame.select("doc_id").withColumn(f"__s{i}", F.lit(True)),
+            on="doc_id",
+            how="left",
+        )
+    status = F.lit("kept")
+    for i in range(5, 0, -1):  # first failing stage wins
+        status = F.when(F.col(f"__s{i}").isNull(), F.lit(statuses[i - 1])).otherwise(status)
+    return out.select("doc_id", status.alias("status")).orderBy("doc_id")

@@ -741,3 +741,22 @@ def test_stream_curated_ingest_scrubs_filters_and_dedups(spark, tmp_path):
         [r["doc_id"] for r in c1.collect()] + [r["doc_id"] for r in c2.collect()]
     )
     assert sorted(corpus) == want
+
+
+def test_removal_audit_consistent_with_funnel(spark):
+    """Per-doc removal attribution sums to the funnel's stage deltas."""
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    funnel = {r.stage: r.n_docs for r in QUERIES["doc_cleaning_pipeline_funnel"](spark, sf).collect()}
+    audit = QUERIES["doc_removal_audit"](spark, sf).collect()
+    from collections import Counter
+
+    by_status = Counter(r.status for r in audit)
+    assert len(audit) == funnel["0_raw"]
+    assert by_status["kept"] == funnel["5_temperature_mix"]
+    assert by_status.get("removed_blocklist", 0) == funnel["0_raw"] - funnel["1_blocklist"]
+    assert by_status.get("removed_boilerplate", 0) == funnel["1_blocklist"] - funnel["2_boilerplate"]
+    assert by_status.get("removed_exact_dup", 0) == funnel["2_boilerplate"] - funnel["3_exact_dedup"]
+    assert by_status.get("removed_quality", 0) == funnel["3_exact_dedup"] - funnel["4_quality"]
+    assert by_status.get("dropped_mix", 0) == funnel["4_quality"] - funnel["5_temperature_mix"]
