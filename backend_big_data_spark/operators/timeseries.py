@@ -149,3 +149,43 @@ def ewma_over_days(
     return daily.select(
         day_col, value_col, F.round(ewma, 6).alias("ewma")
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts — the standard product-analytics grid:
+    users bucket into the Monday-truncated week of their FIRST event
+    (cohort), and each (cohort_week, week_offset) cell counts the cohort
+    members active that many weeks later. Output: (cohort_week date,
+    week_offset int, n_users bigint).
+
+    Shape: one keyed MIN per user (the cohort), one (user, week) distinct,
+    one broadcast-size-agnostic keyed join on user, one final count —
+    everything shuffles on user_id or the bounded (cohort, offset) grid.
+    Offsets are exact integers: both weeks are Monday-truncated so the
+    day difference is always a multiple of 7."""
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
+    cohort = first.select(
+        F.col(user_col),
+        F.date_trunc("week", F.col("__first_ts")).cast("date").alias(
+            "cohort_week"
+        ),
+    )
+    active = events.select(
+        F.col(user_col),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("__aw"),
+    ).distinct()
+    return (
+        active.join(cohort, on=user_col)
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("__aw"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

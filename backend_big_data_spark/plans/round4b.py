@@ -663,3 +663,97 @@ def doc_removal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(5, 0, -1):  # first failing stage wins
         status = F.when(F.col(f"__s{i}").isNull(), F.lit(statuses[i - 1])).otherwise(status)
     return out.select("doc_id", status.alias("status")).orderBy("doc_id")
+
+
+_RETENTION_ORACLE = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS aw
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.aw) / 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("events_retention_cohorts", oracle=_RETENTION_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort grid over the events table — the classic
+    product-analytics report (cohort week × weeks-since-signup → active
+    users). See `operators/timeseries.py::retention_cohorts` for the plan
+    anatomy; offsets are exact (both sides Monday-truncated)."""
+    from backend_big_data_spark.operators.timeseries import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev).orderBy("cohort_week", "week_offset")
+
+
+_RFM_ORACLE = """
+WITH rfm AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS recency,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, monetary,
+         ntile(5) OVER (ORDER BY recency ASC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS m_score
+  FROM rfm
+)
+SELECT CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       COUNT(*) AS n_customers,
+       MIN(monetary) AS min_monetary, MAX(monetary) AS max_monetary
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+@register("customer_rfm_segments", oracle=_RFM_ORACLE)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic recency/frequency/monetary
+    grid: per-customer MAX(orderdate)/COUNT/decimal-exact spend, each
+    ntile(5)-scored with a unique (metric, custkey) tie-break (the
+    deciles determinism convention), reported as per-cell counts and
+    monetary bounds. The three global ntile windows run ONLY over the
+    one-row-per-customer aggregate (bounded input)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = (
+        rfm.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy(F.asc("recency"), "o_custkey")).cast("int"),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy(F.asc("frequency"), "o_custkey")).cast("int"),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(Window.orderBy(F.asc("monetary"), "o_custkey")).cast("int"),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("monetary").alias("min_monetary"),
+            F.max("monetary").alias("max_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -213,3 +213,45 @@ def test_unimax_epochs_realize_allocation(spark):
     assert per_group == alloc
     again = unimax_epochs(df, budget=13, max_epochs=2).collect()
     assert sorted(map(tuple, ep)) == sorted(map(tuple, again))
+
+
+def test_retention_cohorts_semantics(spark):
+    from datetime import datetime
+
+    from backend_big_data_spark.operators.timeseries import retention_cohorts
+
+    rows = [
+        # user 1: first week W0 (Mon 2024-01-01), active W0 and W2
+        (1, datetime(2024, 1, 2, 10)), (1, datetime(2024, 1, 16, 9)),
+        # user 2: same cohort, only W0
+        (2, datetime(2024, 1, 4, 8)),
+        # user 3: cohort W1, active W1 and W2
+        (3, datetime(2024, 1, 10, 12)), (3, datetime(2024, 1, 17, 12)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_week), r.week_offset): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
+
+
+def test_rfm_scores_partition_customers_evenly(spark):
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    out = QUERIES["customer_rfm_segments"](spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_customers for r in out)
+    per_r = {}
+    for r in out:
+        per_r[r.r_score] = per_r.get(r.r_score, 0) + r.n_customers
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.min_monetary <= r.max_monetary
+    # ntile(5): every score bucket holds total/5 customers (+/- 1)
+    assert set(per_r) == {1, 2, 3, 4, 5}
+    assert max(per_r.values()) - min(per_r.values()) <= 1
+    assert total == sum(per_r.values())
