@@ -189,3 +189,52 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def stickiness_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / trailing-WAU / stickiness per observed day — the product
+    health metric next to the retention grid. Distinct users per day
+    (DAU) and per trailing ``window_days`` window (WAU), stickiness =
+    DAU/WAU rounded to 4dp.
+
+    Rolling DISTINCT counts don't window: instead each (user, day)
+    membership EXPLODES into the ``window_days`` future days it keeps the
+    user "weekly active" for (a bounded generator, factor = window size),
+    then one distinct + one keyed count — exact, no approximate sketch,
+    every shuffle keyed on the bounded (user, day) / day grid. Days with
+    no events report no row (observed-day semantics)."""
+    ud = events.select(
+        F.col(user_col).alias("__u"),
+        F.to_date(ts_col).alias("__d"),
+    ).distinct()
+    dau = ud.groupBy(F.col("__d").alias("day")).agg(
+        F.count("*").alias("dau")
+    )
+    spread = (
+        ud.select(
+            "__u",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window_days - 1))
+            ).alias("__off"),
+            "__d",
+        )
+        .select("__u", F.date_add(F.col("__d"), F.col("__off")).alias("day"))
+        .distinct()
+    )
+    wau = spread.groupBy("day").agg(F.count("*").alias("wau"))
+    return (
+        dau.join(wau, on="day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.floor(F.col("dau") / F.col("wau") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("stickiness_fp"),
+        )
+    )

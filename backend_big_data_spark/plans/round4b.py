@@ -757,3 +757,35 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+_STICKINESS_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+), dau AS (
+  SELECT d AS day, COUNT(*) AS dau FROM ud GROUP BY 1
+), spread AS (
+  SELECT DISTINCT u, d + CAST(off AS INTEGER) AS day
+  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+), wau AS (
+  SELECT day, COUNT(*) AS wau FROM spread GROUP BY 1
+)
+SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       CAST(floor(CAST(dau AS DOUBLE) / wau * 10000 + 0.5) AS BIGINT)
+         AS stickiness_fp
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY dau.day
+"""
+
+
+@register("events_stickiness_daily", oracle=_STICKINESS_ORACLE)
+def events_stickiness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per observed day. Rolling
+    DISTINCT counts don't window, so each (user, day) membership explodes
+    into the 7 days it keeps the user weekly-active (bounded generator),
+    then one distinct + keyed count — exact, no sketch. See
+    `operators/timeseries.py::stickiness_daily`."""
+    from backend_big_data_spark.operators.timeseries import stickiness_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    return stickiness_daily(ev).orderBy("day")

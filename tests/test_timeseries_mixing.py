@@ -255,3 +255,28 @@ def test_rfm_scores_partition_customers_evenly(spark):
     assert set(per_r) == {1, 2, 3, 4, 5}
     assert max(per_r.values()) - min(per_r.values()) <= 1
     assert total == sum(per_r.values())
+
+
+def test_stickiness_daily_known_answer(spark):
+    from datetime import datetime
+
+    from backend_big_data_spark.operators.timeseries import stickiness_daily
+
+    rows = [
+        (1, datetime(2024, 3, 1, 9)),
+        (2, datetime(2024, 3, 1, 10)),
+        (1, datetime(2024, 3, 5, 9)),   # user 1 returns within the window
+        (3, datetime(2024, 3, 5, 9)),
+        (9, datetime(2024, 3, 20, 9)),  # isolated day, WAU == DAU
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {str(r.day): (r.dau, r.wau, r.stickiness_fp) for r in stickiness_daily(ev).collect()}
+    # Mar 1: DAU {1,2}; WAU(trailing 7d ending Mar 1) = users active
+    # Mar 1-7 days before... trailing = membership spread FORWARD: a user
+    # active on d counts for days d..d+6, so WAU(Mar 1) = users active in
+    # (Feb 24..Mar 1) = {1,2}
+    assert got["2024-03-01"] == (2, 2, 10000)
+    # Mar 5: DAU {1,3}; WAU = active Feb 28..Mar 5 = {1,2,3}
+    assert got["2024-03-05"] == (2, 3, 6667)
+    assert got["2024-03-20"] == (1, 1, 10000)
+    assert set(got) == {"2024-03-01", "2024-03-05", "2024-03-20"}
