@@ -789,3 +789,73 @@ def events_stickiness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return stickiness_daily(ev).orderBy("day")
+
+
+_PAIR_LIFT_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li
+), item AS (
+  SELECT l_partkey, COUNT(*) AS s FROM li GROUP BY 1
+), pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_count
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT part_a, part_b, CAST(pair_count AS BIGINT) AS pair_count,
+       CAST((pair_count * n_orders * 10000) // (sa.s * sb.s) AS BIGINT)
+         AS lift_fp
+FROM pair
+JOIN item sa ON pair.part_a = sa.l_partkey
+JOIN item sb ON pair.part_b = sb.l_partkey
+CROSS JOIN n
+ORDER BY lift_fp DESC, part_a, part_b
+"""
+
+
+@register("part_pair_lift", oracle=_PAIR_LIFT_ORACLE)
+def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair analysis — the oracle-gated association-rules
+    counterpart to the rows-only FPGrowth query: part pairs co-occurring
+    in >= 3 orders with their lift (= pair_count * n_orders /
+    (support_a * support_b)) in EXACT integer fixed point (1e4 units,
+    integer floor-division — no float anywhere). The self-join keys on
+    the order, so pair expansion is bounded by order size; item supports
+    join back keyed on part."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    a = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pair = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= 3)
+    )
+    return (
+        pair.join(item.withColumnRenamed("l_partkey", "part_a")
+                  .withColumnRenamed("s", "__sa"), on="part_a")
+        .join(item.withColumnRenamed("l_partkey", "part_b")
+              .withColumnRenamed("s", "__sb"), on="part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_count",
+            F.expr("(pair_count * n_orders * 10000) DIV (__sa * __sb)")
+            .alias("lift_fp"),
+        )
+        .orderBy(F.desc("lift_fp"), "part_a", "part_b")
+    )

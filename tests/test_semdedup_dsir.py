@@ -380,3 +380,16 @@ def test_training_triplets_semantics(spark):
         assert labels[r.negative_id] != labels[r.query_id]
         assert r.positive_id != r.query_id
         assert abs(r.margin - round(r.positive_sim - r.negative_sim, 6)) < 1e-9
+
+
+def test_part_pair_lift_exact_integer_math(spark):
+    """Lift fixed point is exact integer floor division; min-support cut
+    applied; pair keys canonical (a < b)."""
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    rows = QUERIES["part_pair_lift"](spark, SF_SMALL).collect()
+    assert rows  # sf0.001 has co-occurring pairs
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.pair_count >= 3
+        assert r.lift_fp >= 0
