@@ -183,3 +183,40 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star: no fixpoint in {max_iter} rounds"
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge list — the
+    clustering-structure probe for the near-dup graph (a dup CLUSTER is
+    near-clique: high triangle density confirms transitive dedup is safe;
+    a chain of borderline pairs has none and needs the verify pass).
+
+    Canonical-ordering formulation: with every edge stored (lo, hi) once,
+    each triangle a<b<c is found EXACTLY once by joining e(a,b) x e(b,c)
+    x e(a,c) — two keyed equi-joins, no permutation blowup. Wedge count
+    is bounded by sum(deg^2) of the canonical orientation, the standard
+    bound; all shuffles key on a vertex."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = ab.join(bc, on="b").join(ac, on=["a", "c"])
+    per_vertex = (
+        tri.select(F.col("a").alias("vertex"))
+        .unionAll(tri.select(F.col("b").alias("vertex")))
+        .unionAll(tri.select(F.col("c").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_vertex

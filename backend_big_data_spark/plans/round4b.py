@@ -859,3 +859,43 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift_fp"), "part_a", "part_b")
     )
+
+
+_TRIANGLES_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS lo, b.vec_id AS hi
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) > 0.3
+), tri AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM pairs ab
+  JOIN pairs bc ON ab.hi = bc.lo
+  JOIN pairs ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+), verts AS (
+  SELECT a AS vertex FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM verts GROUP BY vertex ORDER BY vertex
+"""
+
+
+@register("embedding_dup_triangles", oracle=_TRIANGLES_ORACLE)
+def embedding_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the embedding near-dup graph
+    (label-blocked cosine > 0.3 pairs) — the cluster-density probe next
+    to connected components: near-clique dup clusters are safe to
+    transitively collapse, triangle-free chains need the verify pass.
+    Canonical a<b<c ordering finds each triangle once via two keyed
+    equi-joins. See `operators/graph.py::triangle_counts`."""
+    from backend_big_data_spark.operators.graph import triangle_counts
+    from backend_big_data_spark.similarity.neardup import blocked_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = blocked_cosine_pairs(emb, block_col="label", threshold=0.3).select(
+        F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst")
+    )
+    return triangle_counts(edges).orderBy("vertex")

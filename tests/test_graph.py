@@ -65,3 +65,19 @@ def test_star_round_count_on_deep_path(spark):
     labels, rounds = connected_components_star(e, return_rounds=True)
     assert _labels(labels) == {(i, 0) for i in range(n)}
     assert rounds <= 12, f"star contraction took {rounds} rounds on a path"
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 has 4 triangles (3 per vertex); attaching a pendant edge adds
+    none; duplicate/reversed edges don't double-count."""
+    from backend_big_data_spark.operators.graph import triangle_counts
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5),                                          # pendant
+        (2, 1), (3, 1),                                  # reversed dups
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert 5 not in got  # pendant vertex closes no triangle
