@@ -112,14 +112,15 @@ _FRONT = [
 ]
 # Round-5 rotation note: this window re-certifies everything drifted in
 # round 4 plus the previously-uncovered six; the next _FRONT should lead
-# with the 43 round-4 queries that did not fit this window (all
+# with the 45 round-4 queries that did not fit this window (all
 # pytest-oracle-certified this round): the late curation batch
 # (doc_semdedup_kept, doc_dsir_weights, doc_pii_redacted,
 # doc_bigram_perplexity, doc_unimax_mix, embedding_hard_negatives,
 # doc_semdedup_blocked, doc_dsir_resampled, doc_bm25_search,
 # doc_hybrid_search, doc_similar_to_query, embedding_training_triplets,
 # doc_removal_audit, events_retention_cohorts, customer_rfm_segments,
-# events_stickiness_daily, part_pair_lift, embedding_dup_triangles),
+# events_stickiness_daily, part_pair_lift, embedding_dup_triangles,
+# corpus_token_budget, embedding_dup_degree_hist),
 # the
 # TPC-H five (q7_volume_shipping,
 # q9_product_profit, q12_shipping_tiers, q14_promo_revenue,

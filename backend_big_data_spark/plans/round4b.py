@@ -899,3 +899,88 @@ def embedding_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id_a").alias("src"), F.col("vec_id_b").alias("dst")
     )
     return triangle_counts(edges).orderBy("vertex")
+
+
+_TOKEN_BUDGET_ORACLE = """
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]{2,}')))
+              AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_tokens) AS t FROM per
+)
+SELECT source, n_docs, n_tokens, n_chars,
+       CAST((n_tokens * 1000000) // t AS BIGINT) AS token_share_ppm
+FROM per CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@register("corpus_token_budget", oracle=_TOKEN_BUDGET_ORACLE)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget accounting — the planning table every
+    mixture design (temperature / UniMax / DSIR) starts from: docs,
+    word-tokens, chars, and each source's share of the total token budget
+    in exact integer ppm. One hash aggregate + a 1-row total broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z]{2,}"), F.lit(0)
+    )
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("__t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.expr("(n_tokens * 1000000) DIV __t").alias("token_share_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_DEGREE_HIST_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS lo, b.vec_id AS hi
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) > 0.3
+), deg AS (
+  SELECT vertex, CAST(COUNT(*) AS INTEGER) AS degree FROM (
+    SELECT lo AS vertex FROM pairs UNION ALL SELECT hi FROM pairs
+  ) GROUP BY vertex
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+@register("embedding_dup_degree_hist", oracle=_DEGREE_HIST_ORACLE)
+def embedding_dup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup graph — the first thing to look
+    at before collapsing clusters (a fat tail = hub documents gluing
+    unrelated near-dups together; pairs with triangle counts to decide
+    transitive vs verified removal). Two keyed aggregates."""
+    from backend_big_data_spark.similarity.neardup import blocked_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = blocked_cosine_pairs(emb, block_col="label", threshold=0.3)
+    verts = edges.select(F.col("vec_id_a").alias("vertex")).unionAll(
+        edges.select(F.col("vec_id_b").alias("vertex"))
+    )
+    deg = verts.groupBy("vertex").agg(F.count("*").cast("int").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+        .orderBy("degree")
+    )

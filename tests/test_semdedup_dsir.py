@@ -393,3 +393,26 @@ def test_part_pair_lift_exact_integer_math(spark):
         assert r.part_a < r.part_b
         assert r.pair_count >= 3
         assert r.lift_fp >= 0
+
+
+def test_corpus_token_budget_shares_sum_to_one(spark):
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    rows = QUERIES["corpus_token_budget"](spark, SF_SMALL).collect()
+    assert rows
+    total_ppm = sum(r.token_share_ppm for r in rows)
+    # integer floor division: shares sum to 1e6 minus at most n_sources-1
+    assert 1_000_000 - len(rows) < total_ppm <= 1_000_000
+    for r in rows:
+        assert r.n_tokens > 0 and r.n_docs > 0
+
+
+def test_degree_hist_accounts_every_edge_endpoint(spark):
+    from backend_big_data_spark.plans.all_plans import QUERIES
+    from backend_big_data_spark.similarity.neardup import blocked_cosine_pairs
+    from backend_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n_edges = blocked_cosine_pairs(emb, "label", 0.3).count()
+    hist = QUERIES["embedding_dup_degree_hist"](spark, SF_SMALL).collect()
+    assert sum(r.degree * r.n_vertices for r in hist) == 2 * n_edges
