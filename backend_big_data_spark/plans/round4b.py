@@ -984,3 +984,51 @@ def embedding_dup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vertices"))
         .orderBy("degree")
     )
+
+
+def _gopher_oracle() -> str:
+    from backend_big_data_spark.text.gopher import STOPWORDS
+
+    stop = ",".join(f"'{w}'" for w in STOPWORDS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+         length(regexp_replace(text, '\s+', '', 'g')) AS chars_no_ws,
+         CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              AS BIGINT) AS symbols
+  FROM documents
+), m AS (
+  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words, chars_no_ws, symbols,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+         len(list_filter(w, x -> x IN ({stop}))) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (chars_no_ws >= 3 * n_words AND chars_no_ws <= 10 * n_words)
+         AS ok_mean_word_len,
+       (10 * symbols < n_words) AS ok_symbol_ratio,
+       (5 * alpha_words > 4 * n_words) AS ok_alpha_fraction,
+       (stop_hits >= 2) AS ok_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (chars_no_ws >= 3 * n_words AND chars_no_ws <= 10 * n_words)
+        AND (10 * symbols < n_words)
+        AND (5 * alpha_words > 4 * n_words)
+        AND (stop_hits >= 2)) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+@register("doc_gopher_quality", oracle=_gopher_oracle())
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (arXiv:2112.11446 Table A1
+    subset): word-count bounds, mean-word-length bounds, symbol ratio,
+    alphabetic-word fraction, stop-word presence — every ratio evaluated
+    by integer cross-multiplication, so the verdicts are exact on any
+    engine (`text/gopher.py`). The third published filter family next to
+    the C4 blocklist and the logistic scorer."""
+    from backend_big_data_spark.text.gopher import gopher_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_profile(docs).orderBy("doc_id")

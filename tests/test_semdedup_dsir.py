@@ -416,3 +416,24 @@ def test_degree_hist_accounts_every_edge_endpoint(spark):
     n_edges = blocked_cosine_pairs(emb, "label", 0.3).count()
     hist = QUERIES["embedding_dup_degree_hist"](spark, SF_SMALL).collect()
     assert sum(r.degree * r.n_vertices for r in hist) == 2 * n_edges
+
+
+def test_gopher_rules_on_crafted_docs(spark):
+    from backend_big_data_spark.text.gopher import gopher_profile
+
+    good = ("the quick brown fox and the lazy dog have gone to town of late "
+            * 5)  # 65 words, stopwords present, alphabetic, sane lengths
+    rows = [
+        (1, good),
+        (2, "short doc"),                                  # word count fails
+        (3, ("#### " * 60).strip()),                       # symbols + alpha fail
+        (4, ("aa " * 60).strip()),                         # no stopwords
+        (5, ("supercalifragilistic " * 60).strip()),       # mean word len > 10
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_profile(docs).collect()}
+    assert out[1].keep
+    assert not out[2].ok_word_count and not out[2].keep
+    assert not out[3].ok_symbol_ratio and not out[3].ok_alpha_fraction
+    assert out[4].ok_word_count and not out[4].ok_stopwords and not out[4].keep
+    assert not out[5].ok_mean_word_len and not out[5].keep
