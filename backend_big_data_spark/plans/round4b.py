@@ -1032,3 +1032,89 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gopher_profile(docs).orderBy("doc_id")
+
+
+_REPETITION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         CAST(len(w) AS INTEGER) AS n_tokens,
+         CAST(GREATEST(len(w) - 2, 0) AS INTEGER) AS n_shingles,
+         CAST(CASE WHEN len(w) >= 3
+              THEN len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                      FOR i IN range(1, len(w)-1)]))
+              ELSE 0 END AS INTEGER) AS n_distinct_shingles,
+         CAST((SELECT MAX(c) FROM (
+            SELECT COUNT(*) AS c FROM unnest(w) AS u(tok) GROUP BY tok
+         )) AS INTEGER) AS top_token_count
+  FROM t
+)
+SELECT doc_id, n_tokens, n_shingles, n_distinct_shingles, top_token_count,
+       (5 * top_token_count <= n_tokens) AS ok_top_unigram,
+       (10 * (n_shingles - n_distinct_shingles) <= 3 * n_shingles)
+         AS ok_dup_shingles,
+       ((5 * top_token_count <= n_tokens)
+        AND (10 * (n_shingles - n_distinct_shingles) <= 3 * n_shingles))
+         AS keep
+FROM g ORDER BY doc_id
+"""
+
+
+@register("doc_repetition_profile", oracle=_REPETITION_ORACLE)
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText repetition rules (arXiv:2112.11446 Table A1, repetition
+    block): top-unigram share <= 20% and duplicate-3-gram fraction <= 30%,
+    both evaluated by integer cross-multiplication (exact verdicts). The
+    in-document counterpart of the cross-document dedup family — catches
+    the 'same sentence looped 500 times' page that no corpus-level dedup
+    sees."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(w)
+    n_shingles = F.greatest(n_tokens - 2, F.lit(0))
+    shingles = F.when(
+        n_tokens >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_tokens - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                    F.element_at(w, i + 3),
+                ),
+            )
+        ),
+    )
+    n_distinct = F.coalesce(F.size(shingles), F.lit(0))
+    # top token count via explode + two keyed aggregates — O(L) per doc
+    # (an array_distinct x filter expression would be O(L^2) per doc:
+    # fine on word-soup, fatal on a 100k-token document)
+    top = (
+        docs.select("doc_id", F.explode(w).alias("__tok"))
+        .groupBy("doc_id", "__tok")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.max("__c").alias("top_token_count"))
+    )
+    base = docs.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        n_shingles.cast("int").alias("n_shingles"),
+        n_distinct.cast("int").alias("n_distinct_shingles"),
+    ).join(top, on="doc_id")
+    ok_uni = (5 * F.col("top_token_count")) <= F.col("n_tokens")
+    ok_dup = (10 * (F.col("n_shingles") - F.col("n_distinct_shingles"))) <= (
+        3 * F.col("n_shingles")
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_shingles",
+        "n_distinct_shingles",
+        F.col("top_token_count").cast("int").alias("top_token_count"),
+        ok_uni.alias("ok_top_unigram"),
+        ok_dup.alias("ok_dup_shingles"),
+        (ok_uni & ok_dup).alias("keep"),
+    ).orderBy("doc_id")

@@ -437,3 +437,32 @@ def test_gopher_rules_on_crafted_docs(spark):
     assert not out[3].ok_symbol_ratio and not out[3].ok_alpha_fraction
     assert out[4].ok_word_count and not out[4].ok_stopwords and not out[4].keep
     assert not out[5].ok_mean_word_len and not out[5].keep
+
+
+def test_repetition_profile_flags_looped_text(spark):
+    from backend_big_data_spark.plans.all_plans import QUERIES
+    import pyspark.sql.functions as SF
+
+    looped = ("buy cheap pills now " * 30).strip()      # one 4-gram looped
+    varied = ("the quick brown fox jumps over a lazy dog near the old barn "
+              "while birds sing softly above green fields and rivers flow "
+              "gently past stone bridges under a warm afternoon sun")
+    docs = spark.createDataFrame(
+        [(1, looped), (2, varied)], "doc_id long, text string"
+    )
+    from backend_big_data_spark.plans.round4b import doc_repetition_profile  # noqa: F401
+    # call the registered builder against a temp dir-shaped frame instead:
+    # reuse the column logic by writing a one-off parquet dataset
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        docs.withColumn("lang", SF.lit("en")).withColumn(
+            "source", SF.lit("s")
+        ).withColumn("n_chars", SF.length("text")).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.doc_id: r for r in QUERIES["doc_repetition_profile"](spark, d).collect()}
+    assert not out[1].ok_top_unigram or not out[1].ok_dup_shingles
+    assert not out[1].keep
+    assert out[2].keep
+    # dup-shingle accounting: repeated loop -> nearly all shingles dup
+    assert out[1].n_distinct_shingles < out[1].n_shingles / 2
