@@ -1118,3 +1118,65 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_dup.alias("ok_dup_shingles"),
         (ok_uni & ok_dup).alias("keep"),
     ).orderBy("doc_id")
+
+
+_LTV_ORACLE = """
+WITH first AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort_month
+  FROM orders GROUP BY o_custkey
+), rev AS (
+  SELECT f.cohort_month,
+         CAST(date_diff('month', f.cohort_month,
+                        CAST(date_trunc('month', o.o_orderdate) AS DATE))
+              AS INTEGER) AS month_offset,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+)
+SELECT cohort_month, month_offset,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(SUM(revenue) OVER (PARTITION BY cohort_month
+                               ORDER BY month_offset) AS DOUBLE)
+         AS cum_revenue
+FROM rev ORDER BY cohort_month, month_offset
+"""
+
+
+@register("customer_ltv_cohorts", oracle=_LTV_ORACLE)
+def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value cohort curves — the revenue twin of the
+    retention grid: cohort month (first order) × months-since-first →
+    per-cell and CUMULATIVE revenue. Revenue stays DECIMAL through the
+    window cumsum (exact at any order) and casts to double only at the
+    edge; month offsets are exact (both sides month-truncated)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias(
+            "cohort_month"
+        )
+    )
+    rev = (
+        orders.join(first, on="o_custkey")
+        .select(
+            "cohort_month",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")).cast("date"),
+                F.col("cohort_month"),
+            )
+            .cast("int")
+            .alias("month_offset"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("__p"),
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.sum("__p").alias("__rev"))
+    )
+    w = Window.partitionBy("cohort_month").orderBy("month_offset")
+    return rev.select(
+        "cohort_month",
+        "month_offset",
+        F.col("__rev").cast("double").alias("revenue"),
+        F.sum("__rev").over(w).cast("double").alias("cum_revenue"),
+    ).orderBy("cohort_month", "month_offset")

@@ -280,3 +280,20 @@ def test_stickiness_daily_known_answer(spark):
     assert got["2024-03-05"] == (2, 3, 6667)
     assert got["2024-03-20"] == (1, 1, 10000)
     assert set(got) == {"2024-03-01", "2024-03-05", "2024-03-20"}
+
+
+def test_ltv_cohorts_cumulative_is_running_total(spark):
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    rows = QUERIES["customer_ltv_cohorts"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(str(r.cohort_month), []).append(r)
+    for curve in by_cohort.values():
+        curve.sort(key=lambda r: r.month_offset)
+        running = 0.0
+        for r in curve:
+            running += r.revenue
+            assert abs(r.cum_revenue - running) < 1e-6
+            assert r.month_offset >= 0
