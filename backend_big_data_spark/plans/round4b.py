@@ -1180,3 +1180,98 @@ def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__rev").cast("double").alias("revenue"),
         F.sum("__rev").over(w).cast("double").alias("cum_revenue"),
     ).orderBy("cohort_month", "month_offset")
+
+
+_PARETO_ORACLE = """
+WITH per AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+), ranked AS (
+  SELECT user_id, n,
+         ntile(10) OVER (ORDER BY n DESC, user_id) AS user_decile
+  FROM per
+), tot AS (
+  SELECT SUM(n) AS t, COUNT(*) AS u FROM per
+)
+SELECT CAST(user_decile AS INTEGER) AS user_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST((SUM(n) * 1000000) // (SELECT t FROM tot) AS BIGINT)
+         AS event_share_ppm
+FROM ranked GROUP BY user_decile ORDER BY user_decile
+"""
+
+
+@register("events_power_users_pareto", oracle=_PARETO_ORACLE)
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration ("do 10% of users produce 80% of events?"):
+    users deciled by event count (deterministic tie-break), each decile's
+    event share in exact integer ppm. The ntile window runs over the
+    one-row-per-user aggregate only."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    ranked = per.withColumn(
+        "user_decile",
+        F.ntile(10).over(Window.orderBy(F.desc("n"), "user_id")).cast("int"),
+    )
+    tot = per.agg(F.sum("n").alias("__t"))
+    return (
+        ranked.groupBy("user_decile")
+        .agg(F.count("*").alias("n_users"), F.sum("n").alias("n_events"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "user_decile",
+            "n_users",
+            "n_events",
+            F.expr("(n_events * 1000000) DIV __t").alias("event_share_ppm"),
+        )
+        .orderBy("user_decile")
+    )
+
+
+_HEAPS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS tok
+  FROM documents
+), firstseen AS (
+  SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+), buckets AS (
+  SELECT CAST(first_doc // 50 AS INTEGER) AS doc_bucket,
+         COUNT(*) AS new_types
+  FROM firstseen GROUP BY 1
+)
+SELECT doc_bucket, CAST(new_types AS BIGINT) AS new_types,
+       CAST(SUM(new_types) OVER (ORDER BY doc_bucket) AS BIGINT)
+         AS vocab_size
+FROM buckets ORDER BY doc_bucket
+"""
+
+
+@register("corpus_vocab_growth", oracle=_HEAPS_ORACLE)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: per 50-doc bucket, the
+    count of word types first seen there and the cumulative vocabulary
+    size — the corpus statistic behind tokenizer sizing and dedup health
+    (a flattening curve = saturating corpus; a jump = a new domain
+    arrived). Cumulative DISTINCT becomes first-occurrence MIN + integer
+    cumsum — exact, two keyed aggregates and a bounded window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]{2,}"), F.lit(0))
+        ).alias("tok"),
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    buckets = first.groupBy(
+        F.expr("first_doc DIV 50").cast("int").alias("doc_bucket")
+    ).agg(F.count("*").alias("new_types"))
+    w = Window.orderBy("doc_bucket")
+    return buckets.select(
+        "doc_bucket",
+        "new_types",
+        F.sum("new_types").over(w).alias("vocab_size"),
+    ).orderBy("doc_bucket")

@@ -297,3 +297,23 @@ def test_ltv_cohorts_cumulative_is_running_total(spark):
             running += r.revenue
             assert abs(r.cum_revenue - running) < 1e-6
             assert r.month_offset >= 0
+
+
+def test_pareto_shares_and_vocab_growth_invariants(spark):
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    pareto = QUERIES["events_power_users_pareto"](spark, sf).collect()
+    assert [r.user_decile for r in pareto] == list(range(1, 11))
+    shares = [r.event_share_ppm for r in pareto]
+    assert sorted(shares, reverse=True) == shares  # deciles ranked by activity
+    assert 1_000_000 - 10 < sum(shares) <= 1_000_000
+
+    growth = QUERIES["corpus_vocab_growth"](spark, sf).collect()
+    assert growth
+    cum = 0
+    for r in growth:
+        cum += r.new_types
+        assert r.vocab_size == cum  # exact integer running total
+    if len(growth) > 1:  # sf0.001 fits one bucket; larger SFs show the decay
+        assert growth[0].new_types > growth[-1].new_types
