@@ -1275,3 +1275,94 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_types",
         F.sum("new_types").over(w).alias("vocab_size"),
     ).orderBy("doc_bucket")
+
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT CASE WHEN o_totalprice >= 600000 THEN 21
+              ELSE CAST(floor(o_totalprice / 30000) AS INTEGER) + 1 END AS bucket
+  FROM orders
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(bucket * 30000 - 30000 AS DOUBLE) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("order_value_histogram", oracle=_HISTOGRAM_ORACLE)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order values (width_bucket semantics
+    written as explicit floor arithmetic — DuckDB has no width_bucket, so
+    both engines share the same expression: 20 bins over [0, 600000),
+    overflow clamps to bin 21). Map-side bucket id + one keyed count."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.when(F.col("o_totalprice") >= 600000, F.lit(21)).otherwise(
+        F.floor(F.col("o_totalprice") / 30000).cast("int") + 1
+    )
+    return (
+        orders.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 30000 - 30000).cast("double").alias("bucket_lo"),
+            "n_orders",
+        )
+        .orderBy("bucket")
+    )
+
+
+_HHI_ORACLE = """
+WITH per AS (
+  SELECT n.n_name AS nation, l.l_suppkey AS supp, COUNT(*) AS c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), agg AS (
+  SELECT nation, SUM(c) AS t, SUM(c * c) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM per GROUP BY nation
+)
+SELECT nation, n_suppliers, CAST(t AS BIGINT) AS n_lineitems,
+       CAST((ss * 1000000) // (t * t) AS BIGINT) AS hhi_ppm
+FROM agg ORDER BY nation
+"""
+
+
+@register("nation_supplier_hhi", oracle=_HHI_ORACLE)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per nation — the Herfindahl–Hirschman index
+    over lineitem share, in EXACT integer ppm (sum-of-squared-counts
+    times 1e6, integer floor-divided by the squared total — no float
+    division anywhere). 10000 ppm = perfectly even across 100 suppliers;
+    1e6 = a single-supplier nation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    per = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("nation", "l_suppkey")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per.groupBy("nation")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("c").alias("__t"),
+            F.sum(F.col("c") * F.col("c")).alias("__ss"),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            F.col("__t").alias("n_lineitems"),
+            F.expr("(__ss * 1000000) DIV (__t * __t)").alias("hhi_ppm"),
+        )
+        .orderBy("nation")
+    )

@@ -317,3 +317,24 @@ def test_pareto_shares_and_vocab_growth_invariants(spark):
         assert r.vocab_size == cum  # exact integer running total
     if len(growth) > 1:  # sf0.001 fits one bucket; larger SFs show the decay
         assert growth[0].new_types > growth[-1].new_types
+
+
+def test_histogram_and_hhi_invariants(spark):
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    hist = QUERIES["order_value_histogram"](spark, sf).collect()
+    import pyspark.sql.functions as SF
+    from backend_big_data_spark.sources.catalog import load_table
+
+    n_orders = load_table(spark, sf, "orders").count()
+    assert sum(r.n_orders for r in hist) == n_orders  # every order binned
+    for r in hist:
+        assert 1 <= r.bucket <= 21
+        assert r.bucket_lo == (r.bucket - 1) * 30000
+
+    hhi = QUERIES["nation_supplier_hhi"](spark, sf).collect()
+    assert hhi
+    for r in hhi:
+        # HHI bounds: 1e6/n_suppliers <= hhi <= 1e6 (floor-div slack of 1)
+        assert 1_000_000 // r.n_suppliers - 1 <= r.hhi_ppm <= 1_000_000
