@@ -1366,3 +1366,62 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+_INTERARRIVAL_ORACLE = """
+WITH ordered AS (
+  SELECT event_type, ts, event_id,
+         lag(ts) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         date_diff('second', prev_ts, ts) AS gap_sec
+  FROM ordered WHERE prev_ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap_sec, 0.5), 2) AS median_gap_sec,
+       ROUND(quantile_cont(gap_sec, 0.9), 2) AS p90_gap_sec,
+       CAST(MAX(gap_sec) AS BIGINT) AS max_gap_sec
+FROM gaps GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_interarrival_profile", oracle=_INTERARRIVAL_ORACLE)
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type — the burstiness /
+    feed-health statistic (a p90 spike = a stalled producer long before
+    an alert fires on totals). One keyed lag window over (type, ts, id),
+    integer-second gaps, exact percentiles (the median-order-value
+    convention; percentile_approx is the documented 100 TB swap)."""
+    from pyspark.sql import Window
+
+    from backend_big_data_spark.functions.scalars import round_half_up
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("__prev", F.lag("ts").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("__prev")
+            ).alias("gap_sec"),
+        )
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            round_half_up(
+                F.expr("percentile(gap_sec, 0.5)"), 2
+            ).alias("median_gap_sec"),
+            round_half_up(
+                F.expr("percentile(gap_sec, 0.9)"), 2
+            ).alias("p90_gap_sec"),
+            F.max("gap_sec").alias("max_gap_sec"),
+        )
+        .orderBy("event_type")
+    )

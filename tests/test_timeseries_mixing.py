@@ -338,3 +338,29 @@ def test_histogram_and_hhi_invariants(spark):
     for r in hhi:
         # HHI bounds: 1e6/n_suppliers <= hhi <= 1e6 (floor-div slack of 1)
         assert 1_000_000 // r.n_suppliers - 1 <= r.hhi_ppm <= 1_000_000
+
+
+def test_interarrival_profile_known_gaps(spark):
+    from datetime import datetime
+
+    from backend_big_data_spark.plans.all_plans import QUERIES
+    import pyspark.sql.functions as SF
+    import os, tempfile
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "view"),
+        (2, datetime(2024, 1, 1, 0, 0, 10), 1, "view"),   # gap 10
+        (3, datetime(2024, 1, 1, 0, 0, 40), 1, "view"),   # gap 30
+        (4, datetime(2024, 1, 1, 0, 1, 40), 1, "view"),   # gap 60
+        (5, datetime(2024, 1, 1, 0, 0, 0), 2, "click"),   # single: no gap
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).withColumn("value", SF.lit(1.0)).withColumn("props", SF.lit("{}"))
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.event_type: r for r in QUERIES["events_interarrival_profile"](spark, d).collect()}
+    assert "click" not in out            # one event -> no gaps
+    v = out["view"]
+    assert (v.n_gaps, v.median_gap_sec, v.max_gap_sec) == (3, 30.0, 60)
+    assert v.p90_gap_sec == 54.0         # linear interpolation at 0.9
