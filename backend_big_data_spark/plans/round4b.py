@@ -1425,3 +1425,91 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_LIFECYCLE_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+), seq AS (
+  SELECT user_id, wk,
+         lag(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+         lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+  FROM uw
+), mx AS (
+  SELECT MAX(wk) AS max_wk FROM uw
+), act AS (
+  SELECT wk,
+         CAST(COUNT(*) FILTER (prev_wk IS NULL) AS BIGINT) AS n_new,
+         CAST(COUNT(*) FILTER (prev_wk = wk - 7) AS BIGINT) AS n_retained,
+         CAST(COUNT(*) FILTER (prev_wk IS NOT NULL AND prev_wk < wk - 7)
+              AS BIGINT) AS n_resurrected
+  FROM seq GROUP BY wk
+), churn AS (
+  SELECT wk + 7 AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM seq CROSS JOIN mx
+  WHERE (next_wk IS NULL OR next_wk > wk + 7) AND wk + 7 <= max_wk
+  GROUP BY wk + 7
+)
+SELECT COALESCE(act.wk, churn.wk) AS week,
+       COALESCE(n_new, 0) AS n_new,
+       COALESCE(n_retained, 0) AS n_retained,
+       COALESCE(n_resurrected, 0) AS n_resurrected,
+       COALESCE(n_churned, 0) AS n_churned
+FROM act FULL OUTER JOIN churn ON act.wk = churn.wk
+ORDER BY week
+"""
+
+
+@register("events_user_lifecycle", oracle=_LIFECYCLE_ORACLE)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per week, users who are NEW (first-ever week),
+    RETAINED (also active the prior week), RESURRECTED (returned after a
+    gap), and CHURNED (active the prior week, absent this one — only for
+    weeks inside the observed range). One (user, week) distinct + one
+    keyed lag/lead window + two bounded-grid aggregates; the identity
+    active(w) = new + retained + resurrected holds by construction."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.withColumn("prev_wk", F.lag("wk").over(w)).withColumn(
+        "next_wk", F.lead("wk").over(w)
+    )
+    act = seq.groupBy(F.col("wk")).agg(
+        F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0)).alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_wk") == F.date_sub("wk", 7), 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_wk").isNotNull()
+                & (F.col("prev_wk") < F.date_sub("wk", 7)),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    mx = uw.agg(F.max("wk").alias("__max_wk"))
+    churn = (
+        seq.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.date_add("wk", 7)))
+            & (F.date_add("wk", 7) <= F.col("__max_wk"))
+        )
+        .groupBy(F.date_add("wk", 7).alias("wk"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        act.join(churn, on="wk", how="full")
+        .select(
+            F.col("wk").alias("week"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("week")
+    )

@@ -364,3 +364,33 @@ def test_interarrival_profile_known_gaps(spark):
     v = out["view"]
     assert (v.n_gaps, v.median_gap_sec, v.max_gap_sec) == (3, 30.0, 60)
     assert v.p90_gap_sec == 54.0         # linear interpolation at 0.9
+
+
+def test_user_lifecycle_growth_accounting_identity(spark):
+    from backend_big_data_spark.plans.all_plans import QUERIES
+    from backend_big_data_spark.operators.timeseries import retention_cohorts  # noqa: F401
+    from backend_big_data_spark.sources.catalog import load_table
+    import pyspark.sql.functions as SF
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["events_user_lifecycle"](spark, sf).collect()
+    assert rows
+    # identity: active users in week w == new + retained + resurrected
+    ev = load_table(spark, sf, "events")
+    active = {
+        str(r.wk): r.n
+        for r in ev.select(
+            "user_id", SF.date_trunc("week", "ts").cast("date").alias("wk")
+        )
+        .distinct()
+        .groupBy("wk")
+        .agg(SF.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        expected = active.get(str(r.week), 0)
+        assert r.n_new + r.n_retained + r.n_resurrected == expected
+        assert r.n_churned >= 0
+    # first observed week has no retained/resurrected
+    first = min(rows, key=lambda r: r.week)
+    assert first.n_retained == 0 and first.n_resurrected == 0
