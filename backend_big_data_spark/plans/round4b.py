@@ -1513,3 +1513,67 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+_AB_ORACLE = """
+WITH assign AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2 AS INTEGER) AS variant
+  FROM events
+), conv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT a.variant,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(c.user_id) AS BIGINT) AS n_converters,
+       CAST((COUNT(c.user_id) * 1000000) // COUNT(*) AS BIGINT)
+         AS conversion_ppm
+FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+GROUP BY a.variant ORDER BY a.variant
+"""
+
+
+@register("events_ab_readout", oracle=_AB_ORACLE)
+def events_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a DETERMINISTIC hash split: users
+    assign to variants by the stable md5 hash (the text/sampling.py
+    convention — same user, same variant, on every run and engine),
+    conversion = any purchase event; rates in exact integer ppm. The
+    analysis-side of an experimentation platform: assignment is a pure
+    function of the id, so exposure logs and readouts can never
+    disagree."""
+    from backend_big_data_spark.text.sampling import stable_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (stable_hash(F.col("user_id")) % 2).cast("int").alias("variant"),
+        )
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    return (
+        assign.join(conv, on="user_id", how="left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce("__c", F.lit(0))).alias("n_converters"),
+        )
+        .select(
+            "variant",
+            "n_users",
+            "n_converters",
+            F.expr("(n_converters * 1000000) DIV n_users").alias(
+                "conversion_ppm"
+            ),
+        )
+        .orderBy("variant")
+    )

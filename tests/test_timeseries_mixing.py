@@ -394,3 +394,19 @@ def test_user_lifecycle_growth_accounting_identity(spark):
     # first observed week has no retained/resurrected
     first = min(rows, key=lambda r: r.week)
     assert first.n_retained == 0 and first.n_resurrected == 0
+
+
+def test_ab_readout_split_is_stable_and_complete(spark):
+    from backend_big_data_spark.plans.all_plans import QUERIES
+    from backend_big_data_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.variant: r for r in QUERIES["events_ab_readout"](spark, sf).collect()}
+    assert set(rows) == {0, 1}
+    n_users = load_table(spark, sf, "events").select("user_id").distinct().count()
+    assert rows[0].n_users + rows[1].n_users == n_users
+    for r in rows.values():
+        assert 0 <= r.n_converters <= r.n_users
+        assert r.conversion_ppm == (r.n_converters * 1_000_000) // r.n_users
+    again = {r.variant: r.n_users for r in QUERIES["events_ab_readout"](spark, sf).collect()}
+    assert again == {v: r.n_users for v, r in rows.items()}  # stable split
