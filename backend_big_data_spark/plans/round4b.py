@@ -1577,3 +1577,47 @@ def events_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+_SEASONALITY_ORACLE = """
+WITH rev AS (
+  SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT SUM(cents) AS t FROM rev
+)
+SELECT month, CAST(cents AS BIGINT) AS revenue_cents,
+       CAST((cents * 12 * 1000000) // t AS BIGINT) AS seasonality_ppm
+FROM rev CROSS JOIN tot ORDER BY month
+"""
+
+
+@register("orders_seasonality_index", oracle=_SEASONALITY_ORACLE)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index: each month's share of total
+    revenue scaled so a flat year reads 1e6 ppm per month — computed
+    entirely in integer cents (via the DECIMAL(18,2) cast convention:
+    a direct double*100 BIGINT cast diverges because Spark truncates
+    where DuckDB rounds) with integer floor division. One hash
+    aggregate + a 1-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        F.month("o_orderdate").cast("int").alias("month")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("revenue_cents")
+    )
+    tot = rev.agg(F.sum("revenue_cents").alias("__t"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "month",
+            "revenue_cents",
+            F.expr("(revenue_cents * 12 * 1000000) DIV __t").alias(
+                "seasonality_ppm"
+            ),
+        )
+        .orderBy("month")
+    )

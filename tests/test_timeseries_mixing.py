@@ -410,3 +410,14 @@ def test_ab_readout_split_is_stable_and_complete(spark):
         assert r.conversion_ppm == (r.n_converters * 1_000_000) // r.n_users
     again = {r.variant: r.n_users for r in QUERIES["events_ab_readout"](spark, sf).collect()}
     assert again == {v: r.n_users for v, r in rows.items()}  # stable split
+
+
+def test_seasonality_index_averages_to_flat_year(spark):
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    rows = QUERIES["orders_seasonality_index"](spark, "/root/testdata/sf0.001").collect()
+    assert [r.month for r in rows] == list(range(1, 13))
+    total_ppm = sum(r.seasonality_ppm for r in rows)
+    # indices average to 1e6 per month (floor-division slack < 12)
+    assert 12_000_000 - 12 < total_ppm <= 12_000_000
+    assert sum(r.revenue_cents for r in rows) > 0
