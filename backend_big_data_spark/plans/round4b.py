@@ -1621,3 +1621,74 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+_COMPLETENESS_ORACLE = """
+WITH t AS (SELECT COUNT(*) AS n FROM documents),
+m AS (
+  SELECT 'lang' AS column_name,
+         CAST(COUNT(*) FILTER (lang IS NULL) AS BIGINT) AS n_null,
+         CAST(COUNT(*) FILTER (lang IS NOT NULL AND trim(lang) = '')
+              AS BIGINT) AS n_blank
+  FROM documents
+  UNION ALL
+  SELECT 'source',
+         CAST(COUNT(*) FILTER (source IS NULL) AS BIGINT),
+         CAST(COUNT(*) FILTER (source IS NOT NULL AND trim(source) = '')
+              AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'text',
+         CAST(COUNT(*) FILTER (text IS NULL) AS BIGINT),
+         CAST(COUNT(*) FILTER (text IS NOT NULL AND trim(text) = '')
+              AS BIGINT)
+  FROM documents
+)
+SELECT column_name, n_null, n_blank,
+       CAST(((n - n_null - n_blank) * 1000000) // n AS BIGINT) AS filled_ppm
+FROM m CROSS JOIN t ORDER BY column_name
+"""
+
+
+@register("doc_field_completeness", oracle=_COMPLETENESS_ORACLE)
+def doc_field_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality completeness audit (the dbt-test analog): per string
+    column, NULL and blank counts plus the filled fraction in exact
+    integer ppm — ONE pass over the table (all counters are conditional
+    aggregates in a single job), then a tiny unpivot."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def counters(col: str):
+        return [
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(
+                f"__{col}_null"
+            ),
+            F.sum(
+                F.when(
+                    F.col(col).isNotNull() & (F.trim(F.col(col)) == ""), 1
+                ).otherwise(0)
+            ).alias(f"__{col}_blank"),
+        ]
+
+    agg = docs.agg(
+        F.count("*").alias("__n"),
+        *counters("lang"),
+        *counters("source"),
+        *counters("text"),
+    )
+    rows = []
+    for col in ("lang", "source", "text"):
+        rows.append(
+            agg.select(
+                F.lit(col).alias("column_name"),
+                F.col(f"__{col}_null").alias("n_null"),
+                F.col(f"__{col}_blank").alias("n_blank"),
+                F.expr(
+                    f"((__n - __{col}_null - __{col}_blank) * 1000000) DIV __n"
+                ).alias("filled_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("column_name")

@@ -466,3 +466,27 @@ def test_repetition_profile_flags_looped_text(spark):
     assert out[2].keep
     # dup-shingle accounting: repeated loop -> nearly all shingles dup
     assert out[1].n_distinct_shingles < out[1].n_shingles / 2
+
+
+def test_field_completeness_counts_nulls_and_blanks(spark):
+    import os, tempfile
+    import pyspark.sql.functions as SF
+
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    rows = [
+        (1, "hello", "en", "s1"),
+        (2, None, "en", "  "),      # null text, blank source
+        (3, "", None, "s2"),        # blank text, null lang
+        (4, "world", "de", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    with tempfile.TemporaryDirectory() as d:
+        df.withColumn("n_chars", SF.coalesce(SF.length("text"), SF.lit(0))).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.column_name: r for r in QUERIES["doc_field_completeness"](spark, d).collect()}
+    assert (out["text"].n_null, out["text"].n_blank) == (1, 1)
+    assert (out["lang"].n_null, out["lang"].n_blank) == (1, 0)
+    assert (out["source"].n_null, out["source"].n_blank) == (0, 1)
+    assert out["text"].filled_ppm == 500_000
