@@ -112,7 +112,7 @@ _FRONT = [
 ]
 # Round-5 rotation note: this window re-certifies everything drifted in
 # round 4 plus the previously-uncovered six; the next _FRONT should lead
-# with the 57 round-4 queries that did not fit this window (all
+# with the 58 round-4 queries that did not fit this window (all
 # pytest-oracle-certified this round): the late curation batch
 # (doc_semdedup_kept, doc_dsir_weights, doc_pii_redacted,
 # doc_bigram_perplexity, doc_unimax_mix, embedding_hard_negatives,
@@ -124,7 +124,7 @@ _FRONT = [
 # doc_repetition_profile, customer_ltv_cohorts, events_power_users_pareto,
 # corpus_vocab_growth, order_value_histogram, nation_supplier_hhi,
 # events_interarrival_profile, events_user_lifecycle, events_ab_readout,
-# orders_seasonality_index, doc_field_completeness),
+# orders_seasonality_index, doc_field_completeness, doc_filter_overlap),
 # the
 # TPC-H five (q7_volume_shipping,
 # q9_product_profit, q12_shipping_tiers, q14_promo_revenue,

@@ -1692,3 +1692,63 @@ def doc_field_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("column_name")
+
+
+def _filter_overlap_oracle() -> str:
+    from backend_big_data_spark.text.gopher import STOPWORDS
+
+    stop = ",".join(f"'{w}'" for w in STOPWORDS)
+    return rf"""
+WITH canon AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS dedup_kept
+  FROM documents
+), g AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+         length(regexp_replace(text, '\s+', '', 'g')) AS chars_no_ws,
+         CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              AS BIGINT) AS symbols
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         ((len(w) >= 50 AND len(w) <= 100000)
+          AND (chars_no_ws >= 3 * len(w) AND chars_no_ws <= 10 * len(w))
+          AND (10 * symbols < len(w))
+          AND (5 * len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               > 4 * len(w))
+          AND (len(list_filter(w, x -> x IN ({stop}))) >= 2)) AS quality_kept
+  FROM g
+)
+SELECT c.dedup_kept, q.quality_kept, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM canon c JOIN q ON c.doc_id = q.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("doc_filter_overlap", oracle=_filter_overlap_oracle())
+def doc_filter_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-overlap crosstab — the curation-design diagnostic: how much
+    of what exact dedup removes would the Gopher quality rules have
+    caught anyway (and vice versa)? A 2x2 of (dedup-canonical x
+    quality-keep) counts; high overlap = redundant stages, low overlap =
+    both earn their place. Composes the two certified filters unchanged."""
+    from pyspark.sql import Window
+
+    from backend_big_data_spark.text.gopher import gopher_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    canon = docs.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("dedup_kept"),
+    )
+    quality = gopher_profile(docs).select(
+        "doc_id", F.col("keep").alias("quality_kept")
+    )
+    return (
+        canon.join(quality, on="doc_id")
+        .groupBy("dedup_kept", "quality_kept")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("dedup_kept", "quality_kept")
+    )

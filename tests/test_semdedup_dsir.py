@@ -490,3 +490,18 @@ def test_field_completeness_counts_nulls_and_blanks(spark):
     assert (out["lang"].n_null, out["lang"].n_blank) == (1, 0)
     assert (out["source"].n_null, out["source"].n_blank) == (0, 1)
     assert out["text"].filled_ppm == 500_000
+
+
+def test_filter_overlap_totals_match_corpus(spark):
+    from backend_big_data_spark.plans.all_plans import QUERIES
+    from backend_big_data_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["doc_filter_overlap"](spark, sf).collect()
+    n = load_table(spark, sf, "documents").count()
+    assert sum(r.n_docs for r in rows) == n  # every doc in exactly one cell
+    gopher_keep = sum(r.n_docs for r in rows if r.quality_kept)
+    gp = {r.doc_id: r.keep for r in __import__(
+        "backend_big_data_spark.text.gopher", fromlist=["gopher_profile"]
+    ).gopher_profile(load_table(spark, sf, "documents")).collect()}
+    assert gopher_keep == sum(gp.values())
