@@ -26,11 +26,23 @@ def frequent_itemsets(
     items_col: str,
     min_support: float = 0.5,
     min_confidence: float = 0.8,
+    max_len: int | None = None,
 ) -> DataFrame:
-    """(itemset, freq) with the itemset rendered as a sorted CSV string."""
+    """(itemset, freq) with the itemset rendered as a sorted CSV string.
+
+    ``max_len`` caps the itemset SIZE. Size-capped output is what makes
+    the operator oracle-checkable: for a fixed minSupport, frequent
+    itemsets of size ≤ k are a k-way self-join on per-transaction distinct
+    items with a HAVING support threshold (the fixed-parameter trick used
+    for fixed-centroid KMeans and LSH) — only the unbounded lattice /
+    rule-mining path is inherently iterative.
+    """
     model = _fit(transactions, items_col, min_support, min_confidence)
+    sets = model.freqItemsets
+    if max_len is not None:
+        sets = sets.filter(F.size("items") <= max_len)
     return (
-        model.freqItemsets.select(
+        sets.select(
             F.concat_ws(",", F.sort_array("items")).alias("itemset"),
             F.col("freq"),
         )

@@ -85,26 +85,46 @@ def fill_date_gaps(
     date_col: str,
     key_cols: list[str],
     value_cols: dict[str, object],
+    per_key: bool = False,
 ) -> DataFrame:
-    """Densify a sparse per-(key, day) aggregate: every key × every day of
-    the observed [min, max] date range appears, absent days filled with
-    the given defaults.
+    """Densify a sparse per-(key, day) aggregate: absent days appear
+    explicitly, filled with the given defaults.
 
-    The spine is sequence(min, max) on a 1-row aggregate — exploded and
-    crossed with the (small) distinct key set, then LEFT-joined by the
-    sparse side. Scale: the spine is |days| × |keys| rows (calendar-scale,
-    not data-scale); the join shuffles on (key, day) or broadcasts the
-    spine when small. The sparse aggregate side was already reduced by
-    its groupBy, so no raw-event bytes reshuffle.
+    Two spine contracts — pick by key cardinality:
+
+    - ``per_key=False`` (default, GLOBAL spine): every key × every day of
+      the GLOBAL observed [min, max] range. The spine is sequence(min,
+      max) on a 1-row aggregate, exploded and crossed with the distinct
+      key set — |days| × |keys| rows. This is the dashboard-grid shape
+      and REQUIRES a BOUNDED key set (event types, countries, status
+      enums): with a data-scale key like user_id the dense grid is
+      |days| × |users| and mostly default-filled — use ``per_key=True``.
+    - ``per_key=True`` (SPARSE spine): each key is densified over ITS OWN
+      [min, max] range only — the spine is a per-key sequence exploded
+      from one keyed min/max aggregate. No crossJoin anywhere, output is
+      sum_k(span_k) rows, and every shuffle keys on (key, day) — safe at
+      any key cardinality (per-user series, per-document series).
+
+    Scale: the sparse aggregate side was already reduced by its groupBy,
+    so no raw-event bytes reshuffle in either mode.
     """
-    bounds = daily.agg(
-        F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("__lo", "__hi")).alias(date_col)
-    )
-    keys = daily.select(*key_cols).distinct()
-    dense = spine.crossJoin(keys)
+    if per_key:
+        spans = daily.groupBy(*key_cols).agg(
+            F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
+        )
+        dense = spans.select(
+            *key_cols,
+            F.explode(F.sequence("__lo", "__hi")).alias(date_col),
+        )
+    else:
+        bounds = daily.agg(
+            F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
+        )
+        spine = bounds.select(
+            F.explode(F.sequence("__lo", "__hi")).alias(date_col)
+        )
+        keys = daily.select(*key_cols).distinct()
+        dense = spine.crossJoin(keys)
     out = dense.join(daily, [date_col, *key_cols], "left")
     for c, default in value_cols.items():
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(default)))
@@ -199,8 +219,11 @@ def stickiness_daily(
 ) -> DataFrame:
     """DAU / trailing-WAU / stickiness per observed day — the product
     health metric next to the retention grid. Distinct users per day
-    (DAU) and per trailing ``window_days`` window (WAU), stickiness =
-    DAU/WAU rounded to 4dp.
+    (DAU) and per trailing ``window_days`` window (WAU); the returned
+    ``stickiness_fp`` column is DAU/WAU as a HALF-UP FIXED-POINT long in
+    1e-4 units (floor(ratio·10000 + 0.5) — 5234 means 0.5234), the
+    integer-exact encoding that keeps the column bit-identical across
+    engines (the DSIR/LM fixed-point convention).
 
     Rolling DISTINCT counts don't window: instead each (user, day)
     membership EXPLODES into the ``window_days`` future days it keeps the

@@ -1293,10 +1293,32 @@ SELECT * FROM (
 """
 
 
+#: Stage frames persisted by `_pipeline_stage_frames`, tracked so long-lived
+#: serving sessions can reclaim the cache — the curation twin of
+#: `text/dedup.release_dedup_caches` (same contract, same swap-out trigger).
+_PIPELINE_PERSISTED: list[DataFrame] = []
+
+
+def release_pipeline_caches() -> int:
+    """Unpersist every stage frame the cleaning pipeline has persisted;
+    returns the number released. Call on corpus swap or at a bench/session
+    family boundary."""
+    n = 0
+    for df in _PIPELINE_PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    _PIPELINE_PERSISTED.clear()
+    return n
+
+
 def _pipeline_stage_frames(spark: SparkSession, sf_dir: str) -> list:
     """The six stage frames of the cleaning pipeline, shared by the
     funnel report and the per-doc removal audit. Persists the two
-    multi-consumer boundaries (see the funnel docstring)."""
+    multi-consumer boundaries (see the funnel docstring), tracked for
+    `release_pipeline_caches`."""
     from backend_big_data_spark.text.dedup import exact_dedup_fingerprints
     from backend_big_data_spark.text.filtering import blocklist_profile, quality_score_lr
     from backend_big_data_spark.text.mixing import temperature_mix
@@ -1316,6 +1338,7 @@ def _pipeline_stage_frames(spark: SparkSession, sf_dir: str) -> list:
         .join(d0.select("doc_id", "source"), "doc_id")
         .persist()
     )
+    _PIPELINE_PERSISTED.append(d2)
     canon = exact_dedup_fingerprints(d2).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
@@ -1324,6 +1347,7 @@ def _pipeline_stage_frames(spark: SparkSession, sf_dir: str) -> list:
     d4 = d3.join(
         q.filter(F.col("keep")).select("doc_id"), "doc_id", "semi"
     ).persist()
+    _PIPELINE_PERSISTED.append(d4)
     d5 = temperature_mix(d4, keep_frac=0.5)
     return [d0, d1, d2, d3, d4, d5]
 

@@ -178,10 +178,13 @@ ORDER BY doc_a, doc_b
 """,
 )
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join)."""
+    """Exact 3-gram Jaccard near-dup pairs, ALL-PAIRS form — the explicit
+    ``max_df=None`` opt-in exists here purely as the oracle cross-check for
+    the capped form and for `text/setjoin.prefix_filtered_jaccard_pairs`
+    (the exact path that scales); production callers get the capped default."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(doc_shingles(docs), threshold=0.2)
+        ngram_jaccard_pairs(doc_shingles(docs), threshold=0.2, max_df=None)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -56,11 +56,55 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_token_itemsets")  # rows-only: FPGrowth
+@register(
+    "doc_token_itemsets",
+    oracle=r"""
+WITH tx AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents
+), n AS (
+  -- ceil(minSupport * numRows), computed in IEEE DOUBLE exactly like
+  -- Spark's FPGrowth (DuckDB would otherwise parse 0.7 as DECIMAL and
+  -- round the product exactly where Scala's double does not)
+  SELECT CAST(CEIL(CAST(0.7 AS DOUBLE) * COUNT(*)) AS BIGINT) AS minc FROM tx
+), items AS (
+  SELECT doc_id, unnest(t) AS item FROM tx
+), f1 AS (
+  SELECT item, COUNT(*) AS freq FROM items GROUP BY 1
+  HAVING COUNT(*) >= (SELECT minc FROM n)
+), fitems AS (
+  SELECT i.doc_id, i.item FROM items i JOIN f1 ON i.item = f1.item
+), f2 AS (
+  SELECT a.item AS i1, b.item AS i2, COUNT(*) AS freq
+  FROM fitems a JOIN fitems b ON a.doc_id = b.doc_id AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT minc FROM n)
+), f3 AS (
+  SELECT a.item AS i1, b.item AS i2, c.item AS i3, COUNT(*) AS freq
+  FROM fitems a JOIN fitems b ON a.doc_id = b.doc_id AND a.item < b.item
+       JOIN fitems c ON b.doc_id = c.doc_id AND b.item < c.item
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= (SELECT minc FROM n)
+)
+SELECT itemset, freq FROM (
+  SELECT item AS itemset, freq FROM f1
+  UNION ALL SELECT i1 || ',' || i2 AS itemset, freq FROM f2
+  UNION ALL SELECT i1 || ',' || i2 || ',' || i3 AS itemset, freq FROM f3
+) ORDER BY itemset
+""",
+)
 def doc_token_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 (mlqueries.py:148-170) with documents-as-transactions: frequent
     token itemsets at high support (word-soup corpus → keep support high so
-    the lattice stays small)."""
+    the lattice stays small), SIZE-CAPPED at 3.
+
+    The cap is what upgrades this from rows-only to oracle-gated: for the
+    fixed minSupport, itemsets of size ≤ 3 are exactly the k-way self-join
+    on per-doc distinct tokens with a HAVING support threshold — the
+    fixed-parameter trick that also rescued KMeans (fixed centroids) and
+    LSH (fixed planes). The engine still runs real FPGrowth (parallel
+    FP-trees, arXiv:0905.2203 lineage) and filters the lattice; only rule
+    MINING beyond small k stays rows-only (`association_rules`)."""
     docs = load_table(spark, sf_dir, "documents")
     tx = docs.select(tokens(F.col("text")).alias("toks"))
-    return frequent_itemsets(tx, "toks", min_support=0.7, min_confidence=0.9)
+    return frequent_itemsets(
+        tx, "toks", min_support=0.7, min_confidence=0.9, max_len=3
+    )

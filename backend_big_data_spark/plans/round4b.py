@@ -138,6 +138,9 @@ def _pii_oracle() -> str:
 WITH planted AS (
   SELECT doc_id,
          'reach user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' or +1 555-123-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' call (555) 123-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' or 555.123.'
          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.0.'
          || CAST(doc_id % 256 AS VARCHAR) || '.1 ' || text AS text
   FROM documents
@@ -153,18 +156,23 @@ FROM planted ORDER BY doc_id
 def doc_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub audit (`text/pii.py`): per-document match counts per PII
     class + md5 of the redacted text. The synthetic corpus carries no
-    organic PII, so the query PLANTS one email/phone/IPv4 per document
+    organic PII, so the query PLANTS one email, one IPv4 and all four
+    supported phone shapes (intl 3-4 / intl 3-3-4 / parenthesised /
+    dotted) per document
     deterministically from doc_id (both engines plant identically) — the
     planted-signal convention used by the stratified-sampling and
     blocklist oracles. Map-only; fuses into the scan."""
     docs = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
+    p4 = F.lpad((did % 10000).cast("string"), 4, "0")
     planted = docs.select(
         did,
         F.concat(
             F.lit("reach user"), did.cast("string"),
-            F.lit("@example.com or +1 555-"),
-            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit("@example.com or +1 555-"), p4,
+            F.lit(" or +1 555-123-"), p4,
+            F.lit(" call (555) 123-"), p4,
+            F.lit(" or 555.123."), p4,
             F.lit(" at 10.0."), (did % 256).cast("string"), F.lit(".1 "),
             F.col("text"),
         ).alias("text"),
@@ -1001,7 +1009,7 @@ WITH t AS (
 ), m AS (
   SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words, chars_no_ws, symbols,
          len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
-         len(list_filter(w, x -> x IN ({stop}))) AS stop_hits
+         len(list_distinct(list_filter(w, x -> x IN ({stop})))) AS stop_hits
   FROM t
 )
 SELECT doc_id, n_words,
@@ -1695,30 +1703,24 @@ def doc_field_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _filter_overlap_oracle() -> str:
-    from backend_big_data_spark.text.gopher import STOPWORDS
+    # quality axis = the logistic scorer (the cleaning pipeline's actual
+    # 4_quality stage) — one SQL definition shared with its own oracle.
+    # The Gopher keep was the original axis, but with the paper-faithful
+    # distinct-stopword rule (r05) the synthetic word-soup corpus fails it
+    # wholesale, which collapses the crosstab to a single vacuous cell;
+    # the LR keep retains corpus variance AND measures redundancy against
+    # the stage the pipeline actually runs.
+    from backend_big_data_spark.plans.curation import _lr_features_sql, _lr_z_sql
 
-    stop = ",".join(f"'{w}'" for w in STOPWORDS)
-    return rf"""
+    return f"""
 WITH canon AS (
   SELECT doc_id,
          doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS dedup_kept
   FROM documents
-), g AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
-         length(regexp_replace(text, '\s+', '', 'g')) AS chars_no_ws,
-         CAST((length(text) - length(replace(text, '#', '')))
-              + (length(text) - length(replace(text, '...', ''))) / 3
-              AS BIGINT) AS symbols
-  FROM documents
+), f AS ({_lr_features_sql("documents")}
 ), q AS (
-  SELECT doc_id,
-         ((len(w) >= 50 AND len(w) <= 100000)
-          AND (chars_no_ws >= 3 * len(w) AND chars_no_ws <= 10 * len(w))
-          AND (10 * symbols < len(w))
-          AND (5 * len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
-               > 4 * len(w))
-          AND (len(list_filter(w, x -> x IN ({stop}))) >= 2)) AS quality_kept
-  FROM g
+  SELECT doc_id, (FLOOR(({_lr_z_sql()}) * 1e6 + 0.5) >= 0) AS quality_kept
+  FROM f
 )
 SELECT c.dedup_kept, q.quality_kept, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM canon c JOIN q ON c.doc_id = q.doc_id
@@ -1729,13 +1731,17 @@ GROUP BY 1, 2 ORDER BY 1, 2
 @register("doc_filter_overlap", oracle=_filter_overlap_oracle())
 def doc_filter_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-overlap crosstab — the curation-design diagnostic: how much
-    of what exact dedup removes would the Gopher quality rules have
-    caught anyway (and vice versa)? A 2x2 of (dedup-canonical x
-    quality-keep) counts; high overlap = redundant stages, low overlap =
-    both earn their place. Composes the two certified filters unchanged."""
+    of what exact dedup removes would the quality filter have caught
+    anyway (and vice versa)? A 2x2 of (dedup-canonical x quality-keep)
+    counts; high overlap = redundant stages, low overlap = both earn
+    their place. Quality axis = the logistic scorer
+    (`text/filtering.quality_score_lr`) — the cleaning pipeline's actual
+    4_quality stage (the Gopher keep, paper-faithful since r05's
+    distinct-stopword fix, is degenerate on the synthetic word-soup
+    corpus). Composes the two certified filters unchanged."""
     from pyspark.sql import Window
 
-    from backend_big_data_spark.text.gopher import gopher_profile
+    from backend_big_data_spark.text.filtering import quality_score_lr
 
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5("text"))
@@ -1743,7 +1749,7 @@ def doc_filter_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("dedup_kept"),
     )
-    quality = gopher_profile(docs).select(
+    quality = quality_score_lr(docs).select(
         "doc_id", F.col("keep").alias("quality_kept")
     )
     return (

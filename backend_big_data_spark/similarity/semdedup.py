@@ -81,3 +81,103 @@ def semdedup(
         F.col("cluster"),
         F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
     )
+
+
+def incremental_semdedup(
+    batch: DataFrame,
+    corpus: DataFrame | None,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    array_col: str = "embedding",
+    block_col: str | None = None,
+    within_batch: bool = True,
+) -> DataFrame:
+    """Which ARRIVING-batch vectors survive semantic dedup against the
+    at-rest kept corpus — the embedding-space twin of
+    `text/dedup.incremental_dedup_kept` and the missing piece of a
+    recurring-ingest curation loop: the corpus is already semantically
+    deduped and at rest; only the batch is scored.
+
+    Returns ``(id, cluster, kept)`` for every batch vector. A batch vector
+    is dropped iff:
+
+    - cross: some CORPUS vector in the same cluster is within ``threshold``
+      cosine (the corpus member always wins — it was admitted first);
+    - within batch (``within_batch=True``): batch-internal near pairs are
+      resolved transitively — connected components over the both-new pair
+      graph, keep only each component's min-id member (the same
+      composition rule, and the same min-label CC operator, as the text
+      ingest path).
+
+    Never rescores the at-rest corpus: if ``corpus`` already carries a
+    ``cluster`` column (the production shape — assignment is stored at
+    admission time), it is used as-is; otherwise the corpus is assigned
+    once here. Comparisons happen WITHIN a cluster only, so the per-batch
+    cost is (batch assignment: broadcast k-row crossJoin) + (two joins
+    keyed on cluster, batch side broadcastable) — the corpus never
+    re-shuffles for scoring at 100 TB beyond its cluster-keyed layout.
+    """
+    labeled = batch.join(
+        assign_to_centroids(
+            batch, centroids, array_col=array_col, id_col=id_col,
+            block_col=block_col,
+        ),
+        on=id_col,
+    )
+    if corpus is None:
+        corpus_lab = None
+    elif "cluster" in corpus.columns:
+        corpus_lab = corpus
+    else:
+        corpus_lab = corpus.join(
+            assign_to_centroids(
+                corpus, centroids, array_col=array_col, id_col=id_col,
+                block_col=block_col,
+            ),
+            on=id_col,
+        )
+
+    from backend_big_data_spark.similarity.ann import cosine_sim
+
+    dropped = None
+    if corpus_lab is not None:
+        b = labeled.select(
+            F.col("cluster"),
+            F.col(id_col).alias("__bid"),
+            F.col(array_col).cast("array<double>").alias("__bv"),
+        )
+        c = corpus_lab.select(
+            F.col("cluster"),
+            F.col(array_col).cast("array<double>").alias("__cv"),
+        )
+        cross = (
+            c.join(F.broadcast(b), on="cluster")
+            .filter(cosine_sim(F.col("__cv"), F.col("__bv")) > threshold)
+            .select(F.col("__bid").alias(id_col))
+            .distinct()
+        )
+        dropped = cross
+    if within_batch:
+        from backend_big_data_spark.operators.graph import connected_components
+
+        pairs = blocked_cosine_pairs(
+            labeled, "cluster", threshold, id_col=id_col, vec_col=array_col
+        )
+        losers = (
+            connected_components(pairs, src="vec_id_a", dst="vec_id_b")
+            .filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col))
+        )
+        dropped = losers if dropped is None else dropped.unionByName(losers)
+
+    if dropped is None:
+        return labeled.select(
+            F.col(id_col), F.col("cluster"), F.lit(True).alias("kept")
+        )
+    flagged = dropped.distinct().withColumn("__dropped", F.lit(True))
+    return labeled.join(flagged, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+    )

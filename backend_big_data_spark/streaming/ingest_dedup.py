@@ -26,17 +26,100 @@ the composition here is unchanged.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from backend_big_data_spark.text.dedup import (
+    build_shingle_bloom,
     doc_shingles,
     incremental_dedup_kept,
     lsh_verified_pairs,
+    merge_blooms,
     release_dedup_caches,
 )
+
+#: Bloom shape for the corpus-fingerprint bitmap (16 KB of words — the
+#: metadata-commit scale `merge_blooms` documents).
+BLOOM_BITS = 1 << 17
+BLOOM_HASHES = 3
+
+
+def _bloom_path(corpus_dir: str) -> str:
+    return os.path.join(corpus_dir, "_fp_bloom.json")
+
+
+def _batch_fp_bloom(df: DataFrame, text_col: str = "text") -> list[int]:
+    """Bloom bitmap over one frame's content fingerprints."""
+    return build_shingle_bloom(
+        df.select(F.md5(text_col).alias("fp")),
+        shingle_col="fp",
+        num_bits=BLOOM_BITS,
+        num_hashes=BLOOM_HASHES,
+    )
+
+
+def load_corpus_bloom(
+    spark: SparkSession, corpus_dir: str
+) -> tuple[list[int] | None, set[str]]:
+    """The maintained corpus-fingerprint bitmap, SELF-HEALING: if the
+    sidecar is missing bits for any admitted ``batch=N`` directory (crash
+    between the batch write and the sidecar commit), those batches'
+    fingerprints are re-folded in before use — the no-false-negative
+    invariant the pre-filter depends on is restored, never assumed.
+    Returns (words or None when no corpus yet, covered batch-dir names)."""
+    if not os.path.isdir(corpus_dir):
+        return None, set()
+    batch_dirs = {
+        name for name in os.listdir(corpus_dir) if name.startswith("batch=")
+    }
+    if not batch_dirs:
+        return None, set()
+    words: list[int] | None = None
+    covered: set[str] = set()
+    path = _bloom_path(corpus_dir)
+    if os.path.isfile(path):
+        with open(path) as fh:
+            state = json.load(fh)
+        if (
+            state.get("num_bits") == BLOOM_BITS
+            and state.get("num_hashes") == BLOOM_HASHES
+        ):
+            words = state["words"]
+            covered = set(state["batches"]) & batch_dirs
+            if set(state["batches"]) - batch_dirs:
+                # sidecar covers batches no longer on disk (manual prune):
+                # stale bits would only cause false positives, which the
+                # exact semi-join absorbs — safe to keep, but rebuild to
+                # stay tight
+                words, covered = None, set()
+    for name in sorted(batch_dirs - covered):
+        part = spark.read.parquet(os.path.join(corpus_dir, name))
+        b = _batch_fp_bloom(part)
+        words = b if words is None else merge_blooms(words, b)
+        covered.add(name)
+    return words, covered
+
+
+def save_corpus_bloom(
+    corpus_dir: str, words: list[int], batches: set[str]
+) -> None:
+    """Atomically commit the maintained bitmap (write + rename)."""
+    path = _bloom_path(corpus_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "num_bits": BLOOM_BITS,
+                "num_hashes": BLOOM_HASHES,
+                "batches": sorted(batches),
+                "words": words,
+            },
+            fh,
+        )
+    os.replace(tmp, path)
 
 
 def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
@@ -56,12 +139,18 @@ def dedup_batch_against_corpus(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_fp_bloom: list[int] | None = None,
 ) -> DataFrame:
     """Survivors of one arriving batch vs the at-rest corpus (batch op).
 
     First batch (no corpus yet): the batch self-deduplicates — exact
     within-batch plus within-batch near components, via the same operator
     with an empty corpus side.
+
+    ``corpus_fp_bloom``: the maintained corpus-fingerprint bitmap
+    (`load_corpus_bloom`) — pre-drops batch rows that definitely have no
+    exact twin in the corpus before the fingerprint semi-join.
+    Result-invariant (no false negatives; false positives re-checked).
     """
     batch = batch.select(id_col, text_col)
     if corpus is None:
@@ -83,23 +172,44 @@ def dedup_batch_against_corpus(
         id_col=id_col,
         text_col=text_col,
         within_batch_near=True,
+        corpus_fp_bloom=corpus_fp_bloom if corpus is not None else None,
+        bloom_bits=BLOOM_BITS,
+        bloom_hashes=BLOOM_HASHES,
     )
     # the dedup operator emits surviving IDs only — rehydrate the text from
     # the batch (semi-join on the id, batch-sized, never corpus-sized)
     return batch.join(kept_ids, on=id_col, how="semi")
 
 
-def ingest_dedup_sink(corpus_dir: str, threshold: float = 0.5):
+def ingest_dedup_sink(corpus_dir: str, threshold: float = 0.5, use_bloom: bool = True):
     """``foreachBatch`` function maintaining a deduped corpus at
-    ``corpus_dir`` (one ``batch=N`` subdirectory per micro-batch)."""
+    ``corpus_dir`` (one ``batch=N`` subdirectory per micro-batch).
+
+    With ``use_bloom`` (default) the sink also maintains the
+    corpus-fingerprint Bloom sidecar: probe it before the vs-corpus
+    fingerprint semi-join, then fold the admitted batch's fingerprints in
+    via `merge_blooms` — the O(bitmap) metadata commit that keeps the
+    at-rest index current without ever rescanning the corpus. Replayed
+    batch ids re-OR the same bits (idempotent), and `load_corpus_bloom`
+    self-heals a sidecar that missed a crashed batch's commit."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         corpus = read_corpus(spark, corpus_dir)
-        kept = dedup_batch_against_corpus(batch, corpus, threshold=threshold)
+        bloom_words, bloom_batches = (
+            load_corpus_bloom(spark, corpus_dir) if use_bloom else (None, set())
+        )
+        kept = dedup_batch_against_corpus(
+            batch, corpus, threshold=threshold, corpus_fp_bloom=bloom_words
+        )
         # overwrite, not append: a replayed batch id rewrites its own
         # directory with the identical survivor set (idempotent)
-        kept.write.mode("overwrite").parquet(f"{corpus_dir}/batch={batch_id}")
+        bdir = f"batch={batch_id}"
+        kept.write.mode("overwrite").parquet(f"{corpus_dir}/{bdir}")
+        if use_bloom:
+            b = _batch_fp_bloom(spark.read.parquet(f"{corpus_dir}/{bdir}"))
+            merged = b if bloom_words is None else merge_blooms(bloom_words, b)
+            save_corpus_bloom(corpus_dir, merged, bloom_batches | {bdir})
         release_dedup_caches()
 
     return apply
@@ -110,11 +220,14 @@ def dedup_ingest_stream(
     corpus_dir: str,
     checkpoint: str,
     threshold: float = 0.5,
+    use_bloom: bool = True,
 ):
     """Attach the deduplicating sink to a document stream. Returns the
     started StreamingQuery (caller awaits/stops)."""
     return (
-        docs_stream.writeStream.foreachBatch(ingest_dedup_sink(corpus_dir, threshold))
+        docs_stream.writeStream.foreachBatch(
+            ingest_dedup_sink(corpus_dir, threshold, use_bloom=use_bloom)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -125,5 +238,7 @@ __all__ = [
     "dedup_batch_against_corpus",
     "dedup_ingest_stream",
     "ingest_dedup_sink",
+    "load_corpus_bloom",
     "read_corpus",
+    "save_corpus_bloom",
 ]

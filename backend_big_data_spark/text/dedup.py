@@ -213,11 +213,20 @@ def lsh_candidate_pairs(
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard
 # --------------------------------------------------------------------------
+#: default document-frequency cap — a shingle shared by more documents than
+#: this carries no dedup signal and would expand to df(df-1)/2 pairs in one
+#: posting row. Uncapped all-pairs behaviour now requires an EXPLICIT
+#: ``max_df=None`` opt-in; the exact scale path is
+#: `text/setjoin.prefix_filtered_jaccard_pairs` (PPJoin), which never
+#: materialises hot-shingle pair expansions at all.
+DEFAULT_MAX_DF = 256
+
+
 def ngram_jaccard_pairs(
     shingled: DataFrame,
     threshold: float = 0.2,
     id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-grams via an inverted index.
 
@@ -234,9 +243,13 @@ def ngram_jaccard_pairs(
     pairs inside one row. ``max_df`` caps that document frequency —
     ultra-common shingles carry no dedup signal and production pipelines
     drop them (the cap slightly LOWERS intersection counts for pairs that
-    shared a dropped shingle; run uncapped only when exactness vs an oracle
-    is required). At 100 TB: run on LSH candidates, not the raw corpus, and
-    set max_df.
+    shared a dropped shingle). The cap is ON by default
+    (``DEFAULT_MAX_DF``); passing ``max_df=None`` is an explicit opt-in to
+    the quadratic all-pairs form, which exists only as the oracle
+    cross-check for `text/setjoin.prefix_filtered_jaccard_pairs` — use the
+    PPJoin there when you need EXACT pairs at scale (measured 59× faster
+    on a hot-shingle corpus, identical output). At 100 TB: run on LSH
+    candidates, not the raw corpus, and keep the cap.
     """
     e = shingled.select(
         F.col(id_col),
@@ -461,7 +474,9 @@ def lsh_verified_pairs(
         .distinct()
     )
     pruned = shingled.join(cand_docs, on=id_col, how="semi")
-    exact = ngram_jaccard_pairs(pruned, threshold=0.0, id_col=id_col)
+    # max_df=None: the verify stage must be EXACT, and its input is already
+    # pruned to candidate docs (bounded), so the all-pairs opt-in is safe
+    exact = ngram_jaccard_pairs(pruned, threshold=0.0, id_col=id_col, max_df=None)
     return (
         cand.join(exact, on=["doc_a", "doc_b"], how="inner")
         .filter(F.col("jaccard") >= threshold)
@@ -479,6 +494,9 @@ def incremental_dedup_kept(
     id_col: str = "doc_id",
     text_col: str = "text",
     within_batch_near: bool = False,
+    corpus_fp_bloom: list[int] | None = None,
+    bloom_bits: int = 1 << 17,
+    bloom_hashes: int = 3,
 ) -> DataFrame:
     """Which NEW-batch documents survive dedup against the EXISTING corpus
     — the production ingest shape: the corpus is already deduped and at
@@ -507,6 +525,15 @@ def incremental_dedup_kept(
     The within-batch component step runs on the BATCH near-pair graph
     only (operators/graph.py min-label propagation — O(diameter) rounds,
     2-4 for the near-clique clusters dedup produces).
+
+    ``corpus_fp_bloom``: optional Bloom bitmap over the CORPUS content
+    fingerprints (`build_shingle_bloom` over md5(text) words, maintained
+    incrementally via `merge_blooms` — see `streaming/ingest_dedup.py`).
+    When set, batch rows whose fingerprint is definitely absent from the
+    corpus skip the vs-corpus semi-join entirely (`apply_bloom_prefilter`
+    — map-side, ahead of the exchange). Result-invariant: Blooms have no
+    false negatives, and false positives are re-checked by the exact
+    semi-join.
     """
     base = docs.select(F.col(id_col), F.col(text_col), is_new.alias("__new"))
     # The pair table is tiny (near-dup pairs only) but its producing subtree
@@ -522,7 +549,12 @@ def incremental_dedup_kept(
     batch = fps.filter(F.col("__new"))
     existing = fps.filter(~F.col("__new"))
 
-    vs_corpus = batch.join(
+    probe = batch
+    if corpus_fp_bloom is not None:
+        probe = apply_bloom_prefilter(
+            probe, corpus_fp_bloom, F.col("__fp"), bloom_bits, bloom_hashes
+        )
+    vs_corpus = probe.join(
         existing.select("__fp").distinct(), on="__fp", how="semi"
     ).select(id_col)
     batch_canon = batch.groupBy("__fp").agg(F.min(id_col).alias("__keep"))

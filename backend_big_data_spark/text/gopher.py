@@ -27,6 +27,7 @@ MAX_MEAN_WORD_LEN = 10  # chars <= 10*words
 SYMBOL_RATIO_DEN = 10
 #: alphabetic-word fraction > 0.8  ->  5*alpha_words > 4*words
 ALPHA_NUM, ALPHA_DEN = 4, 5
+#: Gopher Table A1 requires at least two DISTINCT stop words present
 MIN_STOPWORD_HITS = 2
 STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
@@ -46,20 +47,23 @@ def gopher_profile(
     chars_no_ws = F.length(
         F.regexp_replace(F.col(text_col), r"\s+", "")
     )
+    text = F.col(text_col)
     symbols = (
-        F.length(F.col(text_col))
-        - F.length(F.expr(f"replace({text_col}, '#', '')"))
+        F.length(text)
+        - F.length(F.call_function("replace", text, F.lit("#"), F.lit("")))
         + (
-            F.length(F.col(text_col))
-            - F.length(F.expr(f"replace({text_col}, '...', '')"))
+            F.length(text)
+            - F.length(F.call_function("replace", text, F.lit("..."), F.lit("")))
         )
         / F.lit(3)
     ).cast("long")
     alpha_words = F.size(
         F.filter(t, lambda x: x.rlike("[A-Za-z]"))
     )
+    # distinct stop words matched (Table A1: "at least two OF the listed
+    # words") — array_intersect dedups, so 'the the' counts once
     stop_hits = F.size(
-        F.filter(t, lambda x: x.isin(*STOPWORDS))
+        F.array_intersect(t, F.array(*[F.lit(s) for s in STOPWORDS]))
     )
     ok_wc = (n_words >= MIN_WORDS) & (n_words <= MAX_WORDS)
     ok_mwl = (chars_no_ws >= MIN_MEAN_WORD_LEN * n_words) & (

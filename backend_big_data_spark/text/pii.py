@@ -24,9 +24,23 @@ from pyspark.sql import functions as F
 
 #: Pattern set: (name, regex, replacement token). Order matters — emails
 #: are scrubbed before phones so digits inside an address never half-match.
+#: The phone pattern is an ordered alternation over the common separator /
+#: grouping variants (intl 3-3-4, intl short 3-4, parenthesised area code,
+#: bare dashed/dotted 10-digit). Alternation is leftmost-first in BOTH Java
+#: regex and RE2, and ``\b`` is an ASCII word boundary in both, so counts
+#: and redactions agree bit-for-bit across engines. The bare 10-digit form
+#: requires ``[-.]`` separators (not spaces) so it can never swallow an
+#: IPv4 octet run or ordinary prose numbers.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    ("phone", r"\+[0-9]{1,2} [0-9]{3}-[0-9]{4}", "[PHONE]"),
+    (
+        "phone",
+        r"\+[0-9]{1,2} [0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+        r"|\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+        r"|\([0-9]{3}\) [0-9]{3}-[0-9]{4}"
+        r"|\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+        "[PHONE]",
+    ),
     ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "[IP]"),
 )
 

@@ -124,6 +124,14 @@ RUNS_PER_QUERY = 3
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    headline = HEADLINE
+    # Attribution runs (PERF.md): SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the
+    # run to a subset in HEADLINE order — used to time one family alone in a
+    # fresh JVM and separate working-set/GC pressure from plan drift.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        want = {n.strip() for n in only.split(",") if n.strip()}
+        headline = [n for n in HEADLINE if n in want]
     from backend_big_data_spark.plans.all_plans import QUERIES
     from backend_big_data_spark.session import get_spark
 
@@ -152,9 +160,26 @@ def main() -> None:
     doc_shingles(load_table(spark, sf_dir, "documents")).count()
     shingle_sec = round(time.perf_counter() - t_sh, 3)
 
+    # Family cache boundaries: once the last consumer of a persisted family
+    # intermediate has been timed, release it so later families run against
+    # a working set that matches a long-lived session with per-corpus cache
+    # hygiene (the engine's release APIs exist precisely for this). The r05
+    # attribution runs (PERF.md) showed the r03→r04 +7% shared-subset drift
+    # was run-to-run JVM state, NOT in-run cache pressure — these boundaries
+    # are hygiene, not a measured perf fix.
+    from backend_big_data_spark.plans.curation import release_pipeline_caches
+    from backend_big_data_spark.text.dedup import release_dedup_caches
+
+    release_after = {
+        # last HEADLINE consumer of the shared shingle/pair caches
+        "doc_prefix_join_pairs": release_dedup_caches,
+        # last HEADLINE consumer of the persisted pipeline stage frames
+        "doc_cleaning_pipeline_funnel": release_pipeline_caches,
+    }
+
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         fn = QUERIES[name]
         best = float("inf")
         for _ in range(RUNS_PER_QUERY):
@@ -164,6 +189,9 @@ def main() -> None:
             del rows
         timings[name] = round(best, 3)
         total += best
+        release = release_after.get(name)
+        if release is not None:
+            release()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -760,3 +760,50 @@ def test_removal_audit_consistent_with_funnel(spark):
     assert by_status.get("removed_exact_dup", 0) == funnel["2_boilerplate"] - funnel["3_exact_dedup"]
     assert by_status.get("removed_quality", 0) == funnel["3_exact_dedup"] - funnel["4_quality"]
     assert by_status.get("dropped_mix", 0) == funnel["4_quality"] - funnel["5_temperature_mix"]
+
+
+def test_stream_ingest_maintains_fp_bloom_sidecar(spark, tmp_path):
+    """The maintained (incrementally merged) corpus-fingerprint bitmap
+    equals a from-scratch build over the final corpus, and the pre-filter
+    leaves admissions unchanged (result-invariance is already covered by
+    the sequential-equivalence test, which runs bloom-on stream vs
+    bloom-off batches)."""
+    from backend_big_data_spark.streaming.ingest_dedup import (
+        _batch_fp_bloom,
+        dedup_ingest_stream,
+        load_corpus_bloom,
+        read_corpus,
+    )
+    from backend_big_data_spark.text.dedup import release_dedup_caches
+
+    base = "w" + " x y z a b c d e f g h i j k l m n o p q r s t u v"
+    rows_b1 = [(1, base), (2, base + " tail1"), (3, "unique words here")]
+    rows_b2 = [(4, base + " tail2"), (5, "another standalone document")]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _docs(spark, rows_b1).coalesce(1).write.parquet(str(in_dir / "b1"))
+    _docs(spark, rows_b2).coalesce(1).write.parquet(str(in_dir / "b2"))
+    corpus_dir = str(tmp_path / "corpus")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = dedup_ingest_stream(
+        stream, corpus_dir, checkpoint=str(tmp_path / "ckpt"), threshold=0.5
+    )
+    q.awaitTermination(120)
+    release_dedup_caches()
+
+    import os
+
+    assert os.path.isfile(os.path.join(corpus_dir, "_fp_bloom.json"))
+    maintained, covered = load_corpus_bloom(spark, corpus_dir)
+    assert covered == {"batch=0", "batch=1"}
+    scratch = _batch_fp_bloom(read_corpus(spark, corpus_dir))
+    assert maintained == scratch
+
+    # self-heal: delete the sidecar — load rebuilds the identical bitmap
+    os.remove(os.path.join(corpus_dir, "_fp_bloom.json"))
+    healed, covered2 = load_corpus_bloom(spark, corpus_dir)
+    assert healed == scratch and covered2 == covered

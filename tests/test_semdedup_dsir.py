@@ -500,8 +500,118 @@ def test_filter_overlap_totals_match_corpus(spark):
     rows = QUERIES["doc_filter_overlap"](spark, sf).collect()
     n = load_table(spark, sf, "documents").count()
     assert sum(r.n_docs for r in rows) == n  # every doc in exactly one cell
-    gopher_keep = sum(r.n_docs for r in rows if r.quality_kept)
-    gp = {r.doc_id: r.keep for r in __import__(
-        "backend_big_data_spark.text.gopher", fromlist=["gopher_profile"]
-    ).gopher_profile(load_table(spark, sf, "documents")).collect()}
-    assert gopher_keep == sum(gp.values())
+    quality_keep = sum(r.n_docs for r in rows if r.quality_kept)
+    lr = {r.doc_id: r.keep for r in __import__(
+        "backend_big_data_spark.text.filtering", fromlist=["quality_score_lr"]
+    ).quality_score_lr(load_table(spark, sf, "documents")).collect()}
+    assert quality_keep == sum(lr.values())
+    # the quality axis must keep documents (the all-false degenerate case —
+    # the Gopher keep on word-soup — is exactly what this axis must avoid;
+    # at sf0.001 every doc passes LR, at sf0.01 the axis splits)
+    assert 0 < quality_keep <= n
+
+
+# ---------------------------------------------------------------------------
+# incremental SemDeDup (batch-vs-corpus, never rescoring the at-rest side)
+# ---------------------------------------------------------------------------
+
+
+def _ingest_vectors():
+    # two well-separated centroid directions; threshold 0.8 splits
+    # near-dups (cos > 0.99) from genuinely-new content (cos ~ 0)
+    b1 = [
+        (1, [1.0, 0.0, 0.0, 0.0]),    # cluster 0, kept (component min)
+        (2, [0.95, 0.05, 0.0, 0.0]),  # near-dup of 1 within batch → dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),    # cluster 1, kept
+    ]
+    b2 = [
+        (4, [0.9, 0.1, 0.0, 0.0]),    # near admitted 1 → dropped
+        (5, [0.0, 0.9, 0.4, 0.0]),    # near admitted 3 (cos ≈ 0.91) → dropped
+        (6, [0.0, 0.0, 1.0, 0.0]),    # orthogonal to everything → kept
+    ]
+    return b1, b2
+
+
+def _ingest_centroids(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cluster int, centroid array<double>",
+    )
+
+
+def test_incremental_semdedup_cross_and_within_batch(spark):
+    from backend_big_data_spark.similarity.semdedup import incremental_semdedup
+
+    b1, b2 = _ingest_vectors()
+    schema = "vec_id long, embedding array<double>"
+    batch1 = spark.createDataFrame(b1, schema)
+    cents = _ingest_centroids(spark)
+    out1 = {r.vec_id: r.kept for r in
+            incremental_semdedup(batch1, None, cents, 0.8).collect()}
+    assert out1 == {1: True, 2: False, 3: True}
+
+    corpus = batch1.filter(F.col("vec_id").isin(1, 3))  # the admitted set
+    batch2 = spark.createDataFrame(b2, schema)
+    out2 = {r.vec_id: r.kept for r in
+            incremental_semdedup(batch2, corpus, cents, 0.8).collect()}
+    assert out2 == {4: False, 5: False, 6: True}
+
+
+def test_incremental_semdedup_uses_stored_cluster(spark):
+    """A corpus that already carries its cluster column is joined as-is —
+    the at-rest side is never re-assigned (same kept verdicts)."""
+    from backend_big_data_spark.similarity.semdedup import incremental_semdedup
+
+    b1, b2 = _ingest_vectors()
+    schema = "vec_id long, embedding array<double>"
+    cents = _ingest_centroids(spark)
+    corpus = spark.createDataFrame(
+        [(1, b1[0][1], 0), (3, b1[2][1], 1)],
+        "vec_id long, embedding array<double>, cluster int",
+    )
+    batch2 = spark.createDataFrame(b2, schema)
+    out = {r.vec_id: r.kept for r in
+           incremental_semdedup(batch2, corpus, cents, 0.8).collect()}
+    assert out == {4: False, 5: False, 6: True}
+
+
+def test_stream_semdedup_ingest_matches_sequential_batches(spark, tmp_path):
+    """Streaming foreachBatch ingest ≡ sequential batch application of
+    semdedup_batch_against_corpus — the embedding twin of the text
+    stream-ingest equivalence test."""
+    from backend_big_data_spark.streaming.semdedup_ingest import (
+        read_embedding_corpus,
+        semdedup_batch_against_corpus,
+        semdedup_ingest_stream,
+    )
+
+    b1, b2 = _ingest_vectors()
+    schema = "vec_id long, embedding array<double>"
+    df1 = spark.createDataFrame(b1, schema)
+    df2 = spark.createDataFrame(b2, schema)
+    cents = _ingest_centroids(spark)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    df1.coalesce(1).write.parquet(str(in_dir / "b1"))
+    df2.coalesce(1).write.parquet(str(in_dir / "b2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    q = semdedup_ingest_stream(
+        stream, corpus_dir, str(tmp_path / "ckpt"), cents, threshold=0.8
+    )
+    q.awaitTermination(120)
+
+    got = read_embedding_corpus(spark, corpus_dir)
+    got_rows = {(r.vec_id, r.cluster) for r in got.collect()}
+
+    c1 = semdedup_batch_against_corpus(df1, None, cents, 0.8)
+    c2 = semdedup_batch_against_corpus(df2, c1, cents, 0.8)
+    want_rows = {(r.vec_id, r.cluster)
+                 for r in c1.collect() + c2.collect()}
+    assert got_rows == want_rows
+    assert {v for v, _ in got_rows} == {1, 3, 6}

@@ -81,6 +81,34 @@ def test_fill_date_gaps_dense_spine(spark):
     assert all(v >= 0 for v in got.values())
 
 
+def test_fill_date_gaps_per_key_sparse_spine(spark):
+    """per_key=True densifies each key over ITS OWN [min, max] only — the
+    high-cardinality-safe contract: no key ever gets rows outside its
+    observed span (a user-keyed series must not explode to the global
+    calendar grid)."""
+    daily = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 1), "u1", 5),
+            (datetime.date(2024, 1, 4), "u1", 2),
+            (datetime.date(2024, 1, 10), "u2", 1),
+        ],
+        "day date, k string, n long",
+    )
+    out = fill_date_gaps(daily, "day", ["k"], {"n": 0}, per_key=True).collect()
+    # u1 spans 4 days (1..4), u2 spans 1 day (10) — NOT 10 days × 2 keys
+    assert len(out) == 5
+    got = {(r.day.day, r.k): r.n for r in out}
+    assert got[(1, "u1")] == 5 and got[(4, "u1")] == 2
+    assert got[(2, "u1")] == 0 and got[(3, "u1")] == 0
+    assert got[(10, "u2")] == 1
+    # the plan carries no cartesian: per-key spine joins on (key, day)
+    plan = fill_date_gaps(
+        daily, "day", ["k"], {"n": 0}, per_key=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_repeat_by_factor_counts_and_drop(spark):
     docs = spark.createDataFrame(
         [(1, "en"), (2, "zh"), (3, "fr"), (4, "de")],
