@@ -76,3 +76,18 @@ def token_chunks(toks: Column, size: int = 64, overlap: int = 16) -> Column:
             F.concat_ws(" ", F.slice(toks, s, size)).alias("chunk"),
         ),
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for normalization-aware dedup: lowercase, strip
+    punctuation (anything outside [a-z0-9] and whitespace), collapse
+    whitespace runs to single spaces, trim. Pure codegen (three regexp
+    passes + lower/trim) — fuses into the scan; the same pipeline is
+    expressible verbatim in DuckDB, which keeps the operator
+    oracle-checkable. Case/spacing/punctuation variants of a document map
+    to one canonical string, so an exact fingerprint on the OUTPUT catches
+    the near-trivial duplicate class that raw exact dedup misses."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
+    collapsed = F.regexp_replace(stripped, r"\s+", " ")
+    return F.trim(collapsed)

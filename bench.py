@@ -110,6 +110,14 @@ HEADLINE = [
     "doc_pii_redacted",
     "doc_bigram_perplexity",
     "doc_unimax_mix",
+    # round-5 additions: incremental SemDeDup (recurring-ingest embedding
+    # dedup), ExactSubstr-style duplicate-span removal, normalization-aware
+    # dedup, token spectrum, ANN recall evaluation
+    "doc_incremental_semdedup",
+    "doc_duplicate_spans",
+    "doc_normalized_dedup",
+    "corpus_token_spectrum",
+    "ann_recall_eval",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
