@@ -116,8 +116,12 @@ _FRONT = [
 # (doc_temperature_mix, doc_quality_score_lr, customer_spend_distribution,
 # orders_profile, events_value_ewma, events_zorder_codes,
 # events_scd2_intervals, events_daily_anomalies, pyds_catalog_scan,
-# order_value_geomean_by_priority, lineitem_stats_profile); then (c) any
-# queries new in round 6, then the longest-stale r02 relational block.
+# order_value_geomean_by_priority, lineitem_stats_profile); then (c) the
+# round-5 additions registered after this window froze
+# (doc_duplicate_spans, doc_normalized_dedup, corpus_token_spectrum,
+# ann_recall_eval, lsh_banding_eval — all individually hash-verified at sf0.001 + sf0.01
+# this round); then (d) any queries new in round 6, then the
+# longest-stale r02 relational block.
 
 
 def _reorder() -> None:

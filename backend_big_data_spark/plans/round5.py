@@ -308,3 +308,68 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("method")
+
+
+def _lsh_banding_eval_oracle() -> str:
+    """Composes the candidate-stage and exact-pairs oracles (one
+    definition each, shared with their own gates) into a
+    precision/recall readout."""
+    from backend_big_data_spark.plans import documents  # noqa: F401 (registers)
+    from backend_big_data_spark.plans.registry import ORACLES
+
+    cand = ORACLES["doc_minhash_lsh_pairs"].strip()
+    truth = ORACLES["doc_ngram_jaccard_pairs"].strip()
+    return f"""
+WITH cand AS (SELECT doc_a, doc_b FROM ({cand})),
+truth AS (SELECT doc_a, doc_b FROM ({truth})),
+n AS (
+  SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM truth) AS n_true,
+         (SELECT COUNT(*) FROM cand c JOIN truth t
+            ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hits
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(floor(1000000.0 * n_hits / n_true + 0.5) AS BIGINT) AS recall_ppm,
+       CAST(floor(1000000.0 * n_hits / n_candidates + 0.5) AS BIGINT)
+         AS precision_ppm
+FROM n
+"""
+
+
+@register("lsh_banding_eval", oracle=_lsh_banding_eval_oracle())
+def lsh_banding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate stage against the
+    exact Jaccard pair truth (threshold 0.2) — the S-curve readout that
+    justifies a (bands, rows) operating point before a corpus-scale run
+    (the banding analysis of Mining of Massive Datasets §3.4, measured
+    instead of assumed). Composes the two certified registry queries
+    unchanged; integer-ppm rates; the joined frames are the bounded pair
+    lists, so the eval costs two pair jobs plus one tiny join."""
+    from backend_big_data_spark.plans.registry import QUERIES
+
+    cand = QUERIES["doc_minhash_lsh_pairs"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    truth = QUERIES["doc_ngram_jaccard_pairs"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    hits = cand.join(truth, ["doc_a", "doc_b"], "semi")
+    n = (
+        cand.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(truth.agg(F.count("*").alias("n_true")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+    )
+    return n.select(
+        F.col("n_candidates").cast("long"),
+        F.col("n_true").cast("long"),
+        F.col("n_hits").cast("long"),
+        F.floor(
+            F.lit(1000000.0) * F.col("n_hits") / F.col("n_true") + F.lit(0.5)
+        ).cast("long").alias("recall_ppm"),
+        F.floor(
+            F.lit(1000000.0) * F.col("n_hits") / F.col("n_candidates")
+            + F.lit(0.5)
+        ).cast("long").alias("precision_ppm"),
+    )

@@ -202,6 +202,48 @@ def main() -> None:
                 ).count()
             )
         )
+        # round-5 shape: duplicate-span removal. Verbatim text replication
+        # would multiply every k-gram's occurrence count by the factor
+        # (everything becomes "duplicated" — the replication artifact), so
+        # each replica's TOKENS get a per-replica prefix: within-replica
+        # duplicate structure is preserved exactly, cross-replica grams are
+        # disjoint, and per-gram df stays flat — the text analog of the
+        # entity-key shift.
+        from backend_big_data_spark.text.spans import duplicate_span_profile  # noqa: PLC0415
+
+        if factor == 1:
+            td = docs.select("doc_id", "text")
+        else:
+            td = (
+                docs.select("doc_id", "text")
+                .crossJoin(
+                    F.broadcast(
+                        spark.range(factor).select(F.col("id").alias("__r"))
+                    )
+                )
+                .select(
+                    (F.col("doc_id") + F.col("__r") * n_doc).alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split(F.trim("text"), r"\s+"),
+                            lambda t: F.concat(
+                                F.col("__r").cast("string"), F.lit("_"), t
+                            ),
+                        ),
+                    ).alias("text"),
+                )
+            )
+        td = td.repartition(64).persist()
+        td.count()
+        results.setdefault("duplicate-span removal (k-gram mark)", []).append(
+            timed(
+                lambda: duplicate_span_profile(td, k=8)
+                .agg(F.sum("n_removed"))
+                .collect()
+            )
+        )
+        td.unpersist()
         ev.unpersist(); ve.unpersist(); probes.unpersist(); dd.unpersist()
 
     print(f"factors: {FACTORS}  (sf_dir={sf_dir}, min-of-{RUNS})")
