@@ -250,18 +250,50 @@ def resize_image_batch(
 
 
 def sample_video_frames(
-    media: DataFrame, every_ms: int = 1000, fake: bool = False
+    media: DataFrame,
+    every_ms: int = 1000,
+    fake: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
     """Sample frames from video payloads → one row per sampled frame
     (media_id, frame_idx, ts_ms, frame). A 1→N generator via mapInPandas
     (each input row yields several output rows — the Spark-side shape of
-    any demux/decode). Real codec STUBBED; the fake derives a deterministic
-    frame count (1-4) and frame bytes from the payload hash.
+    any demux/decode).
+
+    ``codec='ppmv'`` is a fully REAL path: payloads in the PPV1 container
+    (`multimodal/ppm.py::encode_ppmv` — fps header + length-prefixed PPM
+    frames) are demuxed, and frames nearest each ``every_ms`` grid point
+    are emitted with exact integer timestamps (``frame_idx·1000//fps``).
+    Library-backed containers (MP4 etc.) stay stubbed — the sandbox has
+    no codec libs — and the fake remains the hash-derived test double.
     """
+    if codec == "ppmv":
+        def compute_ppmv(batches):
+            import pandas as pd
+
+            from backend_big_data_spark.multimodal.ppm import decode_ppmv
+
+            for pdf in batches:
+                out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    fps, frames = decode_ppmv(bytes(payload or b""))
+                    step = max(1, round(fps * every_ms / 1000)) if fps else 1
+                    for i in range(0, len(frames), step):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(i)
+                        out["ts_ms"].append(i * 1000 // fps if fps else 0)
+                        out["frame"].append(frames[i])
+                yield pd.DataFrame(out)
+
+        return media.select("media_id", "payload").mapInPandas(
+            compute_ppmv,
+            schema="media_id long, frame_idx int, ts_ms long, frame binary",
+        )
     if not fake:
         raise NotImplementedError(
-            "video demux requires a codec library (e.g. PyAV); pass "
-            "fake=True for the deterministic test double"
+            "video demux requires a codec library (e.g. PyAV) for "
+            "library-backed containers; use codec='ppmv' for the built-in "
+            "REAL container, or fake=True for the deterministic test double"
         )
 
     def compute(batches):

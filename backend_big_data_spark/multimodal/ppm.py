@@ -86,3 +86,48 @@ def channel_stats(arr: np.ndarray) -> list[float]:
     [0, 1] units — the cheap embedding for dedup/ANN smoke paths."""
     x = arr.reshape(-1, 3).astype(np.float64) / 255.0
     return [*x.mean(axis=0).tolist(), *x.std(axis=0).tolist()]
+
+
+# ---------------------------------------------------------------------------
+# PPV1: a minimal real VIDEO container over PPM frames — 4-byte magic
+# b'PPV1', uint16 little-endian fps, then each frame as a uint32
+# little-endian length prefix + raw PPM bytes. Like the PPM image codec it
+# exists so the video demux/sample path can be REAL in this sandbox
+# (library-backed containers stay stubbed); the Spark-side plumbing is
+# identical for both.
+# ---------------------------------------------------------------------------
+PPV_MAGIC = b"PPV1"
+
+
+def encode_ppmv(frames: list[np.ndarray], fps: int) -> bytes:
+    """Encode a list of HxWx3 uint8 frames as a PPV1 payload."""
+    import struct
+
+    out = [PPV_MAGIC, struct.pack("<H", fps)]
+    for arr in frames:
+        buf = encode_ppm(arr)
+        out.append(struct.pack("<I", len(buf)))
+        out.append(buf)
+    return b"".join(out)
+
+
+def decode_ppmv(payload: bytes) -> tuple[int, list[bytes]]:
+    """Parse a PPV1 payload → (fps, [raw PPM frame bytes]). Raises
+    ValueError on a bad magic or a truncated frame."""
+    import struct
+
+    buf = bytes(payload)
+    if len(buf) < 6 or buf[:4] != PPV_MAGIC:
+        raise ValueError("not a PPV1 payload")
+    (fps,) = struct.unpack_from("<H", buf, 4)
+    pos, frames = 6, []
+    while pos < len(buf):
+        if pos + 4 > len(buf):
+            raise ValueError("truncated frame length")
+        (ln,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        if pos + ln > len(buf):
+            raise ValueError("truncated frame body")
+        frames.append(buf[pos : pos + ln])
+        pos += ln
+    return fps, frames

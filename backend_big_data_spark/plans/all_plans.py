@@ -27,6 +27,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     curation,
     round4b,
     round5,
+    round5b,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -119,7 +120,8 @@ _FRONT = [
 # order_value_geomean_by_priority, lineitem_stats_profile); then (c) the
 # round-5 additions registered after this window froze
 # (doc_duplicate_spans, doc_normalized_dedup, corpus_token_spectrum,
-# ann_recall_eval, lsh_banding_eval — all individually hash-verified at sf0.001 + sf0.01
+# ann_recall_eval, lsh_banding_eval, source_overlap_matrix,
+# corpus_kl_drift — all individually hash-verified at sf0.001 + sf0.01 + sf0.1
 # this round); then (d) any queries new in round 6, then the
 # longest-stale r02 relational block.
 

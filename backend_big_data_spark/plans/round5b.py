@@ -1,0 +1,153 @@
+"""Round-5 second batch: corpus-governance diagnostics — cross-source
+leakage (shingle containment matrix) and corpus drift between snapshot
+halves (fixed-point log-ratio score, the DSIR determinism convention).
+
+Additive LLM-curation scope; oracle-gated like the rest of the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.plans.registry import register
+from backend_big_data_spark.sources.catalog import load_table
+
+_SOURCE_OVERLAP_ORACLE = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    FOR i IN range(1, len(t) - 1)])
+                ELSE CAST([] AS VARCHAR[]) END) AS shingle
+  FROM toks
+), sz AS (
+  SELECT source, COUNT(*) AS n_shingles FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source != b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(floor(1000000.0 * p.n_shared / s.n_shingles + 0.5) AS BIGINT)
+         AS containment_ppm
+FROM pairs p JOIN sz s ON p.source_a = s.source
+ORDER BY source_a, source_b
+"""
+
+
+@register("source_overlap_matrix", oracle=_SOURCE_OVERLAP_ORACLE)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle containment matrix — the data-governance
+    leakage readout: for each ordered source pair (a, b), how much of
+    a's distinct 3-gram shingle set also appears in b (integer ppm).
+    High off-diagonal cells mean two feeds crawl the same content and
+    dedup budget is being spent re-discovering it; it is also the
+    train/eval split sanity check when splits are source-keyed.
+
+    Shape: one distinct over (source, shingle) — already bounded by the
+    shingle vocabulary × source count — then a self-join on the shingle
+    and a count per pair. The pair grid is |sources|² (bounded,
+    dashboard-scale); the only data-scale shuffle keys on the shingle.
+    At 100 TB the distinct frame is the thing to bucket by shingle."""
+    from backend_big_data_spark.functions.textfns import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(word_shingles(tokens(F.col("text")), n=3)).alias("shingle"),
+    ).distinct()
+    sz = sh.groupBy("source").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    pairs = (
+        a.join(b, on="shingle")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(sz, pairs.source_a == sz.source)
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long"),
+            F.floor(
+                F.lit(1000000.0) * F.col("n_shared") / F.col("n_shingles")
+                + F.lit(0.5)
+            ).cast("long").alias("containment_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_KL_DRIFT_ORACLE = r"""
+WITH sp AS (
+  SELECT doc_id, text,
+         (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100) < 50 AS in_a
+  FROM documents
+), toks AS (
+  SELECT in_a, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM sp
+), c AS (
+  SELECT tok,
+         SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
+  FROM toks GROUP BY 1
+), terms AS (
+  SELECT tok, ca, cb,
+         (2 * ca + 1)
+         * CAST(floor((ln(ca + 0.5) - ln(cb + 0.5)) * 10000 + 0.5) AS BIGINT)
+           AS term_fp
+  FROM c
+)
+SELECT CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+       CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+       CAST(SUM(ca) AS BIGINT) AS tokens_a,
+       CAST(SUM(cb) AS BIGINT) AS tokens_b,
+       CAST(SUM(term_fp) AS BIGINT) AS drift_fp
+FROM terms
+"""
+
+
+@register("corpus_kl_drift", oracle=_KL_DRIFT_ORACLE)
+def corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift score between two deterministic snapshot halves (the
+    stable-hash 50/50 split used by the A/B readout): an unnormalized
+    KL-style sum over the token vocabulary, Σ (2·cA+1) · fp(ln(cA+0.5) −
+    ln(cB+0.5)), with every log-ratio snapped to a 1e-4 fixed-point
+    integer BEFORE the weighted sum — the DSIR convention that makes the
+    score bit-identical at any parallelism and across engines. Identical
+    halves score ≈ 0; a vocabulary or topic shift moves it sharply. Run
+    between TIME snapshots in production to catch feed drift before it
+    hits a training mix. One token-keyed count aggregate + one global
+    sum."""
+    from backend_big_data_spark.functions.textfns import tokens
+    from backend_big_data_spark.text.sampling import stable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = docs.select(
+        (stable_hash(F.col("doc_id")) % 100 < 50).alias("in_a"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    c = sp.groupBy("tok").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("cb"),
+    )
+    term = (
+        (F.lit(2) * F.col("ca") + 1)
+        * F.floor(
+            (F.log(F.col("ca") + 0.5) - F.log(F.col("cb") + 0.5))
+            * F.lit(10000)
+            + F.lit(0.5)
+        ).cast("long")
+    ).alias("term_fp")
+    return c.select("ca", "cb", term).agg(
+        F.sum(F.when(F.col("ca") > 0, 1).otherwise(0)).cast("long").alias("vocab_a"),
+        F.sum(F.when(F.col("cb") > 0, 1).otherwise(0)).cast("long").alias("vocab_b"),
+        F.sum("ca").cast("long").alias("tokens_a"),
+        F.sum("cb").cast("long").alias("tokens_b"),
+        F.sum("term_fp").cast("long").alias("drift_fp"),
+    )

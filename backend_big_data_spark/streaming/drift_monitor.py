@@ -1,0 +1,152 @@
+"""Streaming corpus-drift monitor — the observability twin of the
+deduplicating ingest sinks: every arriving micro-batch is scored against
+the corpus-so-far token distribution with the fixed-point log-ratio drift
+score (`plans/round5b.corpus_kl_drift`'s formulation), and the at-rest
+token counts are maintained LOG-STRUCTURED: each batch appends only its
+own (token, count) delta directory; readers merge deltas with one keyed
+sum. No corpus rescan per batch, no read-modify-write of a counts table —
+the same O(batch) append discipline as the ingest sinks, with
+`sources/compaction.py` as the periodic delta-folding story at scale.
+
+Why this exists: a feed that silently changes character (new boilerplate,
+a language flip, a spam burst) poisons a training mix long before any
+per-document filter fires. Distribution-level drift per batch is the
+canary; the fixed-point convention makes each score bit-identical across
+engines and replays, so a replayed micro-batch writes the identical
+metric row (idempotent, like the ingest sinks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.functions.textfns import tokens
+
+#: fixed-point scale for per-token log-ratios (the DSIR convention)
+DRIFT_SCALE = 10_000
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, n) counts for one frame — one explode + keyed sum."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def read_corpus_counts(
+    spark: SparkSession, counts_dir: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """Merge all delta directories into the corpus-so-far counts, or None
+    before the first batch. One keyed sum over the deltas — the reader
+    does the log-structured merge; compaction folds deltas offline.
+
+    ``exclude_batch``: drop that batch's own delta from the merge — a
+    REPLAYED micro-batch must score against the same corpus state it saw
+    the first time, not against its own earlier write (idempotent
+    replay, like the ingest sinks)."""
+    if not os.path.isdir(counts_dir):
+        return None
+    names = [
+        n for n in os.listdir(counts_dir)
+        if n.startswith("delta=") and n != f"delta={exclude_batch}"
+    ]
+    if not names:
+        return None
+    deltas = spark.read.option("basePath", counts_dir).parquet(
+        *[os.path.join(counts_dir, n) for n in names]
+    )
+    return deltas.groupBy("tok").agg(F.sum("n").alias("n"))
+
+
+def drift_score(batch_counts: DataFrame, corpus_counts: DataFrame) -> DataFrame:
+    """One-row drift readout of a batch distribution vs the corpus-so-far:
+    Σ (2·c_batch+1) · fp(ln(c_batch+0.5) − ln(c_corpus+0.5)) over the
+    union vocabulary (absent side counts 0), plus the vocab/token totals.
+    Every log-ratio snaps to a 1e-4 fixed-point integer BEFORE the
+    weighted sum — exact, order-free, engine-independent."""
+    a = batch_counts.select("tok", F.col("n").alias("ca"))
+    b = corpus_counts.select("tok", F.col("n").alias("cb"))
+    c = (
+        a.join(b, on="tok", how="full")
+        .select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    term = (
+        (F.lit(2) * F.col("ca") + 1)
+        * F.floor(
+            (F.log(F.col("ca") + 0.5) - F.log(F.col("cb") + 0.5))
+            * F.lit(DRIFT_SCALE)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    return c.agg(
+        F.sum(F.when(F.col("ca") > 0, 1).otherwise(0)).cast("long").alias("vocab_batch"),
+        F.sum(F.when(F.col("cb") > 0, 1).otherwise(0)).cast("long").alias("vocab_corpus"),
+        F.sum("ca").cast("long").alias("tokens_batch"),
+        F.sum("cb").cast("long").alias("tokens_corpus"),
+        F.sum(term).cast("long").alias("drift_fp"),
+    )
+
+
+def drift_monitor_sink(counts_dir: str, metrics_dir: str):
+    """``foreachBatch`` function: score the arriving batch against the
+    corpus-so-far, append the one-row metric (keyed by batch id), then
+    append the batch's own counts as ``delta=N``. First batch scores
+    against an EMPTY corpus (all-new vocabulary — the expected spike).
+    Replays overwrite their own delta/metric directories (idempotent)."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        bc = token_counts(batch).persist()
+        corpus = read_corpus_counts(spark, counts_dir, exclude_batch=batch_id)
+        if corpus is None:
+            corpus = spark.createDataFrame([], "tok string, n long")
+        metric = drift_score(bc, corpus).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        metric.write.mode("overwrite").parquet(
+            f"{metrics_dir}/batch={batch_id}"
+        )
+        bc.write.mode("overwrite").parquet(f"{counts_dir}/delta={batch_id}")
+        bc.unpersist()
+
+    return apply
+
+
+def drift_monitor_stream(
+    docs_stream: DataFrame, counts_dir: str, metrics_dir: str, checkpoint: str
+):
+    """Attach the drift monitor to a document stream. Returns the started
+    StreamingQuery (caller awaits/stops)."""
+    return (
+        docs_stream.writeStream.foreachBatch(
+            drift_monitor_sink(counts_dir, metrics_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_drift_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
+    """All per-batch drift rows appended so far."""
+    return spark.read.option("basePath", metrics_dir).parquet(
+        metrics_dir + "/batch=*"
+    )
+
+
+__all__ = [
+    "drift_monitor_sink",
+    "drift_monitor_stream",
+    "drift_score",
+    "read_corpus_counts",
+    "read_drift_metrics",
+    "token_counts",
+]
