@@ -151,3 +151,102 @@ def corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cb").cast("long").alias("tokens_b"),
         F.sum("term_fp").cast("long").alias("drift_fp"),
     )
+
+
+#: Chunk keep threshold: avg NLL <= 3.37 nats, evaluated as the integer
+#: cross-multiplication nll_fp <= 33700 * n_bigrams (no division — the
+#: Gopher verdict convention). 3.37 ~= this corpus's median chunk NLL, so
+#: the gate actually splits.
+CHUNK_NLL_THRESH_FP = 33_700
+
+_CHUNK_LM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), chunks AS (
+  SELECT doc_id, CAST((s - 1) / 32 AS INTEGER) AS chunk_idx,
+         doc_id * 10000 + CAST((s - 1) / 32 AS BIGINT) AS cid,
+         array_to_string(t[s:s+31], ' ') AS chunk
+  FROM toks, LATERAL unnest(range(1, greatest(len(t), 1) + 1, 32)) AS u(s)
+), uni AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS w1 FROM documents
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY 1
+), v AS (
+  SELECT COUNT(*) AS v FROM c1
+), docc AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]{2,}') AS mt FROM documents
+), c2 AS (
+  SELECT t2, COUNT(*) AS c2 FROM (
+    SELECT unnest(list_transform(range(1, len(mt)), i -> mt[i] || ' ' || mt[i + 1])) AS t2
+    FROM docc WHERE len(mt) >= 2
+  ) GROUP BY 1
+), cocc0 AS (
+  SELECT cid, unnest(list_transform(range(1, len(ct)),
+         i -> {'w1': ct[i], 'bigram': ct[i] || ' ' || ct[i + 1]})) AS s
+  FROM (SELECT cid, regexp_extract_all(lower(chunk), '[a-z]{2,}') AS ct FROM chunks)
+  WHERE len(ct) >= 2
+), cocc AS (
+  SELECT cid, s.w1 AS w1, s.bigram AS bigram FROM cocc0
+), scored AS (
+  SELECT o.cid, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+         -SUM(CAST(floor((ln(COALESCE(c2.c2, 0) + 0.5)
+                          - ln(COALESCE(c1.c1, 0) + 0.5 * (SELECT v FROM v)))
+                         * 10000 + 0.5) AS BIGINT)) AS nll_fp
+  FROM cocc o LEFT JOIN c2 ON o.bigram = c2.t2 LEFT JOIN c1 ON o.w1 = c1.w1
+  GROUP BY 1
+)
+SELECT c.doc_id, c.chunk_idx,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       CAST(COALESCE(nll_fp, 0) AS BIGINT) AS nll_fp,
+       (COALESCE(nll_fp, 0) <= 33700 * COALESCE(n_bigrams, 0)) AS kept
+FROM chunks c LEFT JOIN scored ON c.cid = scored.cid
+ORDER BY c.doc_id, c.chunk_idx
+"""
+
+
+@register("doc_chunk_lm_prune", oracle=_CHUNK_LM_ORACLE)
+def doc_chunk_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's pruning stage at SUB-document granularity (arXiv:1911.00359
+    §4.4 scores paragraphs, not pages): the corpus-trained bigram LM
+    (`text/lm.py`, now accepting a separate training frame) scores every
+    32-token chunk (`functions/textfns.token_chunks`), and chunks whose
+    average NLL exceeds the threshold are marked dropped — the "delete
+    the boilerplate-y / degenerate stretch, keep the document" operation
+    a page-level filter cannot express. Keep verdicts via integer
+    cross-multiplication (``nll_fp <= THRESH · n_bigrams``). Model trains
+    on FULL documents; chunks inherit smoothed zero counts for any
+    boundary-clipped context via left joins — exact in both engines."""
+    from backend_big_data_spark.functions.textfns import token_chunks, tokens
+    from backend_big_data_spark.text.lm import bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(token_chunks(tokens(F.col("text")), size=32, overlap=0)).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        (F.col("doc_id") * 10000 + F.col("c.chunk_idx")).alias("cid"),
+        F.col("c.chunk").alias("chunk"),
+    )
+    nll = bigram_nll(
+        ch.select("cid", "chunk"),
+        text_col="chunk",
+        id_col="cid",
+        model_df=docs,
+        model_text_col="text",
+    )
+    return (
+        ch.join(nll, on="cid")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_bigrams",
+            "nll_fp",
+            (
+                F.col("nll_fp")
+                <= F.lit(CHUNK_NLL_THRESH_FP) * F.col("n_bigrams")
+            ).alias("kept"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -61,33 +61,64 @@ def doc_bigram_occurrences(
 
 
 def bigram_nll(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_df: DataFrame | None = None,
+    model_text_col: str | None = None,
 ) -> DataFrame:
-    """Per-document NLL under the corpus-trained smoothed bigram model:
-    ``(id, n_bigrams int, nll_fp long, avg_nll double)``. ``nll_fp`` is
-    the exact integer fixed-point sum (1e-4 nats); ``avg_nll`` = nll per
-    bigram, NULL for docs with fewer than two tokens. Self-trained here
-    (model == scoring corpus); pass a held-out/pinned model by swapping
-    the two count frames if needed."""
+    """Per-document NLL under the smoothed bigram model: ``(id, n_bigrams
+    int, nll_fp long, avg_nll double)``. ``nll_fp`` is the exact integer
+    fixed-point sum (1e-4 nats); ``avg_nll`` = nll per bigram, NULL for
+    docs with fewer than two tokens.
+
+    ``model_df``: the frame the model TRAINS on (its ``text_col`` column;
+    default: ``df`` itself, the self-trained form). A separate training
+    frame is the CCNet shape — train on the corpus (or a pinned sample),
+    score sub-document chunks or a new batch. Scoring units may then
+    contain bigrams/contexts absent from the model; smoothing handles
+    them (count 0), via left joins + coalesce — for the self-trained case
+    every join key is present, so the results are unchanged."""
+    if model_df is None:
+        model_df = df
+    mcol = model_text_col or text_col
     occ = doc_bigram_occurrences(df, text_col, id_col)
-    c2 = occ.groupBy("bigram").agg(F.count("*").alias("__c2"))
+    if model_df is df:
+        model_occ = occ
+    else:
+        # id-free bigram occurrences of the training frame
+        mt = _tokens(F.col(mcol))
+        pairs = F.when(
+            F.size(mt) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(mt) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(mt, i + 1), F.element_at(mt, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        model_occ = model_df.select(F.explode(pairs).alias("bigram"))
+    c2 = model_occ.groupBy("bigram").agg(F.count("*").alias("__c2"))
     c1 = (
-        df.select(F.explode(_tokens(F.col(text_col))).alias("w1"))
+        model_df.select(F.explode(_tokens(F.col(mcol))).alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("__c1"))
     )
     vocab = c1.agg(F.count("*").alias("__v"))
     logp_fp = F.floor(
         (
-            F.log(F.col("__c2") + F.lit(SMOOTH_K))
-            - F.log(F.col("__c1") + F.lit(SMOOTH_K) * F.col("__v"))
+            F.log(F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(SMOOTH_K))
+            - F.log(
+                F.coalesce(F.col("__c1"), F.lit(0))
+                + F.lit(SMOOTH_K) * F.col("__v")
+            )
         )
         * LOGP_SCALE
         + F.lit(0.5)
     ).cast("long")
     scored = (
-        occ.join(c2, on="bigram")
-        .join(c1, on="w1")
+        occ.join(c2, on="bigram", how="left")
+        .join(c1, on="w1", how="left")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(

@@ -118,6 +118,9 @@ HEADLINE = [
     "doc_normalized_dedup",
     "corpus_token_spectrum",
     "ann_recall_eval",
+    "source_overlap_matrix",
+    "corpus_kl_drift",
+    "doc_chunk_lm_prune",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

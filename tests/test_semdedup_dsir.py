@@ -615,3 +615,36 @@ def test_stream_semdedup_ingest_matches_sequential_batches(spark, tmp_path):
                  for r in c1.collect() + c2.collect()}
     assert got_rows == want_rows
     assert {v for v, _ in got_rows} == {1, 3, 6}
+
+
+def test_bigram_nll_separate_model_frame(spark):
+    """model_df trains the counts, df is only scored: a chunk containing
+    bigrams absent from the model gets the smoothed zero-count logp
+    (left-join path), and the self-trained form is unchanged by the
+    refactor (same values as scoring the training frame itself)."""
+    from backend_big_data_spark.text.lm import LOGP_SCALE, bigram_nll
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta alpha beta"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    # self-trained reference
+    self_scored = {r.doc_id: r.nll_fp for r in bigram_nll(corpus).collect()}
+    also = {r.doc_id: r.nll_fp
+            for r in bigram_nll(corpus, model_df=corpus).collect()}
+    assert self_scored == also
+
+    # unseen bigram: "beta beta" never occurs in the corpus
+    probe = spark.createDataFrame(
+        [(9, "beta beta")], "doc_id long, chunk string"
+    )
+    out = bigram_nll(
+        probe, text_col="chunk", model_df=corpus, model_text_col="text"
+    ).collect()[0]
+    # c2=0 (unseen bigram), c1(beta)=3, V=3 -> logp = ln(0.5) - ln(3+1.5)
+    import math
+
+    want = -math.floor(
+        (math.log(0.5) - math.log(3 + 0.5 * 3)) * LOGP_SCALE + 0.5
+    )
+    assert out.n_bigrams == 1 and out.nll_fp == want
