@@ -2,11 +2,15 @@
 
 Images/audio/video ride as opaque ``binary`` payload columns with typed
 metadata structs. The Spark-side plumbing — schema, Arrow-batched
-``mapInPandas`` signatures, partitioning — is real and tested; the actual
-codec step is STUBBED (``decode_image_batch`` raises ``NotImplementedError``
-unless ``fake=True``) because image/audio libraries are not available in
-this environment. The deterministic fake path keeps every downstream
-operator testable.
+``mapInPandas`` signatures, partitioning — is real and tested, and each
+modality now carries at least one fully REAL codec built on
+numpy/stdlib only: PPM (`multimodal/ppm.py`) and 8-bit RGB/RGBA PNG
+(`multimodal/png.py`, stdlib zlib, all five scanline filters) for
+images, WAV/PCM (`multimodal/wav.py`) for audio, and the PPV1 container
+for video frame sampling. Entropy-coded formats (JPEG, MP3, MP4) need
+codec libraries absent from this environment and stay STUBBED behind
+``NotImplementedError`` / the clearly-marked ``fake=True`` double —
+same plumbing, heavier kernel when the library exists.
 
 Scale notes: binary payloads make rows wide — partition count must track
 *bytes* not rows (``spark.sql.files.maxPartitionBytes``), and decode UDFs
@@ -99,26 +103,31 @@ def decode_image_batch(
 ) -> DataFrame:
     """Decode image payloads → (media_id, width, height, channels, features).
 
-    ``codec="ppm"`` is a REAL decode path (binary netpbm P6, parsed with
-    numpy only — `multimodal/ppm.py`): dimensions from the header, raster
-    decoded, features = per-channel mean/std; malformed payloads yield a
-    NULL-width row (the quarantine convention). General formats (JPEG/PNG)
-    require an imaging library not present in this container and raise
+    ``codec="ppm"`` and ``codec="png"`` are REAL decode paths, no imaging
+    library involved: binary netpbm P6 parsed with numpy
+    (`multimodal/ppm.py`), and 8-bit RGB/RGBA PNG via stdlib zlib with
+    all five scanline filters + CRC validation (`multimodal/png.py`).
+    Dimensions come from the header, the raster is decoded, features =
+    per-channel mean/std; malformed payloads yield a NULL-width row (the
+    quarantine convention). Entropy-coded formats (JPEG) require an
+    imaging library not present in this container and raise
     ``NotImplementedError``; ``fake=True`` runs a clearly-marked
     deterministic stand-in (dimensions & an 8-dim feature vector derived
     from the payload's sha256) so the Spark plumbing — Arrow batch shape,
     schema, partition behavior — is fully exercised either way.
     """
-    if codec == "ppm":
+    if codec in ("ppm", "png"):
 
-        def compute_ppm(batches):
+        def compute_real(batches):
             import pandas as pd
 
             from backend_big_data_spark.multimodal.ppm import (
                 channel_stats,
                 decode_ppm,
             )
+            from backend_big_data_spark.multimodal.png import decode_png
 
+            decode = decode_ppm if codec == "ppm" else decode_png
             for pdf in batches:
                 rows = {
                     "media_id": [], "width": [], "height": [],
@@ -127,7 +136,7 @@ def decode_image_batch(
                 for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                     rows["media_id"].append(mid)
                     try:
-                        arr = decode_ppm(bytes(payload or b""))
+                        arr = decode(bytes(payload or b""))
                     except ValueError:
                         rows["width"].append(None)
                         rows["height"].append(None)
@@ -136,21 +145,21 @@ def decode_image_batch(
                         continue
                     rows["width"].append(arr.shape[1])
                     rows["height"].append(arr.shape[0])
-                    rows["channels"].append(3)
+                    rows["channels"].append(arr.shape[2])
                     rows["features"].append(channel_stats(arr))
                 yield pd.DataFrame(rows)
 
         return media.select("media_id", "payload").mapInPandas(
-            compute_ppm,
+            compute_real,
             schema="media_id long, width int, height int, channels int, "
             "features array<double>",
         )
     if not fake:
         raise NotImplementedError(
             "decoding this format requires an imaging library (e.g. Pillow) "
-            "that is not available in this environment; pass codec='ppm' for "
-            "the real netpbm path or fake=True for the deterministic test "
-            "double"
+            "that is not available in this environment; pass codec='ppm' or "
+            "codec='png' for the real built-in paths or fake=True for the "
+            "deterministic test double"
         )
 
     def compute(batches):
@@ -180,44 +189,54 @@ def resize_image_batch(
     codec: str | None = None,
 ) -> DataFrame:
     """Resize image payloads → (media_id, payload, meta) with updated
-    dimensions. ``codec="ppm"`` is a REAL path: decode → nearest-neighbor
-    resize (numpy index maps) → re-encode P6; malformed payloads yield a
-    NULL payload row. Other formats are STUBBED (no imaging library in
-    this container); ``fake=True`` emits a deterministic payload (sha256
-    of input ⊕ target dims) with the right schema so
-    partitioning/batching is exercised end-to-end.
+    dimensions. ``codec="ppm"`` and ``codec="png"`` are REAL paths:
+    decode → nearest-neighbor resize (numpy index maps) → re-encode in
+    the same format; malformed payloads yield a NULL payload row.
+    Entropy-coded formats are STUBBED (no imaging library in this
+    container); ``fake=True`` emits a deterministic payload (sha256 of
+    input ⊕ target dims) with the right schema so partitioning/batching
+    is exercised end-to-end.
     """
-    if codec == "ppm":
+    if codec in ("ppm", "png"):
 
-        def compute_ppm(batches):
+        def compute_real(batches):
             import pandas as pd
 
+            from backend_big_data_spark.multimodal.png import (
+                decode_png,
+                encode_png,
+            )
             from backend_big_data_spark.multimodal.ppm import (
                 decode_ppm,
                 encode_ppm,
                 resize_nearest,
             )
 
+            decode, encode = (
+                (decode_ppm, encode_ppm)
+                if codec == "ppm"
+                else (decode_png, encode_png)
+            )
             for pdf in batches:
                 out = {"media_id": [], "payload": [], "width": [], "height": []}
                 for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                     out["media_id"].append(mid)
                     try:
-                        arr = decode_ppm(bytes(payload or b""))
+                        arr = decode(bytes(payload or b""))
                     except ValueError:
                         out["payload"].append(None)
                         out["width"].append(None)
                         out["height"].append(None)
                         continue
                     out["payload"].append(
-                        encode_ppm(resize_nearest(arr, width, height))
+                        encode(resize_nearest(arr, width, height))
                     )
                     out["width"].append(width)
                     out["height"].append(height)
                 yield pd.DataFrame(out)
 
         return media.select("media_id", "payload").mapInPandas(
-            compute_ppm,
+            compute_real,
             schema="media_id long, payload binary, width int, height int",
         )
     if not fake:

@@ -82,9 +82,10 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def channel_stats(arr: np.ndarray) -> list[float]:
-    """6-dim feature vector: per-channel mean and population std, in
-    [0, 1] units — the cheap embedding for dedup/ANN smoke paths."""
-    x = arr.reshape(-1, 3).astype(np.float64) / 255.0
+    """Per-channel mean and population std feature vector (2·C dims), in
+    [0, 1] units — the cheap embedding for dedup/ANN smoke paths. Channel
+    count follows the raster (3 for PPM/RGB, 4 for RGBA PNGs)."""
+    x = arr.reshape(-1, arr.shape[-1]).astype(np.float64) / 255.0
     return [*x.mean(axis=0).tolist(), *x.std(axis=0).tolist()]
 
 
