@@ -112,7 +112,9 @@ _FRONT = [
 # doc_langid, doc_pack_sequences, doc_quality_profile,
 # doc_sha256_fingerprint, doc_stats_by_lang, doc_stratified_sample,
 # doc_tfidf_top_terms) and the operators/timeseries.py pair
-# (events_user_sessions, events_daily_gapfilled); then (b) the ten r05
+# (events_user_sessions, events_daily_gapfilled) and multimodal_fingerprint
+# (multimodal/binary_ops.py gained the real PNG/PPV1 paths — the
+# fingerprint function itself is byte-identical); then (b) the ten r05
 # window spills, all registered in the drifted plans/curation.py
 # (doc_temperature_mix, doc_quality_score_lr, customer_spend_distribution,
 # orders_profile, events_value_ewma, events_zorder_codes,
@@ -121,7 +123,8 @@ _FRONT = [
 # round-5 additions registered after this window froze
 # (doc_duplicate_spans, doc_normalized_dedup, corpus_token_spectrum,
 # ann_recall_eval, lsh_banding_eval, source_overlap_matrix,
-# corpus_kl_drift, doc_chunk_lm_prune — all individually hash-verified
+# corpus_kl_drift, doc_chunk_lm_prune, doc_shard_assignment — all
+# individually hash-verified
 # at sf0.001 + sf0.01 + sf0.1
 # this round); then (d) any queries new in round 6, then the
 # longest-stale r02 relational block.

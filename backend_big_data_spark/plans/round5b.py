@@ -250,3 +250,85 @@ def doc_chunk_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+#: tokens per output shard for the shard-assignment plan
+SHARD_TOKEN_BUDGET = 2_000
+
+_SHARD_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 32 AS bucket
+  FROM documents
+), pos AS (
+  SELECT doc_id, n_tokens, bucket,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY bucket, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS token_start
+  FROM d
+)
+SELECT doc_id, n_tokens, token_start,
+       CAST(token_start // 2000 AS BIGINT) AS shard
+FROM pos ORDER BY doc_id
+"""
+
+
+@register("doc_shard_assignment", oracle=_SHARD_ORACLE)
+def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted output-shard assignment — the corpus-scale layout
+    step before writing training shards: every document gets a global
+    token offset in a deterministic order and the shard whose budget
+    window its offset falls in.
+
+    The global running sum is computed as a DISTRIBUTED PREFIX SUM, not a
+    global window: documents hash into 32 buckets; each bucket does its
+    own windowed cumsum (shuffle keyed on the bucket, 1/32nd of the data
+    per window partition); the 32 bucket TOTALS get their own cumsum in a
+    bounded 32-row window; global offset = bucket offset + within-bucket
+    offset. Identical result to a single global window, but no stage ever
+    sorts more than one bucket — the classic two-level scan that keeps
+    prefix sums alive at 100 TB (scale the bucket count with the data;
+    the offsets table stays |buckets| rows). A doc straddling a budget
+    boundary belongs to the shard its START offset falls in (documented
+    semantics; pair with `doc_pack_sequences` for intra-shard packing)."""
+    from pyspark.sql import Window
+
+    from backend_big_data_spark.functions.textfns import tokens
+    from backend_big_data_spark.text.sampling import stable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        (stable_hash(F.col("doc_id")) % 32).alias("bucket"),
+    )
+    win_b = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = d.withColumn(
+        "__within", F.coalesce(F.sum("n_tokens").over(win_b), F.lit(0))
+    )
+    totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("__total"))
+    win_t = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("__total").over(win_t), F.lit(0)).alias("__offset"),
+    )
+    return (
+        within.join(F.broadcast(offsets), on="bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("__offset") + F.col("__within")).alias("token_start"),
+            F.floor(
+                (F.col("__offset") + F.col("__within"))
+                / F.lit(SHARD_TOKEN_BUDGET)
+            ).cast("long").alias("shard"),
+        )
+        .orderBy("doc_id")
+    )

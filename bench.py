@@ -121,6 +121,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "corpus_kl_drift",
     "doc_chunk_lm_prune",
+    "doc_shard_assignment",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

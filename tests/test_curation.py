@@ -807,3 +807,41 @@ def test_stream_ingest_maintains_fp_bloom_sidecar(spark, tmp_path):
     os.remove(os.path.join(corpus_dir, "_fp_bloom.json"))
     healed, covered2 = load_corpus_bloom(spark, corpus_dir)
     assert healed == scratch and covered2 == covered
+
+
+def test_shard_assignment_equals_global_window(spark):
+    """The two-level distributed prefix sum (per-bucket cumsum + bounded
+    bucket-offset window) must equal the single global-window cumsum it
+    replaces, and shards must be contiguous non-decreasing in the global
+    order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from backend_big_data_spark.plans.all_plans import QUERIES
+    from backend_big_data_spark.functions.textfns import tokens
+    from backend_big_data_spark.sources.catalog import load_table
+    from backend_big_data_spark.text.sampling import stable_hash
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: (r.token_start, r.shard)
+           for r in QUERIES["doc_shard_assignment"](spark, sf).collect()}
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n"),
+        (stable_hash(F.col("doc_id")) % 32).alias("b"),
+    )
+    naive_w = Window.orderBy("b", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = {
+        r.doc_id: r.start
+        for r in docs.withColumn(
+            "start", F.coalesce(F.sum("n").over(naive_w), F.lit(0))
+        ).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == naive
+    # shards non-decreasing along the global order, starting at 0
+    ordered = sorted(got.values())
+    assert ordered[0][1] == 0
+    assert all(a[1] <= b[1] for a, b in zip(ordered, ordered[1:]))
