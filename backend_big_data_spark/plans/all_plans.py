@@ -123,7 +123,8 @@ _FRONT = [
 # round-5 additions registered after this window froze
 # (doc_duplicate_spans, doc_normalized_dedup, corpus_token_spectrum,
 # ann_recall_eval, lsh_banding_eval, source_overlap_matrix,
-# corpus_kl_drift, doc_chunk_lm_prune, doc_shard_assignment — all
+# corpus_kl_drift, doc_chunk_lm_prune, doc_shard_assignment,
+# source_dup_stats, embedding_health_audit — all
 # individually hash-verified
 # at sf0.001 + sf0.01 + sf0.1
 # this round); then (d) any queries new in round 6, then the

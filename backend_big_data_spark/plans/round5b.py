@@ -332,3 +332,104 @@ def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_SOURCE_DUP_ORACLE = r"""
+WITH fp AS (
+  SELECT source, md5(text) AS f FROM documents
+), per AS (
+  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT f) AS n_unique
+  FROM fp GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       CAST(floor(1000000.0 * (n_docs - n_unique) / n_docs + 0.5) AS BIGINT)
+         AS dup_ppm
+FROM per ORDER BY source
+"""
+
+
+@register("source_dup_stats", oracle=_SOURCE_DUP_ORACLE)
+def source_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate (integer ppm) — the governance
+    companion of `source_overlap_matrix`: WHICH feed is paying the dedup
+    bill. One hash aggregate on (source, fingerprint) folded into a
+    per-source count + distinct; at 100 TB the distinct rides the same
+    partial-aggregation path as `doc_exact_dedup` (16-byte keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.md5("text").alias("f"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("f").alias("n_unique"),
+        )
+    )
+    return per.select(
+        "source",
+        F.col("n_docs").cast("long"),
+        F.col("n_unique").cast("long"),
+        F.floor(
+            F.lit(1000000.0) * (F.col("n_docs") - F.col("n_unique"))
+            / F.col("n_docs")
+            + F.lit(0.5)
+        ).cast("long").alias("dup_ppm"),
+    ).orderBy("source")
+
+
+_EMB_HEALTH_ORACLE = r"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), per AS (
+  SELECT vec_id, len(e) AS dim,
+         list_aggregate(list_transform(e, x -> x * x), 'sum') AS sq,
+         len(list_filter(e, x -> isnan(x))) AS n_nan
+  FROM v
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+       CAST(MIN(dim) AS BIGINT) AS min_dim,
+       CAST(MAX(dim) AS BIGINT) AS max_dim,
+       CAST(SUM(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
+       CAST(SUM(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_vectors,
+       CAST(SUM(CAST(floor(sqrt(sq) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS norm_sum_fp
+FROM per
+"""
+
+
+@register("embedding_health_audit", oracle=_EMB_HEALTH_ORACLE)
+def embedding_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row embedding-table health audit — the pre-flight every ANN /
+    SemDeDup run needs: dimension consistency (a ragged dim breaks every
+    zip_with), zero vectors (cosine is undefined — they silently pass any
+    threshold test as 0), NaN contamination, and the fixed-point norm sum
+    (a cheap whole-table checksum that flags re-embedding drift between
+    snapshots). Map-side higher-order expressions + one global aggregate;
+    per-vector norms snap to 1e-4 fixed point BEFORE the sum (the DSIR
+    convention), so the checksum is bit-identical at any parallelism."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    sq = F.aggregate(
+        F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    per = emb.select(
+        F.size(e).alias("dim"),
+        sq.alias("sq"),
+        F.size(F.filter(e, lambda x: F.isnan(x))).alias("n_nan"),
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.countDistinct("dim").cast("long").alias("n_distinct_dims"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.sum(F.when(F.col("sq") == 0, 1).otherwise(0)).cast("long").alias(
+            "n_zero_vectors"
+        ),
+        F.sum(F.when(F.col("n_nan") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_nan_vectors"
+        ),
+        F.sum(
+            F.floor(F.sqrt(F.col("sq")) * F.lit(10000) + F.lit(0.5)).cast("long")
+        ).cast("long").alias("norm_sum_fp"),
+    )

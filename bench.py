@@ -122,6 +122,8 @@ HEADLINE = [
     "corpus_kl_drift",
     "doc_chunk_lm_prune",
     "doc_shard_assignment",
+    "source_dup_stats",
+    "embedding_health_audit",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

@@ -1,0 +1,79 @@
+"""Event-time session closing (streaming/session_close.py): in-data gap
+closure, watermark-timeout closure, and field-level equivalence with the
+batch sessionizer for every emitted session."""
+
+from __future__ import annotations
+
+import datetime
+
+from backend_big_data_spark.streaming.session_close import close_user_sessions
+
+T0 = datetime.datetime(2024, 3, 1, 8, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+
+def _m(minutes):
+    return T0 + datetime.timedelta(minutes=minutes)
+
+
+def test_event_time_session_close_matches_batch_sessions(spark, tmp_path):
+    # batch 1: user 1 session A (2 events), user 2 lone session
+    b1 = [(1, _m(0)), (1, _m(10)), (2, _m(5))]
+    # batch 2: user 1 returns after a 110-minute gap -> session A closes
+    # IN-DATA; watermark advances to _m(125)
+    b2 = [(1, _m(120)), (1, _m(125))]
+    # batch 3: a later user-3 event fires user 2's EVENT-TIME TIMEOUT
+    # (watermark at start of batch 3 is _m(125) > user-2 last + 30m)
+    b3 = [(3, _m(180))]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate((b1, b2, b3)):
+        _ev(spark, rows).coalesce(1).write.parquet(str(in_dir / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        close_user_sessions(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    closed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.duration_sec)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # user 1 session A closes IN-DATA (the 110-minute gap arrives inside
+    # batch 2); user 2's and user 1's second session close via EVENT-TIME
+    # TIMEOUT (availableNow runs a final watermark-advancing batch, so
+    # every session with last + gap < the final watermark _m(180) is
+    # provably complete); user 3's session (last + gap = _m(210)) stays
+    # OPEN — no watermark ever proves it finished
+    assert closed == {
+        (1, _m(0), _m(10), 2, 600),
+        (1, _m(120), _m(125), 2, 300),
+        (2, _m(5), _m(5), 1, 0),
+    }
+
+    # field-level equivalence: every emitted session is byte-identical to
+    # the batch sessionizer's row for the same (user, start)
+    from backend_big_data_spark.operators.timeseries import user_sessions
+
+    all_events = _ev(spark, b1 + b2 + b3).withColumn(
+        "event_id", __import__("pyspark.sql.functions", fromlist=["F"]).monotonically_increasing_id()
+    )
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.duration_sec)
+        for r in user_sessions(all_events, gap_minutes=30).collect()
+    }
+    assert closed <= batch  # closed sessions are a subset, field-for-field
