@@ -845,3 +845,56 @@ def test_shard_assignment_equals_global_window(spark):
     ordered = sorted(got.values())
     assert ordered[0][1] == 0
     assert all(a[1] <= b[1] for a, b in zip(ordered, ordered[1:]))
+
+
+def test_source_dup_stats_known_rates(spark, tmp_path):
+    import os
+
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    rows = [
+        (1, "same text", "a"), (2, "same text", "a"),      # a: 2 docs, 1 uniq
+        (3, "other text", "a"), (4, "unique one", "b"),
+        (5, "unique two", "b"),                             # b: no dups
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r.source: r for r in QUERIES["source_dup_stats"](spark, d).collect()}
+    assert (out["a"].n_docs, out["a"].n_unique) == (3, 2)
+    assert out["a"].dup_ppm == 333333  # floor(1e6/3 + .5)
+    assert (out["b"].n_docs, out["b"].n_unique, out["b"].dup_ppm) == (2, 2, 0)
+
+
+def test_embedding_health_audit_flags_degenerates(spark, tmp_path):
+    import math
+    import os
+
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    rows = [
+        (1, [3.0, 4.0]),             # norm 5
+        (2, [0.0, 0.0]),             # zero vector
+        (3, [float("nan"), 1.0]),    # NaN contamination
+        (4, [1.0, 0.0, 0.0]),        # ragged dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "embeddings.parquet"))
+    out = QUERIES["embedding_health_audit"](spark, d).collect()[0]
+    assert out.n_vectors == 4
+    assert (out.n_distinct_dims, out.min_dim, out.max_dim) == (2, 2, 3)
+    assert out.n_zero_vectors == 1
+    assert out.n_nan_vectors == 1
+    # norm checksum: 5.0 + 0.0 + nan-poisoned + 1.0 — the NaN vector's
+    # fixed-point norm is engine-defined only through floor(nan)=NULL...
+    # assert instead on the two clean vectors' contribution via a
+    # NaN-free rebuild
+    clean = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (4, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    clean.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out2 = QUERIES["embedding_health_audit"](spark, d).collect()[0]
+    assert out2.norm_sum_fp == 50000 + 0 + 10000  # 5.0, 0.0, 1.0 at 1e-4
+    assert math.isfinite(out2.norm_sum_fp)
