@@ -20,6 +20,8 @@ Arrow batch, never per row.
 
 from __future__ import annotations
 
+import struct
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -103,31 +105,34 @@ def decode_image_batch(
 ) -> DataFrame:
     """Decode image payloads → (media_id, width, height, channels, features).
 
-    ``codec="ppm"`` and ``codec="png"`` are REAL decode paths, no imaging
-    library involved: binary netpbm P6 parsed with numpy
-    (`multimodal/ppm.py`), and 8-bit RGB/RGBA PNG via stdlib zlib with
-    all five scanline filters + CRC validation (`multimodal/png.py`).
+    ``codec="ppm"``, ``codec="png"`` and ``codec="jpeg"`` are REAL decode
+    paths, no imaging library involved: binary netpbm P6 parsed with
+    numpy (`multimodal/ppm.py`), 8-bit RGB/RGBA PNG via stdlib zlib with
+    all five scanline filters + CRC validation (`multimodal/png.py`),
+    and baseline-sequential JFIF — generic DQT/DHT, Huffman + IDCT +
+    YCbCr, 4:4:4/4:2:2/4:2:0, restart markers (`multimodal/jpeg.py`).
     Dimensions come from the header, the raster is decoded, features =
     per-channel mean/std; malformed payloads yield a NULL-width row (the
-    quarantine convention). Entropy-coded formats (JPEG) require an
-    imaging library not present in this container and raise
+    quarantine convention; progressive/arithmetic JPEG variants land
+    there too). Library-only formats (WebP, HEIC, …) raise
     ``NotImplementedError``; ``fake=True`` runs a clearly-marked
     deterministic stand-in (dimensions & an 8-dim feature vector derived
     from the payload's sha256) so the Spark plumbing — Arrow batch shape,
     schema, partition behavior — is fully exercised either way.
     """
-    if codec in ("ppm", "png"):
+    if codec in ("ppm", "png", "jpeg"):
 
         def compute_real(batches):
             import pandas as pd
 
+            from backend_big_data_spark.multimodal.jpeg import decode_jpeg
             from backend_big_data_spark.multimodal.ppm import (
                 channel_stats,
                 decode_ppm,
             )
             from backend_big_data_spark.multimodal.png import decode_png
 
-            decode = decode_ppm if codec == "ppm" else decode_png
+            decode = {"ppm": decode_ppm, "png": decode_png, "jpeg": decode_jpeg}[codec]
             for pdf in batches:
                 rows = {
                     "media_id": [], "width": [], "height": [],
@@ -137,7 +142,7 @@ def decode_image_batch(
                     rows["media_id"].append(mid)
                     try:
                         arr = decode(bytes(payload or b""))
-                    except ValueError:
+                    except (ValueError, struct.error):
                         rows["width"].append(None)
                         rows["height"].append(None)
                         rows["channels"].append(None)
@@ -157,9 +162,9 @@ def decode_image_batch(
     if not fake:
         raise NotImplementedError(
             "decoding this format requires an imaging library (e.g. Pillow) "
-            "that is not available in this environment; pass codec='ppm' or "
-            "codec='png' for the real built-in paths or fake=True for the "
-            "deterministic test double"
+            "that is not available in this environment; pass codec='ppm', "
+            "codec='png' or codec='jpeg' (baseline JFIF) for the real "
+            "built-in paths or fake=True for the deterministic test double"
         )
 
     def compute(batches):
@@ -189,19 +194,23 @@ def resize_image_batch(
     codec: str | None = None,
 ) -> DataFrame:
     """Resize image payloads → (media_id, payload, meta) with updated
-    dimensions. ``codec="ppm"`` and ``codec="png"`` are REAL paths:
-    decode → nearest-neighbor resize (numpy index maps) → re-encode in
-    the same format; malformed payloads yield a NULL payload row.
-    Entropy-coded formats are STUBBED (no imaging library in this
-    container); ``fake=True`` emits a deterministic payload (sha256 of
-    input ⊕ target dims) with the right schema so partitioning/batching
-    is exercised end-to-end.
+    dimensions. ``codec="ppm"``, ``codec="png"`` and ``codec="jpeg"``
+    are REAL paths: decode → nearest-neighbor resize (numpy index maps)
+    → re-encode in the same format (JPEG re-encodes baseline 4:4:4);
+    malformed payloads yield a NULL payload row. Library-only formats
+    are STUBBED (no imaging library in this container); ``fake=True``
+    emits a deterministic payload (sha256 of input ⊕ target dims) with
+    the right schema so partitioning/batching is exercised end-to-end.
     """
-    if codec in ("ppm", "png"):
+    if codec in ("ppm", "png", "jpeg"):
 
         def compute_real(batches):
             import pandas as pd
 
+            from backend_big_data_spark.multimodal.jpeg import (
+                decode_jpeg,
+                encode_jpeg,
+            )
             from backend_big_data_spark.multimodal.png import (
                 decode_png,
                 encode_png,
@@ -212,18 +221,18 @@ def resize_image_batch(
                 resize_nearest,
             )
 
-            decode, encode = (
-                (decode_ppm, encode_ppm)
-                if codec == "ppm"
-                else (decode_png, encode_png)
-            )
+            decode, encode = {
+                "ppm": (decode_ppm, encode_ppm),
+                "png": (decode_png, encode_png),
+                "jpeg": (decode_jpeg, encode_jpeg),
+            }[codec]
             for pdf in batches:
                 out = {"media_id": [], "payload": [], "width": [], "height": []}
                 for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                     out["media_id"].append(mid)
                     try:
                         arr = decode(bytes(payload or b""))
-                    except ValueError:
+                    except (ValueError, struct.error):
                         out["payload"].append(None)
                         out["width"].append(None)
                         out["height"].append(None)
@@ -242,8 +251,8 @@ def resize_image_batch(
     if not fake:
         raise NotImplementedError(
             "resizing this format requires an imaging library (e.g. Pillow); "
-            "pass codec='ppm' for the real netpbm path or fake=True for the "
-            "deterministic test double"
+            "pass codec='ppm', codec='png' or codec='jpeg' for the real "
+            "built-in paths or fake=True for the deterministic test double"
         )
 
     def compute(batches):

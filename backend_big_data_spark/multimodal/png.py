@@ -76,6 +76,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if len(data) != 13:  # wrong-length IHDR would raise struct.error
+                raise ValueError(f"IHDR must be 13 bytes, got {len(data)}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)

@@ -48,6 +48,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid, size = struct.unpack_from("<4sI", buf, pos)
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated fmt would raise struct.error
+                raise ValueError(f"fmt chunk too short ({len(body)} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -57,6 +59,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     audio_format, ch, sample_rate, _, _, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    if ch < 1:  # 0 channels would divide by zero below
+        raise ValueError("fmt chunk declares 0 channels")
     arr = np.frombuffer(data, dtype="<i2")
     arr = arr[: (len(arr) // ch) * ch].reshape(-1, ch)
     return arr, sample_rate
@@ -116,7 +120,7 @@ def decode_audio_batch(media, codec: str = "wav"):
                     out["ok"].append(True)
                     for k, v in feats.items():
                         out[k].append(v)
-                except ValueError:
+                except (ValueError, struct.error, ZeroDivisionError):
                     out["ok"].append(False)
                     for k in cols[2:]:
                         out[k].append(0)

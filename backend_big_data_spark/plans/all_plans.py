@@ -28,108 +28,95 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round4b,
     round5,
     round5b,
+    round6,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
 #: Names pinned to the front of the registry, in order. Everything not named
 #: here follows in its original registration order.
 #:
-#: Round-5 window (executing the round-4 rotation note): lead with the two
-#: queries upgraded/new this round (doc_token_itemsets, now oracle-gated via
-#: the size-capped lattice; doc_incremental_semdedup, the embedding-space
-#: ingest twin), then the 33-query late-r04 curation batch that has never
-#: held a driver row, the TPC-H five, the ANN PQ pair, and the highest-value
-#: eight of the curation batch — 50 slots total. Every name in this window
-#: has its implementing files in their FINAL round-5 state at certification
-#: time (the gopher/pii/curation/semdedup/timeseries edits this round all
+#: Round-6 window (executing the round-5 rotation note): lead with the
+#: ~24 queries whose implementing files drifted in round 5 (the
+#: text/dedup.py + plans/documents.py family, the operators/timeseries.py
+#: pair, multimodal_fingerprint), then the eleven r05 window spills
+#: (registered in the drifted plans/curation.py), then the eleven round-5
+#: post-window registrations, then round-6's two new queries and the two
+#: longest-stale r02 relational rows — 50 slots. Every name here has its
+#: implementing files in their FINAL round-6 state at certification time
+#: (the round5b.py chunk-key fix and the multimodal quarantine hardening
 #: land in files whose queries sit INSIDE the window).
 _FRONT = [
-    # -- upgraded / new this round ------------------------------------------
-    "doc_token_itemsets",        # no_oracle -> oracle-gated (size<=3 lattice)
-    "doc_incremental_semdedup",  # new: embedding-space incremental dedup
-    # -- late-r04 curation batch (33; never driver-checked) -----------------
-    "doc_semdedup_kept",
-    "doc_dsir_weights",
-    "doc_pii_redacted",
-    "doc_bigram_perplexity",
-    "doc_unimax_mix",
-    "embedding_hard_negatives",
-    "doc_semdedup_blocked",
-    "doc_dsir_resampled",
-    "doc_bm25_search",
-    "doc_hybrid_search",
-    "doc_similar_to_query",
-    "embedding_training_triplets",
-    "doc_removal_audit",
-    "events_retention_cohorts",
-    "customer_rfm_segments",
-    "events_stickiness_daily",
-    "part_pair_lift",
-    "embedding_dup_triangles",
-    "corpus_token_budget",
-    "embedding_dup_degree_hist",
-    "doc_gopher_quality",
-    "doc_repetition_profile",
-    "customer_ltv_cohorts",
-    "events_power_users_pareto",
-    "corpus_vocab_growth",
-    "order_value_histogram",
-    "nation_supplier_hhi",
-    "events_interarrival_profile",
-    "events_user_lifecycle",
-    "events_ab_readout",
-    "orders_seasonality_index",
-    "doc_field_completeness",
-    "doc_filter_overlap",
-    # -- TPC-H completion five (pytest-oracle-certified in r04) -------------
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q12_shipping_tiers",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    # -- ANN additions ------------------------------------------------------
-    "ann_pq_topk",
-    "ann_ivf_pq_topk",
-    # -- curation batch, highest-value eight --------------------------------
-    "doc_prefix_join_pairs",
-    "doc_corpus_dedup_best",
-    "doc_cleaning_pipeline_funnel",
-    "doc_segment_dedup",
-    "doc_blocklist_filter",
-    "doc_snapshot_diff",
-    "events_funnel_conversion",
-    # -- re-certification: plans/ml_plans.py drifted this round (itemsets
-    #    oracle), so the r04 row needs a current one -------------------------
-    "kmeans_embedding_clusters",
+    # -- (a) drifted-file re-certifications (last green row predates r05) --
+    "doc_exact_dedup",
+    "doc_ngram_jaccard_pairs",
+    "doc_ngram_jaccard_capped",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+    "doc_winnowing",
+    "doc_lsh_verified_dedup",
+    "doc_contamination",
+    "doc_contamination_bloom",
+    "doc_corpus_deduped",
+    "doc_corpus_deduped_cc",
+    "doc_dup_clusters",
+    "doc_incremental_dedup",
+    "doc_incremental_dedup_full",
+    "doc_langid",
+    "doc_pack_sequences",
+    "doc_quality_profile",
+    "doc_sha256_fingerprint",
+    "doc_stats_by_lang",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "events_user_sessions",
+    "events_daily_gapfilled",
+    "multimodal_fingerprint",
+    # -- (b) r05 window spills (plans/curation.py) --------------------------
+    "doc_temperature_mix",
+    "doc_quality_score_lr",
+    "customer_spend_distribution",
+    "orders_profile",
+    "events_value_ewma",
+    "events_zorder_codes",
+    "events_scd2_intervals",
+    "events_daily_anomalies",
+    "pyds_catalog_scan",
+    "order_value_geomean_by_priority",
+    "lineitem_stats_profile",
+    # -- (c) round-5 post-window registrations (first driver rows) ----------
+    "doc_duplicate_spans",
+    "doc_normalized_dedup",
+    "corpus_token_spectrum",
+    "ann_recall_eval",
+    "lsh_banding_eval",
+    "source_overlap_matrix",
+    "corpus_kl_drift",
+    "doc_chunk_lm_prune",
+    "doc_shard_assignment",
+    "source_dup_stats",
+    "embedding_health_audit",
+    # -- (d) new in round 6 -------------------------------------------------
+    "events_hll_error_band",    # HLL estimate vs exact, banded verdict
+    "minhash_bias_eval",        # estimator bias vs exact Jaccard
+    # -- (e) longest-stale r02 relational rows ------------------------------
+    "orders_page3",
+    "parts_search_union",
 ]
-# Round-6 rotation note: lead the next _FRONT with (a) the queries whose
-# implementing files DRIFTED in round 5 and whose last green row predates
-# it — the text/dedup.py + plans/documents.py family (doc_exact_dedup,
-# doc_ngram_jaccard_pairs, doc_ngram_jaccard_capped, doc_minhash_lsh_pairs,
-# doc_simhash, doc_winnowing, doc_lsh_verified_dedup, doc_contamination,
-# doc_contamination_bloom, doc_corpus_deduped, doc_corpus_deduped_cc,
-# doc_dup_clusters, doc_incremental_dedup, doc_incremental_dedup_full,
-# doc_langid, doc_pack_sequences, doc_quality_profile,
-# doc_sha256_fingerprint, doc_stats_by_lang, doc_stratified_sample,
-# doc_tfidf_top_terms) and the operators/timeseries.py pair
-# (events_user_sessions, events_daily_gapfilled) and multimodal_fingerprint
-# (multimodal/binary_ops.py gained the real PNG/PPV1 paths — the
-# fingerprint function itself is byte-identical); then (b) the ten r05
-# window spills, all registered in the drifted plans/curation.py
-# (doc_temperature_mix, doc_quality_score_lr, customer_spend_distribution,
-# orders_profile, events_value_ewma, events_zorder_codes,
-# events_scd2_intervals, events_daily_anomalies, pyds_catalog_scan,
-# order_value_geomean_by_priority, lineitem_stats_profile); then (c) the
-# round-5 additions registered after this window froze
-# (doc_duplicate_spans, doc_normalized_dedup, corpus_token_spectrum,
-# ann_recall_eval, lsh_banding_eval, source_overlap_matrix,
-# corpus_kl_drift, doc_chunk_lm_prune, doc_shard_assignment,
-# source_dup_stats, embedding_health_audit — all
-# individually hash-verified
-# at sf0.001 + sf0.01 + sf0.1
-# this round); then (d) any queries new in round 6, then the
-# longest-stale r02 relational block.
-
+# Round-7 rotation note: lead the next _FRONT with (a) the queries whose
+# implementing files DRIFT in round 6 and whose newest green row predates
+# that drift (track per-commit; at minimum the round5b.py family re-lands
+# here if round5b.py changes again after the r06 gate), then (b) any r06
+# window spills, then (c) queries registered after the r06 window froze,
+# then (d) queries new in round 7, then (e) the longest-stale blocks by
+# last-green round: the r02 relational set (pricing_summary,
+# revenue_by_region, revenue_forecast, orders_by_month, events_by_hour,
+# top50_orders, top_brand_types, top3_parts_per_brand,
+# customers_without_orders, lineitem_flags_salted,
+# asof_signup_before_purchase, purchases_prior_events_1h, q17_small_qty,
+# q21_waiting_suppliers, q15_top_supplier, q2_min_cost_supplier,
+# q20_part_surplus and the rest of the r02 window) and then the r03
+# documents/streaming/ANN window. Everything in the r06 window below was
+# green at the r06 gate with files frozen.
 
 def _reorder() -> None:
     """Rebuild the registry dicts in-place so iteration starts at ``_FRONT``.

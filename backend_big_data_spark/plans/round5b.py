@@ -164,7 +164,7 @@ WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
 ), chunks AS (
   SELECT doc_id, CAST((s - 1) / 32 AS INTEGER) AS chunk_idx,
-         doc_id * 10000 + CAST((s - 1) / 32 AS BIGINT) AS cid,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(CAST((s - 1) / 32 AS BIGINT) AS VARCHAR) AS cid,
          array_to_string(t[s:s+31], ' ') AS chunk
   FROM toks, LATERAL unnest(range(1, greatest(len(t), 1) + 1, 32)) AS u(s)
 ), uni AS (
@@ -226,7 +226,10 @@ def doc_chunk_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.col("c.chunk_idx").alias("chunk_idx"),
-        (F.col("doc_id") * 10000 + F.col("c.chunk_idx")).alias("cid"),
+        # delimiter-joined composite key — arithmetic packing
+        # (doc_id*K + chunk_idx) silently collides once a doc has >= K
+        # chunks, merging NLL aggregates across documents
+        F.concat_ws(":", F.col("doc_id"), F.col("c.chunk_idx")).alias("cid"),
         F.col("c.chunk").alias("chunk"),
     )
     nll = bigram_nll(

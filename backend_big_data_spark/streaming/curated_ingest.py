@@ -52,9 +52,12 @@ def curated_ingest_sink(corpus_dir: str, threshold: float = 0.5):
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        corpus = read_corpus(spark, corpus_dir)
+        corpus = read_corpus(spark, corpus_dir, exclude_batch=batch_id)
         kept = curate_batch(batch, corpus, threshold=threshold)
-        kept.write.mode("overwrite").parquet(f"{corpus_dir}/batch={batch_id}")
+        # persist the admission-time fingerprint (see ingest_dedup_sink)
+        kept.withColumn("fp", F.md5("text")).write.mode("overwrite").parquet(
+            f"{corpus_dir}/batch={batch_id}"
+        )
         release_dedup_caches()
 
     return apply

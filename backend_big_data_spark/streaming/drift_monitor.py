@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from backend_big_data_spark.functions.textfns import tokens
+from backend_big_data_spark.sources import fsutil
 
 #: fixed-point scale for per-token log-ratios (the DSIR convention)
 DRIFT_SCALE = 10_000
@@ -49,11 +50,10 @@ def read_corpus_counts(
     REPLAYED micro-batch must score against the same corpus state it saw
     the first time, not against its own earlier write (idempotent
     replay, like the ingest sinks)."""
-    if not os.path.isdir(counts_dir):
-        return None
     names = [
-        n for n in os.listdir(counts_dir)
-        if n.startswith("delta=") and n != f"delta={exclude_batch}"
+        n
+        for n in fsutil.list_subdirs(spark, counts_dir, prefix="delta=")
+        if n != f"delta={exclude_batch}"
     ]
     if not names:
         return None

@@ -32,6 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.sources import fsutil
 from backend_big_data_spark.text.dedup import (
     build_shingle_bloom,
     doc_shingles,
@@ -70,19 +71,14 @@ def load_corpus_bloom(
     fingerprints are re-folded in before use — the no-false-negative
     invariant the pre-filter depends on is restored, never assumed.
     Returns (words or None when no corpus yet, covered batch-dir names)."""
-    if not os.path.isdir(corpus_dir):
-        return None, set()
-    batch_dirs = {
-        name for name in os.listdir(corpus_dir) if name.startswith("batch=")
-    }
+    batch_dirs = set(fsutil.list_subdirs(spark, corpus_dir, prefix="batch="))
     if not batch_dirs:
         return None, set()
     words: list[int] | None = None
     covered: set[str] = set()
-    path = _bloom_path(corpus_dir)
-    if os.path.isfile(path):
-        with open(path) as fh:
-            state = json.load(fh)
+    raw = fsutil.read_text(spark, _bloom_path(corpus_dir))
+    if raw is not None:
+        state = json.loads(raw)
         if (
             state.get("num_bits") == BLOOM_BITS
             and state.get("num_hashes") == BLOOM_HASHES
@@ -104,32 +100,41 @@ def load_corpus_bloom(
 
 
 def save_corpus_bloom(
-    corpus_dir: str, words: list[int], batches: set[str]
+    spark: SparkSession, corpus_dir: str, words: list[int], batches: set[str]
 ) -> None:
     """Atomically commit the maintained bitmap (write + rename)."""
-    path = _bloom_path(corpus_dir)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(
+    fsutil.write_text_atomic(
+        spark,
+        _bloom_path(corpus_dir),
+        json.dumps(
             {
                 "num_bits": BLOOM_BITS,
                 "num_hashes": BLOOM_HASHES,
                 "batches": sorted(batches),
                 "words": words,
-            },
-            fh,
-        )
-    os.replace(tmp, path)
+            }
+        ),
+    )
 
 
-def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
-    """The kept corpus accumulated so far, or None before the first batch."""
-    if not os.path.isdir(corpus_dir) or not any(
-        name.startswith("batch=") for name in os.listdir(corpus_dir)
-    ):
+def read_corpus(
+    spark: SparkSession, corpus_dir: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """The kept corpus accumulated so far, or None before the first batch.
+
+    ``exclude_batch``: drop that batch id's own directory from the read —
+    an at-least-once REPLAY of batch N must probe the same corpus state it
+    saw the first time, not its own earlier ``batch=N`` output (otherwise
+    every prior survivor matches itself and the replay admits ~nothing)."""
+    names = [
+        n
+        for n in fsutil.list_subdirs(spark, corpus_dir, prefix="batch=")
+        if n != f"batch={exclude_batch}"
+    ]
+    if not names:
         return None
     return spark.read.option("basePath", corpus_dir).parquet(
-        corpus_dir + "/batch=*"
+        *[os.path.join(corpus_dir, n) for n in names]
     )
 
 
@@ -151,14 +156,28 @@ def dedup_batch_against_corpus(
     (`load_corpus_bloom`) — pre-drops batch rows that definitely have no
     exact twin in the corpus before the fingerprint semi-join.
     Result-invariant (no false negatives; false positives re-checked).
+
+    When the corpus carries an ``fp`` column (persisted at admission time
+    by `ingest_dedup_sink` — 16 bytes/row), the exact-dup probe scans
+    THAT column instead of re-hashing the corpus text, and runs as a
+    broadcast semi-join with no corpus-side Exchange (see
+    `incremental_dedup_kept`'s ``corpus_fps``). Old corpora without the
+    column fall back to deriving fingerprints from text.
     """
     batch = batch.select(id_col, text_col)
+    corpus_fps = None
     if corpus is None:
         tagged = batch.withColumn("__new", F.lit(True))
     else:
         tagged = batch.withColumn("__new", F.lit(True)).unionByName(
             corpus.select(id_col, text_col).withColumn("__new", F.lit(False))
         )
+        if "fp" in corpus.columns:
+            # coalesce covers mixed directories written before the fp
+            # column existed (schema-merged reads surface NULLs there)
+            corpus_fps = corpus.select(
+                F.coalesce(F.col("fp"), F.md5(text_col)).alias("__fp")
+            )
     pairs = lsh_verified_pairs(
         doc_shingles(tagged, text_col=text_col, id_col=id_col),
         threshold=threshold,
@@ -175,6 +194,7 @@ def dedup_batch_against_corpus(
         corpus_fp_bloom=corpus_fp_bloom if corpus is not None else None,
         bloom_bits=BLOOM_BITS,
         bloom_hashes=BLOOM_HASHES,
+        corpus_fps=corpus_fps,
     )
     # the dedup operator emits surviving IDs only — rehydrate the text from
     # the batch (semi-join on the id, batch-sized, never corpus-sized)
@@ -195,7 +215,10 @@ def ingest_dedup_sink(corpus_dir: str, threshold: float = 0.5, use_bloom: bool =
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        corpus = read_corpus(spark, corpus_dir)
+        # exclude batch N's own earlier output on replay: the retry must
+        # see the corpus as it was, or prior survivors self-match at fp
+        # equality and the rewritten directory comes back nearly empty
+        corpus = read_corpus(spark, corpus_dir, exclude_batch=batch_id)
         bloom_words, bloom_batches = (
             load_corpus_bloom(spark, corpus_dir) if use_bloom else (None, set())
         )
@@ -203,13 +226,17 @@ def ingest_dedup_sink(corpus_dir: str, threshold: float = 0.5, use_bloom: bool =
             batch, corpus, threshold=threshold, corpus_fp_bloom=bloom_words
         )
         # overwrite, not append: a replayed batch id rewrites its own
-        # directory with the identical survivor set (idempotent)
+        # directory with the identical survivor set (idempotent).
+        # Persist the content fingerprint at admission time: later batches
+        # probe a 16-byte column instead of re-hashing the corpus text.
         bdir = f"batch={batch_id}"
-        kept.write.mode("overwrite").parquet(f"{corpus_dir}/{bdir}")
+        kept.withColumn("fp", F.md5("text")).write.mode("overwrite").parquet(
+            f"{corpus_dir}/{bdir}"
+        )
         if use_bloom:
             b = _batch_fp_bloom(spark.read.parquet(f"{corpus_dir}/{bdir}"))
             merged = b if bloom_words is None else merge_blooms(bloom_words, b)
-            save_corpus_bloom(corpus_dir, merged, bloom_batches | {bdir})
+            save_corpus_bloom(spark, corpus_dir, merged, bloom_batches | {bdir})
         release_dedup_caches()
 
     return apply

@@ -28,17 +28,28 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from backend_big_data_spark.similarity.semdedup import incremental_semdedup
+from backend_big_data_spark.sources import fsutil
 
 
-def read_embedding_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame | None:
+def read_embedding_corpus(
+    spark: SparkSession, corpus_dir: str, exclude_batch: int | None = None
+) -> DataFrame | None:
     """The kept embedding corpus so far (id, embedding, cluster), or None
-    before the first batch."""
-    if not os.path.isdir(corpus_dir) or not any(
-        name.startswith("batch=") for name in os.listdir(corpus_dir)
-    ):
+    before the first batch.
+
+    ``exclude_batch``: drop that batch id's own directory — an
+    at-least-once REPLAY of batch N must score against the corpus state it
+    originally saw, not its own earlier output (every prior survivor would
+    match itself at cosine 1.0 and the rewrite would admit ~nothing)."""
+    names = [
+        n
+        for n in fsutil.list_subdirs(spark, corpus_dir, prefix="batch=")
+        if n != f"batch={exclude_batch}"
+    ]
+    if not names:
         return None
     return spark.read.option("basePath", corpus_dir).parquet(
-        corpus_dir + "/batch=*"
+        *[os.path.join(corpus_dir, n) for n in names]
     )
 
 
@@ -78,7 +89,7 @@ def semdedup_ingest_sink(
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        corpus = read_embedding_corpus(spark, corpus_dir)
+        corpus = read_embedding_corpus(spark, corpus_dir, exclude_batch=batch_id)
         kept = semdedup_batch_against_corpus(
             batch, corpus, centroids, threshold,
             id_col=id_col, array_col=array_col,

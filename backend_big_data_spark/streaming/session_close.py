@@ -74,6 +74,10 @@ def close_user_sessions(
         ts_ms = (ts.astype("int64") // 1_000_000).tolist()
         if state.exists:
             start_ms, last_ms, n = state.get
+            # an out-of-order event may predate the stored session start
+            # (possible whenever watermark delay > 0): merge it by lowering
+            # start, matching the batch sessionizer's per-user sort
+            start_ms = min(start_ms, ts_ms[0])
         else:
             start_ms, last_ms, n = ts_ms[0], ts_ms[0], 0
         for t in ts_ms:

@@ -497,6 +497,7 @@ def incremental_dedup_kept(
     corpus_fp_bloom: list[int] | None = None,
     bloom_bits: int = 1 << 17,
     bloom_hashes: int = 3,
+    corpus_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Which NEW-batch documents survive dedup against the EXISTING corpus
     — the production ingest shape: the corpus is already deduped and at
@@ -534,6 +535,14 @@ def incremental_dedup_kept(
     — map-side, ahead of the exchange). Result-invariant: Blooms have no
     false negatives, and false positives are re-checked by the exact
     semi-join.
+
+    ``corpus_fps``: optional pre-materialized corpus fingerprint frame
+    (one ``__fp`` column — e.g. the fp column the streaming sinks persist
+    at admission time). When provided, the vs-corpus probe neither
+    re-hashes the corpus text nor shuffles it: the batch's distinct
+    fingerprints (micro-batch-bounded) are BROADCAST and the corpus side
+    is a map-side broadcast semi-join over a 16-byte column scan — zero
+    Exchange, zero sort on the corpus at any scale.
     """
     base = docs.select(F.col(id_col), F.col(text_col), is_new.alias("__new"))
     # The pair table is tiny (near-dup pairs only) but its producing subtree
@@ -554,9 +563,19 @@ def incremental_dedup_kept(
         probe = apply_bloom_prefilter(
             probe, corpus_fp_bloom, F.col("__fp"), bloom_bits, bloom_hashes
         )
-    vs_corpus = probe.join(
-        existing.select("__fp").distinct(), on="__fp", how="semi"
-    ).select(id_col)
+    # the probe is asymmetric (micro-batch vs corpus): broadcast the
+    # batch's distinct fingerprints and stream the corpus side map-side —
+    # the corpus never shuffles for the exact-dup check. The intersection
+    # is batch-bounded, so the final semi-join back to the batch is tiny.
+    existing_fps = (
+        corpus_fps.select("__fp") if corpus_fps is not None
+        else existing.select("__fp")
+    )
+    batch_fp_set = probe.select("__fp").distinct()
+    hit_fps = existing_fps.join(
+        F.broadcast(batch_fp_set), on="__fp", how="semi"
+    ).distinct()
+    vs_corpus = probe.join(hit_fps, on="__fp", how="semi").select(id_col)
     batch_canon = batch.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
     in_batch_dupes = (
         batch.join(batch_canon, on="__fp")

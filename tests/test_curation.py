@@ -898,3 +898,106 @@ def test_embedding_health_audit_flags_degenerates(spark, tmp_path):
     out2 = QUERIES["embedding_health_audit"](spark, d).collect()[0]
     assert out2.norm_sum_fp == 50000 + 0 + 10000  # 5.0, 0.0, 1.0 at 1e-4
     assert math.isfinite(out2.norm_sum_fp)
+
+
+def test_stream_ingest_dedup_replay_is_idempotent(spark, tmp_path):
+    """At-least-once retry of a micro-batch must reproduce the SAME
+    survivor set: the sink excludes batch N's own earlier output from the
+    corpus probe, otherwise every prior survivor matches itself at
+    fingerprint equality and the replay rewrites batch=N nearly empty."""
+    from backend_big_data_spark.streaming.ingest_dedup import (
+        ingest_dedup_sink,
+        read_corpus,
+    )
+    from backend_big_data_spark.text.dedup import release_dedup_caches
+
+    base = "w" + " x y z a b c d e f g h i j k l m n o p q r s t u v"
+    df1 = _docs(spark, [(1, base), (2, "totally unrelated tokens in here")])
+    df2 = _docs(
+        spark,
+        [(3, base + " tail2"), (4, "another fully distinct document body")],
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    sink = ingest_dedup_sink(corpus_dir, threshold=0.5)
+    sink(df1, 0)
+    sink(df2, 1)
+    release_dedup_caches()
+    before = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus_dir).collect()
+    )
+    assert [d for d, _ in before] == [1, 2, 4]  # 3 is a near-dup of 1
+
+    sink(df2, 1)  # at-least-once retry of batch 1
+    release_dedup_caches()
+    after = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, corpus_dir).collect()
+    )
+    assert after == before
+
+
+def test_corpus_probe_has_no_corpus_side_exchange(spark, tmp_path):
+    """With the admission-time fp column persisted, the vs-corpus
+    exact-dup probe must plan as a broadcast semi-join over the corpus
+    fp scan — NO Exchange (and no re-hash of corpus text) on the corpus
+    side, at any corpus size."""
+    from backend_big_data_spark.streaming.ingest_dedup import (
+        ingest_dedup_sink,
+        read_corpus,
+    )
+    from backend_big_data_spark.text.dedup import (
+        incremental_dedup_kept,
+        release_dedup_caches,
+    )
+
+    base = "w" + " x y z a b c d e f g h i j k l m n o p q r s t u v"
+    corpus_dir = str(tmp_path / "corpus")
+    sink = ingest_dedup_sink(corpus_dir, threshold=0.5, use_bloom=False)
+    sink(_docs(spark, [(1, base), (2, "some other standalone text body")]), 0)
+    release_dedup_caches()
+    corpus = read_corpus(spark, corpus_dir)
+    assert "fp" in corpus.columns  # admission-time fingerprint persisted
+
+    batch = _docs(spark, [(3, base), (4, "fresh unseen tokens entirely")])
+    tagged = batch.withColumn("__new", F.lit(True)).unionByName(
+        corpus.select("doc_id", "text").withColumn("__new", F.lit(False))
+    )
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    kept = incremental_dedup_kept(
+        tagged,
+        is_new=F.col("__new"),
+        verified_pairs=empty_pairs,
+        corpus_fps=corpus.select(F.col("fp").alias("__fp")),
+    )
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # the corpus fp scan feeds a BroadcastHashJoin LeftSemi directly: in
+    # the whole probe plan the only Exchanges allowed are over the BATCH
+    # side (distinct of its fingerprints / final anti-join) — none may
+    # hash-partition on the corpus fp scan's output
+    assert "BroadcastHashJoin" in plan
+    lines = plan.splitlines()
+    scan_lines = [
+        i for i, ln in enumerate(lines) if "Scan parquet" in ln and "fp" in ln
+    ]
+    assert scan_lines, "corpus fp scan not found in plan"
+    # walk upward from the corpus scan: the first join reached must be the
+    # broadcast semi-join, with no Exchange in between
+    import re
+
+    def indent(s):
+        return len(s) - len(s.lstrip(" :+-*"))
+
+    for si in scan_lines:
+        ind = indent(lines[si])
+        for j in range(si - 1, -1, -1):
+            if indent(lines[j]) < ind:
+                txt = lines[j]
+                if "Exchange" in txt:
+                    raise AssertionError(
+                        f"Exchange above corpus scan: {txt.strip()}"
+                    )
+                if re.search(r"Join|Union", txt):
+                    break
+                ind = indent(lines[j])
+    # and the decision is unchanged: 3 is an exact dup, 4 survives
+    assert sorted(r.doc_id for r in kept.collect()) == [4]
+    release_dedup_caches()

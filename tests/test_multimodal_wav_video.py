@@ -116,3 +116,45 @@ def test_sample_video_frames_real_container(spark):
     # sampled frame bytes are REAL decodable PPM rasters
     got = decode_ppm(bytes(rows[1].frame))
     assert np.array_equal(got, _frames(10)[3])
+
+
+def test_malformed_riff_payloads_raise_value_error_not_crash():
+    """A RIFF/WAVE container with a pathological fmt chunk must raise
+    ValueError (the quarantine convention), never ZeroDivisionError or
+    struct.error — one bad payload must not fail a whole Spark job."""
+    import struct
+
+    sr = 8000
+    mono = (np.arange(64) % 32 * 1000).astype(np.int16)
+    good = bytearray(encode_wav(mono, sr))
+    # fmt body starts at offset 20; channels is its 2nd uint16 (offset 22)
+    zero_ch = bytes(good[:22]) + struct.pack("<H", 0) + bytes(good[24:])
+    with pytest.raises(ValueError):
+        decode_wav(zero_ch)
+    # fmt chunk declaring 16 bytes but truncated mid-body
+    trunc = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + struct.pack("<4sI", b"fmt ", 16) + b"\x01\x00\x02\x00"
+    )
+    with pytest.raises(ValueError):
+        decode_wav(trunc)
+
+
+def test_decode_audio_batch_quarantines_malformed_riff(spark):
+    """Batch decode over a mix of valid / 0-channel / truncated payloads
+    yields ok=false rows for the malformed ones instead of failing."""
+    import struct
+
+    sr = 8000
+    mono = (np.arange(64) % 32 * 1000).astype(np.int16)
+    good = encode_wav(mono, sr)
+    zero_ch = good[:22] + struct.pack("<H", 0) + good[24:]
+    trunc = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + struct.pack("<4sI", b"fmt ", 16) + b"\x01\x00\x02\x00"
+    )
+    media = spark.createDataFrame(
+        [(1, good), (2, zero_ch), (3, trunc)], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r.ok for r in decode_audio_batch(media).collect()}
+    assert rows == {1: True, 2: False, 3: False}

@@ -124,3 +124,27 @@ def test_spark_decode_and_resize_png(spark):
     got = decode_png(bytes(rez[1].payload))
     assert got.shape == (2, 3, 3)
     assert rez[3].payload is None
+
+
+def test_wrong_length_ihdr_raises_value_error():
+    """An IHDR whose length is not 13 (but with a VALID chunk CRC) must
+    raise ValueError, not struct.error — the batch quarantine catch at
+    multimodal/binary_ops.py depends on the ValueError convention."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    bad = sig + _chunk(b"IHDR", b"\x00" * 10) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_spark_decode_quarantines_wrong_length_ihdr(spark):
+    from backend_big_data_spark.multimodal.binary_ops import decode_image_batch
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    bad = sig + _chunk(b"IHDR", b"\x00" * 10) + _chunk(b"IEND", b"")
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, good), (2, bad)], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r.width for r in
+            decode_image_batch(media, codec="png").collect()}
+    assert rows[1] == 4 and rows[2] is None

@@ -648,3 +648,32 @@ def test_bigram_nll_separate_model_frame(spark):
         (math.log(0.5) - math.log(3 + 0.5 * 3)) * LOGP_SCALE + 0.5
     )
     assert out.n_bigrams == 1 and out.nll_fp == want
+
+
+def test_stream_semdedup_replay_is_idempotent(spark, tmp_path):
+    """At-least-once retry of an embedding micro-batch reproduces the SAME
+    admissions: the sink excludes batch N's own earlier directory, else
+    every prior survivor matches itself at cosine 1.0 and the replay
+    rewrites the directory nearly empty (data loss)."""
+    from backend_big_data_spark.streaming.semdedup_ingest import (
+        read_embedding_corpus,
+        semdedup_ingest_sink,
+    )
+
+    b1, b2 = _ingest_vectors()
+    schema = "vec_id long, embedding array<double>"
+    df1 = spark.createDataFrame(b1, schema)
+    df2 = spark.createDataFrame(b2, schema)
+    cents = _ingest_centroids(spark)
+    corpus_dir = str(tmp_path / "corpus")
+    sink = semdedup_ingest_sink(corpus_dir, cents, threshold=0.8)
+    sink(df1, 0)
+    sink(df2, 1)
+    before = {(r.vec_id, r.cluster)
+              for r in read_embedding_corpus(spark, corpus_dir).collect()}
+    assert {v for v, _ in before} == {1, 3, 6}
+
+    sink(df2, 1)  # at-least-once retry of batch 1
+    after = {(r.vec_id, r.cluster)
+             for r in read_embedding_corpus(spark, corpus_dir).collect()}
+    assert after == before

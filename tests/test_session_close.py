@@ -77,3 +77,39 @@ def test_event_time_session_close_matches_batch_sessions(spark, tmp_path):
         for r in user_sessions(all_events, gap_minutes=30).collect()
     }
     assert closed <= batch  # closed sessions are a subset, field-for-field
+
+
+def test_out_of_order_event_lowers_session_start(spark, tmp_path):
+    """An event that predates the stored session_start (possible whenever
+    watermark delay > 0) must MERGE by lowering the start, so the emitted
+    session matches the batch sessionizer field-for-field."""
+    b1 = [(1, _m(10))]
+    b2 = [(1, _m(5))]    # out-of-order: older than the stored start
+    b3 = [(9, _m(120))]  # advances the watermark past user 1's last + gap
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate((b1, b2, b3)):
+        _ev(spark, rows).coalesce(1).write.parquet(str(in_dir / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    out_dir, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    q = (
+        close_user_sessions(stream, gap_minutes=30, watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    closed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.duration_sec)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # start lowered to _m(5), duration measured from the true first event;
+    # user 9's session stays open (no watermark proves it complete)
+    assert closed == {(1, _m(5), _m(10), 2, 300)}
