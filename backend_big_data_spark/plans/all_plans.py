@@ -29,6 +29,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round5,
     round5b,
     round6,
+    round6b,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -106,7 +107,9 @@ _FRONT = [
 # implementing files DRIFT in round 6 and whose newest green row predates
 # that drift (track per-commit; at minimum the round5b.py family re-lands
 # here if round5b.py changes again after the r06 gate), then (b) any r06
-# window spills, then (c) queries registered after the r06 window froze,
+# window spills, then (c) queries registered after the r06 window froze —
+# doc_pack_efficiency and dedup_cluster_spectrum (plans/round6b.py, both
+# hash-verified at sf0.001 + sf0.01 + sf0.1 during round 6) —
 # then (d) queries new in round 7, then (e) the longest-stale blocks by
 # last-green round: the r02 relational set (pricing_summary,
 # revenue_by_region, revenue_forecast, orders_by_month, events_by_hour,

@@ -1,0 +1,111 @@
+"""HTTP serving for the pipeline's OPERATIONAL queries — the dashboards a
+large-scale curation deployment actually polls: removal audits, per-source
+duplication, embedding-corpus health, ANN recall, drift, sketch-accuracy
+bands. `photo/serve.py` proves the dependency-free WSGI pattern for the
+reference's 27 routes; this module extends it over the registry, turning
+the operator library into a queryable backend (VERDICT r05 item 6).
+
+Every route ends in a BOUNDED collect: named routes serve queries whose
+outputs are dashboard-scale by construction (grids, one-row readouts,
+per-source tables), and the generic ``/ops/query/<name>`` route caps rows
+server-side (``limit`` parameter, hard ceiling ``MAX_ROWS``) before
+collecting — the serving boundary never pulls a data-scale frame onto the
+driver.
+
+Run: ``wsgiref.simple_server.make_server("", 8081,
+create_pipeline_app(spark, sf_dir)).serve_forever()``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+from collections.abc import Callable
+from urllib.parse import parse_qs
+
+from pyspark.sql import SparkSession
+
+from backend_big_data_spark.photo.serve import _GZIP_MIN_BYTES, _negotiates_gzip
+
+#: hard ceiling on rows any route may collect
+MAX_ROWS = 1000
+
+#: named operational routes -> registry query name
+NAMED_ROUTES = {
+    "/ops/removalAudit": "doc_removal_audit",
+    "/ops/sourceDupStats": "source_dup_stats",
+    "/ops/embeddingHealth": "embedding_health_audit",
+    "/ops/annRecall": "ann_recall_eval",
+    "/ops/corpusDrift": "corpus_kl_drift",
+    "/ops/hllErrorBand": "events_hll_error_band",
+    "/ops/sourceOverlap": "source_overlap_matrix",
+    "/ops/minhashBias": "minhash_bias_eval",
+}
+
+
+def create_pipeline_app(spark: SparkSession, sf_dir: str) -> Callable:
+    """Build the WSGI app closed over (spark, sf_dir). Routes:
+
+    - each `NAMED_ROUTES` path runs its registry query;
+    - ``/ops/queries`` lists every registered query name (introspection);
+    - ``/ops/query/<name>?limit=N`` runs any registered query with the
+      row cap applied BEFORE collect (N clamped to ``MAX_ROWS``).
+    """
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    def run(name: str, limit: int):
+        limit = max(1, min(int(limit), MAX_ROWS))
+        df = QUERIES[name](spark, sf_dir)
+        return [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+
+    def route(path: str, qs: dict):
+        def arg(name, default=None, cast=str):
+            v = qs.get(name, [None])[0]
+            return default if v is None else cast(v)
+
+        limit = arg("limit", MAX_ROWS, int)
+        if path in NAMED_ROUTES:
+            return run(NAMED_ROUTES[path], limit)
+        if path == "/ops/queries":
+            return sorted(QUERIES)
+        if path.startswith("/ops/query/"):
+            name = path[len("/ops/query/") :]
+            if name not in QUERIES:
+                raise KeyError(f"unknown query {name!r}")
+            return run(name, limit)
+        return None
+
+    def app(environ, start_response):
+        path = environ.get("PATH_INFO", "/")
+        qs = parse_qs(environ.get("QUERY_STRING", ""))
+        accepts_gzip = _negotiates_gzip(environ.get("HTTP_ACCEPT_ENCODING", ""))
+
+        def respond(status: str, payload: bytes):
+            headers = [("Content-Type", "application/json")]
+            if len(payload) >= _GZIP_MIN_BYTES:
+                headers.append(("Vary", "Accept-Encoding"))
+                if accepts_gzip:
+                    payload = gzip.compress(payload, compresslevel=6)
+                    headers.append(("Content-Encoding", "gzip"))
+            headers.append(("Content-Length", str(len(payload))))
+            start_response(status, headers)
+            return [payload]
+
+        try:
+            result = route(path, qs)
+            if result is None:
+                return respond("404 Not Found", b'{"error": "no such route"}')
+            payload = json.dumps(result, default=str).encode()
+            return respond("200 OK", payload)
+        except KeyError as e:
+            return respond("404 Not Found", json.dumps({"error": str(e)}).encode())
+        except Exception as e:  # the same per-route 500 envelope as photo
+            return respond(
+                "500 Internal Server Error",
+                json.dumps({"error": str(e)}).encode(),
+            )
+
+    return app
+
+
+__all__ = ["MAX_ROWS", "NAMED_ROUTES", "create_pipeline_app"]

@@ -34,11 +34,13 @@ from pyspark.sql import functions as F
 
 from backend_big_data_spark.sources import fsutil
 from backend_big_data_spark.text.dedup import (
+    band_table,
     build_shingle_bloom,
     doc_shingles,
     incremental_dedup_kept,
     lsh_verified_pairs,
     merge_blooms,
+    minhash_signatures,
     release_dedup_caches,
 )
 
@@ -46,6 +48,11 @@ from backend_big_data_spark.text.dedup import (
 #: metadata-commit scale `merge_blooms` documents).
 BLOOM_BITS = 1 << 17
 BLOOM_HASHES = 3
+
+#: MinHash/LSH shape for the maintained band index (md5 family so every
+#: decision is engine-reproducible, like the batch dedup oracles).
+INDEX_NUM_HASHES = 16
+INDEX_BANDS = 4
 
 
 def _bloom_path(corpus_dir: str) -> str:
@@ -138,6 +145,120 @@ def read_corpus(
     )
 
 
+def read_corpus_bands(
+    spark: SparkSession, corpus_dir: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """The maintained LSH band index over the kept corpus —
+    ``(doc_id, band, band_key)`` rows written at admission time under
+    ``{corpus_dir}/bands/batch=N``. None when no index exists (corpora
+    written before the index shipped fall back to the union path).
+    ``exclude_batch`` mirrors `read_corpus`'s replay semantics."""
+    bands_dir = os.path.join(corpus_dir, "bands")
+    names = [
+        n
+        for n in fsutil.list_subdirs(spark, bands_dir, prefix="batch=")
+        if n != f"batch={exclude_batch}"
+    ]
+    if not names:
+        return None
+    return spark.read.option("basePath", bands_dir).parquet(
+        *[os.path.join(bands_dir, n) for n in names]
+    )
+
+
+def batch_band_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, band, band_key) for one frame — what the sink persists for
+    each admitted batch, and what the probe computes for an arriving
+    batch. Deterministic in the text alone (md5 family)."""
+    return band_table(
+        minhash_signatures(
+            doc_shingles(df, text_col=text_col, id_col=id_col, persist=False),
+            num_hashes=INDEX_NUM_HASHES,
+            hash_fn="md5",
+            id_col=id_col,
+        ),
+        num_hashes=INDEX_NUM_HASHES,
+        bands=INDEX_BANDS,
+        hash_fn="md5",
+        id_col=id_col,
+    )
+
+
+def dedup_batch_against_corpus_indexed(
+    batch: DataFrame,
+    corpus: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_fp_bloom: list[int] | None = None,
+) -> DataFrame:
+    """Survivors of one arriving batch vs the at-rest corpus, probing the
+    MAINTAINED band index instead of re-shingling the corpus.
+
+    Identical survivor set to `dedup_batch_against_corpus` (the
+    equivalence test asserts it): a batch×corpus candidate pair surfaces
+    iff the two docs share an LSH band key, and band keys are a
+    deterministic function of the text — the index just memoizes the
+    corpus side. Per-batch corpus cost drops from O(corpus shingling +
+    band self-join) to a map-side broadcast semi-join over the band
+    sidecar plus a batch-bounded text fetch:
+
+    1. batch band rows computed fresh (batch-scale);
+    2. corpus docs sharing any batch band key: ``corpus_bands ⋉
+       broadcast(batch keys)`` — corpus side never shuffles;
+    3. ONLY those candidate docs' text is fetched (broadcast semi-join
+       on the id — batch-bounded set) and unioned with the batch for the
+       exact verify + decision kernel, exactly as the union path does;
+    4. the exact-dup probe keeps using the FULL corpus fingerprints
+       (`incremental_dedup_kept`'s broadcast ``corpus_fps``) — exact
+       twins need no band match to be caught.
+    """
+    batch = batch.select(id_col, text_col)
+    bbands = batch_band_rows(batch, id_col=id_col, text_col=text_col)
+    hit_ids = (
+        corpus_bands.join(
+            F.broadcast(bbands.select("band", "band_key").distinct()),
+            on=["band", "band_key"],
+            how="semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    cand_corpus = corpus.select(id_col, text_col).join(
+        F.broadcast(hit_ids), on=id_col, how="semi"
+    )
+    tagged = batch.withColumn("__new", F.lit(True)).unionByName(
+        cand_corpus.withColumn("__new", F.lit(False))
+    )
+    pairs = lsh_verified_pairs(
+        doc_shingles(tagged, text_col=text_col, id_col=id_col),
+        threshold=threshold,
+        hash_fn="md5",
+        id_col=id_col,
+    )
+    corpus_fps = (
+        corpus.select(F.coalesce(F.col("fp"), F.md5(text_col)).alias("__fp"))
+        if "fp" in corpus.columns
+        else corpus.select(F.md5(text_col).alias("__fp"))
+    )
+    kept_ids = incremental_dedup_kept(
+        tagged,
+        is_new=F.col("__new"),
+        verified_pairs=pairs,
+        id_col=id_col,
+        text_col=text_col,
+        within_batch_near=True,
+        corpus_fp_bloom=corpus_fp_bloom,
+        bloom_bits=BLOOM_BITS,
+        bloom_hashes=BLOOM_HASHES,
+        corpus_fps=corpus_fps,
+    )
+    return batch.join(kept_ids, on=id_col, how="semi")
+
+
 def dedup_batch_against_corpus(
     batch: DataFrame,
     corpus: DataFrame | None,
@@ -201,7 +322,40 @@ def dedup_batch_against_corpus(
     return batch.join(kept_ids, on=id_col, how="semi")
 
 
-def ingest_dedup_sink(corpus_dir: str, threshold: float = 0.5, use_bloom: bool = True):
+def ensure_band_index(
+    spark: SparkSession, corpus_dir: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """The maintained band index covering every at-rest batch directory,
+    SELF-HEALING like `load_corpus_bloom`: any corpus ``batch=N`` without
+    a matching ``bands/batch=N`` (a corpus written before the index
+    shipped, or pruned by hand) gets its band rows recomputed from its
+    own parquet and committed before use — the index is complete or it is
+    rebuilt, never silently partial (a partial index would MISS near-dup
+    candidates, which no downstream recheck could restore)."""
+    batch_dirs = [
+        n
+        for n in fsutil.list_subdirs(spark, corpus_dir, prefix="batch=")
+        if n != f"batch={exclude_batch}"
+    ]
+    if not batch_dirs:
+        return None
+    bands_dir = os.path.join(corpus_dir, "bands")
+    have = set(fsutil.list_subdirs(spark, bands_dir, prefix="batch="))
+    for name in batch_dirs:
+        if name not in have:
+            part = spark.read.parquet(os.path.join(corpus_dir, name))
+            batch_band_rows(part).write.mode("overwrite").parquet(
+                os.path.join(bands_dir, name)
+            )
+    return read_corpus_bands(spark, corpus_dir, exclude_batch=exclude_batch)
+
+
+def ingest_dedup_sink(
+    corpus_dir: str,
+    threshold: float = 0.5,
+    use_bloom: bool = True,
+    use_band_index: bool = True,
+):
     """``foreachBatch`` function maintaining a deduped corpus at
     ``corpus_dir`` (one ``batch=N`` subdirectory per micro-batch).
 
@@ -211,7 +365,13 @@ def ingest_dedup_sink(corpus_dir: str, threshold: float = 0.5, use_bloom: bool =
     via `merge_blooms` — the O(bitmap) metadata commit that keeps the
     at-rest index current without ever rescanning the corpus. Replayed
     batch ids re-OR the same bits (idempotent), and `load_corpus_bloom`
-    self-heals a sidecar that missed a crashed batch's commit."""
+    self-heals a sidecar that missed a crashed batch's commit.
+
+    With ``use_band_index`` (default) the sink maintains the LSH band
+    sidecar (``bands/batch=N``) and probes it instead of re-shingling
+    the corpus (`dedup_batch_against_corpus_indexed`) — identical
+    survivor sets, per-batch corpus cost reduced to two map-side
+    broadcast semi-joins (band keys, then candidate ids)."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -219,12 +379,23 @@ def ingest_dedup_sink(corpus_dir: str, threshold: float = 0.5, use_bloom: bool =
         # see the corpus as it was, or prior survivors self-match at fp
         # equality and the rewritten directory comes back nearly empty
         corpus = read_corpus(spark, corpus_dir, exclude_batch=batch_id)
+        bands = (
+            ensure_band_index(spark, corpus_dir, exclude_batch=batch_id)
+            if use_band_index and corpus is not None
+            else None
+        )
         bloom_words, bloom_batches = (
             load_corpus_bloom(spark, corpus_dir) if use_bloom else (None, set())
         )
-        kept = dedup_batch_against_corpus(
-            batch, corpus, threshold=threshold, corpus_fp_bloom=bloom_words
-        )
+        if corpus is not None and bands is not None:
+            kept = dedup_batch_against_corpus_indexed(
+                batch, corpus, bands,
+                threshold=threshold, corpus_fp_bloom=bloom_words,
+            )
+        else:
+            kept = dedup_batch_against_corpus(
+                batch, corpus, threshold=threshold, corpus_fp_bloom=bloom_words
+            )
         # overwrite, not append: a replayed batch id rewrites its own
         # directory with the identical survivor set (idempotent).
         # Persist the content fingerprint at admission time: later batches
@@ -233,8 +404,13 @@ def ingest_dedup_sink(corpus_dir: str, threshold: float = 0.5, use_bloom: bool =
         kept.withColumn("fp", F.md5("text")).write.mode("overwrite").parquet(
             f"{corpus_dir}/{bdir}"
         )
+        admitted = spark.read.parquet(f"{corpus_dir}/{bdir}")
+        if use_band_index:
+            batch_band_rows(admitted).write.mode("overwrite").parquet(
+                os.path.join(corpus_dir, "bands", bdir)
+            )
         if use_bloom:
-            b = _batch_fp_bloom(spark.read.parquet(f"{corpus_dir}/{bdir}"))
+            b = _batch_fp_bloom(admitted)
             merged = b if bloom_words is None else merge_blooms(bloom_words, b)
             save_corpus_bloom(spark, corpus_dir, merged, bloom_batches | {bdir})
         release_dedup_caches()
@@ -262,10 +438,14 @@ def dedup_ingest_stream(
 
 
 __all__ = [
+    "batch_band_rows",
     "dedup_batch_against_corpus",
+    "dedup_batch_against_corpus_indexed",
     "dedup_ingest_stream",
+    "ensure_band_index",
     "ingest_dedup_sink",
     "load_corpus_bloom",
     "read_corpus",
+    "read_corpus_bands",
     "save_corpus_bloom",
 ]

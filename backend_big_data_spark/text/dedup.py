@@ -148,6 +148,32 @@ def _band_key(sig_cols: list[str], hash_fn: str) -> Column:
     return F.xxhash64(joined).cast("string")
 
 
+def band_table(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_key) — the banded-LSH index rows for a signature
+    frame. This is the table a recurring ingest PERSISTS at admission
+    time (`streaming/ingest_dedup.py`): probing it replaces re-shingling
+    the at-rest corpus on every arriving batch."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            _band_key([f"mh{b * r + i}" for i in range(r)], hash_fn).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 16,

@@ -124,9 +124,17 @@ HEADLINE = [
     "doc_shard_assignment",
     "source_dup_stats",
     "embedding_health_audit",
+    # round-6 additions: HLL accuracy band gate, MinHash estimator-bias
+    # eval (LSH + candidate-bounded exact verify), packing-efficiency and
+    # dup-cluster-spectrum readouts over the certified layout/CC queries
+    "events_hll_error_band",
+    "minhash_bias_eval",
+    "doc_pack_efficiency",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
+    # dedup_cluster_spectrum composes it, so it stays off for the same
+    # reason (the spectrum's own aggregation is one bounded keyed sum).
 ]
 
 #: min-of-3: the first execution of a heavy operator pays whole-stage-codegen

@@ -1001,3 +1001,113 @@ def test_corpus_probe_has_no_corpus_side_exchange(spark, tmp_path):
     # and the decision is unchanged: 3 is an exact dup, 4 survives
     assert sorted(r.doc_id for r in kept.collect()) == [4]
     release_dedup_caches()
+
+
+def test_indexed_corpus_probe_matches_union_path(spark, tmp_path):
+    """dedup_batch_against_corpus_indexed (maintained band sidecar) must
+    produce the identical survivor set to the re-shingling union path —
+    the band index memoizes the corpus side of a deterministic function
+    of the text, so the candidate sets coincide."""
+    from backend_big_data_spark.streaming.ingest_dedup import (
+        batch_band_rows,
+        dedup_batch_against_corpus,
+        dedup_batch_against_corpus_indexed,
+    )
+    from backend_big_data_spark.text.dedup import release_dedup_caches
+
+    base = "w" + " x y z a b c d e f g h i j k l m n o p q r s t u v"
+    corpus = _docs(
+        spark,
+        [(1, base), (2, "totally different words occupy this document")],
+    ).withColumn("fp", F.md5("text"))
+    bands = batch_band_rows(corpus)
+    batch = _docs(
+        spark,
+        [
+            (10, base + " tail9"),   # near-dup of corpus 1
+            (11, base),              # exact dup of corpus 1
+            (12, "novel content with its very own tokens entirely here"),
+            (13, "novel content with its very own tokens entirely here x"),
+        ],
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup_batch_against_corpus_indexed(
+            batch, corpus, bands, threshold=0.5
+        ).collect()
+    )
+    release_dedup_caches()
+    want = sorted(
+        r.doc_id
+        for r in dedup_batch_against_corpus(
+            batch, corpus.select("doc_id", "text"), threshold=0.5
+        ).collect()
+    )
+    release_dedup_caches()
+    assert got == want
+    # 10 (near-dup of corpus 1) and 11 (exact dup) must fall; 12 survives.
+    # Whether 13 falls depends on the 4x4 banding surfacing the 12<->13
+    # pair — the point here is that BOTH paths make the same call.
+    assert 10 not in got and 11 not in got and 12 in got
+
+
+def test_stream_ingest_band_index_maintained_and_self_heals(spark, tmp_path):
+    """The sink writes bands/batch=N per admission; deleting the sidecar
+    and re-running ensure_band_index rebuilds it bit-for-bit (the
+    completeness invariant a partial index would silently break)."""
+    import shutil
+
+    from backend_big_data_spark.streaming.ingest_dedup import (
+        ensure_band_index,
+        ingest_dedup_sink,
+        read_corpus_bands,
+    )
+    from backend_big_data_spark.text.dedup import release_dedup_caches
+
+    base = "w" + " x y z a b c d e f g h i j k l m n o p q r s t u v"
+    corpus_dir = str(tmp_path / "corpus")
+    sink = ingest_dedup_sink(corpus_dir, threshold=0.5)
+    sink(_docs(spark, [(1, base), (2, "other standalone body of text")]), 0)
+    sink(_docs(spark, [(3, base + " tail2"), (4, "fresh novel tokens")]), 1)
+    release_dedup_caches()
+    bands = read_corpus_bands(spark, corpus_dir)
+    assert bands is not None
+    before = sorted(map(tuple, bands.collect()))
+    assert before  # admitted docs are indexed
+
+    shutil.rmtree(str(tmp_path / "corpus" / "bands"))
+    assert read_corpus_bands(spark, corpus_dir) is None
+    healed = ensure_band_index(spark, corpus_dir)
+    assert sorted(map(tuple, healed.collect())) == before
+
+
+def test_indexed_probe_corpus_band_scan_has_no_exchange(spark, tmp_path):
+    """The corpus side of the band probe must be a map-side broadcast
+    semi-join over the sidecar scan — no Exchange above it."""
+    from backend_big_data_spark.streaming.ingest_dedup import (
+        ingest_dedup_sink,
+        read_corpus,
+        read_corpus_bands,
+    )
+    from backend_big_data_spark.text.dedup import release_dedup_caches
+    from pyspark.sql import functions as SF
+
+    base = "w" + " x y z a b c d e f g h i j k l m n o p q r s t u v"
+    corpus_dir = str(tmp_path / "corpus")
+    sink = ingest_dedup_sink(corpus_dir, threshold=0.5, use_bloom=False)
+    sink(_docs(spark, [(1, base), (2, "other standalone body of text")]), 0)
+    release_dedup_caches()
+    corpus_bands = read_corpus_bands(spark, corpus_dir)
+    batch = _docs(spark, [(10, base + " tail")])
+    from backend_big_data_spark.streaming.ingest_dedup import batch_band_rows
+
+    bbands = batch_band_rows(batch)
+    hit = corpus_bands.join(
+        SF.broadcast(bbands.select("band", "band_key").distinct()),
+        on=["band", "band_key"],
+        how="semi",
+    )
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0]
+    release_dedup_caches()

@@ -1,0 +1,95 @@
+"""Pipeline-operations WSGI serving (serving/pipeline_serve.py): route
+contracts over the real sf0.001 tables, row-cap enforcement before
+collect, introspection, and the error envelope."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from backend_big_data_spark.serving.pipeline_serve import (
+    MAX_ROWS,
+    create_pipeline_app,
+)
+from tests.conftest import SF_SMALL
+
+
+def _call(app, path, qs=""):
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    environ = {"PATH_INFO": path, "QUERY_STRING": qs,
+               "wsgi.input": io.BytesIO(b"")}
+    chunks = app(environ, start_response)
+    return captured["status"], json.loads(b"".join(chunks)), captured["headers"]
+
+
+@pytest.fixture(scope="module")
+def app(spark):
+    return create_pipeline_app(spark, SF_SMALL)
+
+
+def test_named_operational_routes(app):
+    status, payload, _ = _call(app, "/ops/sourceDupStats")
+    assert status == "200 OK"
+    assert payload and {"source", "n_docs"} <= set(payload[0])
+
+    status, payload, _ = _call(app, "/ops/embeddingHealth")
+    assert status == "200 OK"
+    assert len(payload) == 1  # one-row readout
+
+    status, payload, _ = _call(app, "/ops/hllErrorBand")
+    assert status == "200 OK"
+    assert all(r["within_band"] for r in payload)
+
+
+def test_introspection_lists_registry(app):
+    status, names, _ = _call(app, "/ops/queries")
+    assert status == "200 OK"
+    assert "doc_removal_audit" in names and "ann_recall_eval" in names
+    assert len(names) >= 180
+
+
+def test_generic_query_route_with_cap(app):
+    status, payload, _ = _call(app, "/ops/query/doc_langid", qs="limit=7")
+    assert status == "200 OK"
+    assert len(payload) == 7
+    # a limit beyond the ceiling clamps instead of collecting unboundedly
+    status, payload, _ = _call(
+        app, "/ops/query/doc_langid", qs=f"limit={MAX_ROWS * 100}"
+    )
+    assert status == "200 OK"
+    assert len(payload) <= MAX_ROWS
+
+
+def test_unknown_routes_and_queries_404(app):
+    status, payload, _ = _call(app, "/nope")
+    assert status == "404 Not Found"
+    status, payload, _ = _call(app, "/ops/query/definitely_not_registered")
+    assert status == "404 Not Found"
+    assert "definitely_not_registered" in payload["error"]
+
+
+def test_gzip_negotiated_on_large_payload(app):
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    environ = {
+        "PATH_INFO": "/ops/queries",
+        "QUERY_STRING": "",
+        "HTTP_ACCEPT_ENCODING": "gzip",
+        "wsgi.input": io.BytesIO(b""),
+    }
+    chunks = app(environ, start_response)
+    assert captured["headers"].get("Content-Encoding") == "gzip"
+    import gzip as _gz
+
+    assert json.loads(_gz.decompress(b"".join(chunks)))
