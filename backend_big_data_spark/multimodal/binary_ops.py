@@ -3,14 +3,17 @@
 Images/audio/video ride as opaque ``binary`` payload columns with typed
 metadata structs. The Spark-side plumbing — schema, Arrow-batched
 ``mapInPandas`` signatures, partitioning — is real and tested, and each
-modality now carries at least one fully REAL codec built on
-numpy/stdlib only: PPM (`multimodal/ppm.py`) and 8-bit RGB/RGBA PNG
-(`multimodal/png.py`, stdlib zlib, all five scanline filters) for
-images, WAV/PCM (`multimodal/wav.py`) for audio, and the PPV1 container
-for video frame sampling. Entropy-coded formats (JPEG, MP3, MP4) need
-codec libraries absent from this environment and stay STUBBED behind
-``NotImplementedError`` / the clearly-marked ``fake=True`` double —
-same plumbing, heavier kernel when the library exists.
+modality carries fully REAL codecs built on numpy/stdlib only: PPM
+(`multimodal/ppm.py`), 8-bit RGB/RGBA PNG (`multimodal/png.py`, stdlib
+zlib, all five scanline filters) and baseline-sequential JFIF JPEG
+(`multimodal/jpeg.py`, generic DQT/DHT + Huffman + IDCT + YCbCr,
+4:4:4/4:2:2/4:2:0, restart markers) for images, WAV/PCM
+(`multimodal/wav.py`) for audio, and the PPV1 container for video frame
+sampling. Library-only formats (progressive/arithmetic JPEG variants,
+MP3, MP4, WebP) need codec libraries absent from this environment and
+stay STUBBED behind ``NotImplementedError`` / the clearly-marked
+``fake=True`` double — same plumbing, heavier kernel when the library
+exists.
 
 Scale notes: binary payloads make rows wide — partition count must track
 *bytes* not rows (``spark.sql.files.maxPartitionBytes``), and decode UDFs

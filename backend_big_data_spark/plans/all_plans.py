@@ -108,8 +108,9 @@ _FRONT = [
 # that drift (track per-commit; at minimum the round5b.py family re-lands
 # here if round5b.py changes again after the r06 gate), then (b) any r06
 # window spills, then (c) queries registered after the r06 window froze —
-# doc_pack_efficiency and dedup_cluster_spectrum (plans/round6b.py, both
-# hash-verified at sf0.001 + sf0.01 + sf0.1 during round 6) —
+# doc_pack_efficiency, dedup_cluster_spectrum and doc_eval_overlap_spans
+# (plans/round6b.py, each hash-verified at sf0.001 + sf0.01 + sf0.1
+# during round 6) —
 # then (d) queries new in round 7, then (e) the longest-stale blocks by
 # last-green round: the r02 relational set (pricing_summary,
 # revenue_by_region, revenue_forecast, orders_by_month, events_by_hour,

@@ -121,4 +121,79 @@ def dedup_cluster_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = ["dedup_cluster_spectrum", "doc_pack_efficiency"]
+#: stable doc-id hash, the split convention shared with doc_contamination
+_HID = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+_EVAL_SPANS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+         CASE WHEN {_HID} % 100 < 20 THEN 'eval' ELSE 'train' END AS split
+  FROM documents
+), pk AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL unnest(range(1, len(t) - 8 + 2)) AS u(i)
+  WHERE len(t) >= 8 AND split = 'train'
+), eg AS (
+  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL unnest(range(1, len(t) - 8 + 2)) AS u(i)
+  WHERE len(t) >= 8 AND split = 'eval'
+), st AS (
+  SELECT doc_id, list(pos) AS starts
+  FROM pk JOIN eg USING (gram) GROUP BY doc_id
+), j AS (
+  SELECT t.doc_id, t.t, COALESCE(s.starts, CAST([] AS BIGINT[])) AS starts
+  FROM (SELECT doc_id, t FROM toks WHERE split = 'train') t
+  LEFT JOIN st s USING (doc_id)
+), cov AS (
+  -- materialised covered-position list (nested lambdas referencing a
+  -- comprehension variable silently fail to correlate in DuckDB)
+  SELECT doc_id, t,
+         list_distinct(flatten(list_transform(starts, p -> range(p, p + 8))))
+           AS covered
+  FROM j
+), kk AS (
+  SELECT doc_id, t,
+         [t[i] FOR i IN range(1, len(t) + 1)
+          IF NOT list_contains(covered, i - 1)] AS kept
+  FROM cov
+)
+SELECT doc_id,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(len(t) - len(kept) AS INTEGER) AS n_removed,
+       -- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+       -- concat_ws gives '') — coalesce so fully-scrubbed docs agree
+       md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
+FROM kk ORDER BY doc_id
+"""
+
+
+@register("doc_eval_overlap_spans", oracle=_EVAL_SPANS_ORACLE)
+def doc_eval_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval-set decontamination over the stable-hash split
+    (first 20% of the id-hash space = eval, the doc_contamination
+    convention): every >= 8-token span of a TRAINING document that
+    appears verbatim in the eval set is stripped, and the per-doc leak
+    profile reported — `text/spans.eval_overlap_profile`. The surgical
+    counterpart of doc_contamination's whole-document containment ratio.
+    ``clean_md5`` carries the scrubbed text compactly for the hash gate."""
+    from backend_big_data_spark.text.sampling import stable_hash
+    from backend_big_data_spark.text.spans import eval_overlap_profile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = stable_hash(F.col("doc_id")) % 100
+    train = docs.filter(bucket >= 20)
+    eval_df = docs.filter(bucket < 20)
+    prof = eval_overlap_profile(train, eval_df, k=8)
+    return prof.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+__all__ = [
+    "dedup_cluster_spectrum",
+    "doc_eval_overlap_spans",
+    "doc_pack_efficiency",
+]

@@ -50,11 +50,12 @@ def read_event_clock(
     the clock as it stood before N's own (possibly crash-torn) first
     attempt, or it would compute a later threshold and split differently
     than the original run."""
+    from backend_big_data_spark.sources import fsutil
+
     path = _state_dir(main_dir)
     batches = [
-        n for n in (os.listdir(path) if os.path.isdir(path) else [])
-        if n.startswith("batch=")
-        and (before_batch is None or int(n.split("=", 1)[1]) < before_batch)
+        n for n in fsutil.list_subdirs(spark, path, prefix="batch=")
+        if before_batch is None or int(n.split("=", 1)[1]) < before_batch
     ]
     if not batches:
         return None

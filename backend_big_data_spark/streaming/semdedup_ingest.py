@@ -94,7 +94,14 @@ def semdedup_ingest_sink(
             batch, corpus, centroids, threshold,
             id_col=id_col, array_col=array_col,
         )
-        kept.write.mode("overwrite").parquet(f"{corpus_dir}/batch={batch_id}")
+        # partition the at-rest layout BY CLUSTER: the incremental probe
+        # joins corpus-vs-batch on the cluster key, so with this layout
+        # Spark's dynamic partition pruning reads only the clusters the
+        # arriving batch touches — at 100 TB the per-batch corpus scan is
+        # proportional to the touched clusters, not the corpus
+        kept.write.mode("overwrite").partitionBy("cluster").parquet(
+            f"{corpus_dir}/batch={batch_id}"
+        )
 
     return apply
 

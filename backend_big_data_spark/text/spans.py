@@ -96,6 +96,15 @@ def duplicate_span_profile(
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("__starts"))
     )
+    return _apply_span_mask(df, starts, k, text_col, id_col)
+
+
+def _apply_span_mask(
+    df: DataFrame, starts: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, n_tokens, n_removed, clean_text) given per-doc flagged span
+    start positions — step 4 of the module docstring, shared by the
+    corpus-duplicate and eval-overlap profiles."""
     t = tokens(F.col(text_col))
     n = F.size(t)
     covered = lambda i: F.exists(  # noqa: E731
@@ -114,4 +123,41 @@ def duplicate_span_profile(
     )
 
 
-__all__ = ["duplicate_span_profile", "positional_kgrams"]
+def eval_overlap_profile(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level eval-set decontamination (the substring form of Lee et
+    al. 2021 §decontamination, arXiv:2107.06499): for every TRAINING
+    document, flag and strip each span of >= ``k`` tokens that appears
+    verbatim anywhere in the EVAL set — the surgical alternative to
+    dropping whole documents on n-gram containment
+    (`text/dedup.containment_vs_index` / doc_contamination), which wastes
+    the rest of an otherwise-clean document.
+
+    Returns ``(id, n_tokens int, n_removed int, clean_text string)`` for
+    the training frame; ``n_removed`` is the leaked-token count.
+
+    Shape: train-side positional k-grams (map-side explode) semi-joined
+    against the DISTINCT eval k-gram set (shuffle keyed on the gram; the
+    eval side is eval-set-sized, typically tiny vs the corpus), then the
+    per-doc span mask. Same scale discipline as
+    `duplicate_span_profile` — no suffix array, no global sort."""
+    pk = positional_kgrams(train, k, text_col, id_col)
+    eval_grams = (
+        positional_kgrams(eval_df, k, text_col, id_col)
+        .select("gram")
+        .distinct()
+    )
+    starts = (
+        pk.join(eval_grams, on="gram", how="semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__starts"))
+    )
+    return _apply_span_mask(train, starts, k, text_col, id_col)
+
+
+__all__ = ["duplicate_span_profile", "eval_overlap_profile", "positional_kgrams"]

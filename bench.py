@@ -130,6 +130,7 @@ HEADLINE = [
     "events_hll_error_band",
     "minhash_bias_eval",
     "doc_pack_efficiency",
+    "doc_eval_overlap_spans",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

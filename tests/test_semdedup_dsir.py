@@ -677,3 +677,28 @@ def test_stream_semdedup_replay_is_idempotent(spark, tmp_path):
     after = {(r.vec_id, r.cluster)
              for r in read_embedding_corpus(spark, corpus_dir).collect()}
     assert after == before
+
+
+def test_semdedup_corpus_layout_partitioned_by_cluster(spark, tmp_path):
+    """The at-rest embedding corpus lands partitioned by cluster (the key
+    every incremental probe joins on), and reads back identically — the
+    layout that lets dynamic partition pruning skip untouched clusters."""
+    import os
+
+    from backend_big_data_spark.streaming.semdedup_ingest import (
+        read_embedding_corpus,
+        semdedup_ingest_sink,
+    )
+
+    b1, _ = _ingest_vectors()
+    df1 = spark.createDataFrame(b1, "vec_id long, embedding array<double>")
+    cents = _ingest_centroids(spark)
+    corpus_dir = str(tmp_path / "corpus")
+    sink = semdedup_ingest_sink(corpus_dir, cents, threshold=0.8)
+    sink(df1, 0)
+
+    names = os.listdir(os.path.join(corpus_dir, "batch=0"))
+    assert any(n.startswith("cluster=") for n in names)
+    got = {(r.vec_id, r.cluster)
+           for r in read_embedding_corpus(spark, corpus_dir).collect()}
+    assert {v for v, _ in got} == {1, 3}

@@ -74,3 +74,28 @@ def test_plan_has_no_cartesian_or_python(spark):
     plan = duplicate_span_profile(df, k=8)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_eval_overlap_profile_strips_leaked_spans(spark):
+    """A train doc sharing an 8-token span with the eval set loses exactly
+    that span; clean train docs and sub-k overlaps are untouched."""
+    from backend_big_data_spark.text.spans import eval_overlap_profile
+
+    leak = "the quick brown fox jumps over the lazy"  # 8 tokens
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} trailing tail"),
+            (2, "a fully clean document with original content only"),
+            (3, "short overlap quick brown fox nothing more here"),  # 3 < k
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"eval question uses {leak} verbatim")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in eval_overlap_profile(train, eval_df, k=8).collect()}
+    assert got[1].n_removed == 8
+    assert got[1].clean_text == "intro words trailing tail"
+    assert got[2].n_removed == 0 and got[3].n_removed == 0
+    assert got[3].clean_text == train.collect()[2].text
