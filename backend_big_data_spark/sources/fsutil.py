@@ -76,4 +76,12 @@ def write_text_atomic(spark: SparkSession, path_str: str, data: str) -> None:
     fs.rename(tmp, dest)
 
 
-__all__ = ["exists", "list_subdirs", "read_text", "write_text_atomic"]
+def delete(spark: SparkSession, path_str: str, recursive: bool = True) -> bool:
+    """Delete a file or directory tree; False if it did not exist."""
+    fs, hpath, _ = _fs(spark, path_str)
+    if not fs.exists(hpath):
+        return False
+    return bool(fs.delete(hpath, recursive))
+
+
+__all__ = ["delete", "exists", "list_subdirs", "read_text", "write_text_atomic"]

@@ -1111,3 +1111,96 @@ def test_indexed_probe_corpus_band_scan_has_no_exchange(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0]
     release_dedup_caches()
+
+
+def test_compact_ingest_corpus_preserves_semantics(spark, tmp_path):
+    """Folding the commit-stable batch prefix (survivors + bands + bloom
+    repoint) must leave reads identical AND leave the next batch's
+    admission decision identical to the uncompacted twin."""
+    import shutil
+
+    from backend_big_data_spark.streaming.ingest_dedup import (
+        ingest_dedup_sink,
+        load_corpus_bloom,
+        read_corpus,
+        read_corpus_bands,
+    )
+    from backend_big_data_spark.streaming.maintenance import compact_ingest_corpus
+    from backend_big_data_spark.text.dedup import release_dedup_caches
+
+    base = "w" + " x y z a b c d e f g h i j k l m n o p q r s t u v"
+    cdir = str(tmp_path / "corpus")
+    sink = ingest_dedup_sink(cdir, threshold=0.5)
+    sink(_docs(spark, [(1, base), (2, "first other body of text here")]), 0)
+    sink(_docs(spark, [(3, "second standalone distinct document")]), 1)
+    sink(_docs(spark, [(4, "third unrelated words entirely different")]), 2)
+    release_dedup_caches()
+    rows_before = sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, cdir).collect()
+    )
+    def _band_rows(d):
+        # compare data columns only: the batch= partition component is
+        # renamed by folding (by design), the index rows must not change
+        return sorted(
+            map(tuple, read_corpus_bands(spark, d)
+                .select("doc_id", "band", "band_key").collect())
+        )
+
+    bands_before = _band_rows(cdir)
+    twin = str(tmp_path / "twin")
+    shutil.copytree(cdir, twin)
+
+    folded = compact_ingest_corpus(spark, cdir, keep_latest=1)
+    assert folded == [0, 1]
+    import os
+
+    assert sorted(os.listdir(cdir + "/bands")) == ["batch=0", "batch=2"]
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in read_corpus(spark, cdir).collect()
+    ) == rows_before
+    assert _band_rows(cdir) == bands_before
+    # bloom sidecar repointed, not rebuilt: covered set == surviving dirs
+    words, covered = load_corpus_bloom(spark, cdir)
+    assert covered == {"batch=0", "batch=2"}
+
+    b3 = _docs(spark, [(5, base + " tail"), (6, "genuinely new content")])
+    sink(b3, 3)
+    release_dedup_caches()
+    ingest_dedup_sink(twin, threshold=0.5)(b3, 3)
+    release_dedup_caches()
+    got = sorted(r["doc_id"] for r in read_corpus(spark, cdir).collect())
+    want = sorted(r["doc_id"] for r in read_corpus(spark, twin).collect())
+    assert got == want and 5 not in got and 6 in got
+
+
+def test_compact_drift_counts_preserves_scores(spark, tmp_path):
+    """Folding token-count deltas into one pre-summed delta leaves both
+    the merged counts and the NEXT batch's drift metric identical."""
+    import shutil
+
+    from backend_big_data_spark.streaming.drift_monitor import (
+        drift_monitor_sink,
+        read_corpus_counts,
+        read_drift_metrics,
+    )
+    from backend_big_data_spark.streaming.maintenance import compact_drift_counts
+
+    counts, metrics = str(tmp_path / "counts"), str(tmp_path / "metrics")
+    sink = drift_monitor_sink(counts, metrics)
+    sink(_docs(spark, [(1, "alpha beta gamma alpha")]), 0)
+    sink(_docs(spark, [(2, "beta beta delta")]), 1)
+    sink(_docs(spark, [(3, "gamma epsilon")]), 2)
+    before = sorted(map(tuple, read_corpus_counts(spark, counts).collect()))
+    ctwin, mtwin = str(tmp_path / "ctwin"), str(tmp_path / "mtwin")
+    shutil.copytree(counts, ctwin)
+    shutil.copytree(metrics, mtwin)
+
+    assert compact_drift_counts(spark, counts, keep_latest=1) == [0, 1]
+    assert sorted(map(tuple, read_corpus_counts(spark, counts).collect())) == before
+
+    b3 = _docs(spark, [(4, "alpha zeta zeta")])
+    sink(b3, 3)
+    drift_monitor_sink(ctwin, mtwin)(b3, 3)
+    got = {r.batch_id: r.drift_fp for r in read_drift_metrics(spark, metrics).collect()}
+    want = {r.batch_id: r.drift_fp for r in read_drift_metrics(spark, mtwin).collect()}
+    assert got[3] == want[3]

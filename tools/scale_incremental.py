@@ -197,6 +197,27 @@ def main() -> None:
                 ).count()
             )
         )
+
+        # 4. band-INDEXED composition: the maintained bands sidecar
+        # (admission-time state — built untimed) replaces the corpus
+        # re-shingle with a broadcast semi-join probe
+        from backend_big_data_spark.streaming.ingest_dedup import (
+            batch_band_rows,
+            dedup_batch_against_corpus_indexed,
+        )
+
+        corpus_bands = batch_band_rows(corpus).repartition(64).persist()
+        corpus_bands.count()
+        results.setdefault(
+            "indexed dedup (maintained band sidecar)", []
+        ).append(
+            timed(
+                lambda: dedup_batch_against_corpus_indexed(
+                    batch, corpus, corpus_bands, threshold=0.5
+                ).count()
+            )
+        )
+        corpus_bands.unpersist()
         release_dedup_caches()
         rows.setdefault("corpus docs", []).append(n_corpus)
         rows.setdefault("corpus vectors", []).append(nv)
