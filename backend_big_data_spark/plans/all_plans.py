@@ -30,6 +30,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round5b,
     round6,
     round6b,
+    round6c,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -109,8 +110,10 @@ _FRONT = [
 # here if round5b.py changes again after the r06 gate), then (b) any r06
 # window spills, then (c) queries registered after the r06 window froze —
 # doc_pack_efficiency, dedup_cluster_spectrum and doc_eval_overlap_spans
-# (plans/round6b.py, each hash-verified at sf0.001 + sf0.01 + sf0.1
-# during round 6) —
+# (plans/round6b.py), doc_quality_calibration,
+# embedding_diversity_sample and events_quantile_sketch_band
+# (plans/round6c.py) — each hash-verified at sf0.001 + sf0.01 + sf0.1
+# during round 6 —
 # then (d) queries new in round 7, then (e) the longest-stale blocks by
 # last-green round: the r02 relational set (pricing_summary,
 # revenue_by_region, revenue_forecast, orders_by_month, events_by_hour,

@@ -1,0 +1,388 @@
+"""Round-6 third batch: budget-driven quality calibration and
+distance-stratified diversity sampling — two curation decisions real
+pre-training pipelines make, expressed so the DECISION itself (not just
+its inputs) is oracle-checkable.
+
+Scale shapes (the point of both designs):
+
+- ``doc_quality_calibration`` never sorts or ranks documents. The one
+  data-scale operation is a ``groupBy(source, bucket)`` over a 251-bucket
+  fixed-point score grid; the threshold search is a window over the
+  ≤251-row GLOBAL histogram and the verdict rejoins via a broadcast
+  1-row threshold. The classic formulation (global sort by score, take
+  the budget prefix) is a total order over the corpus — this is the
+  histogram form production systems use instead.
+- ``embedding_diversity_sample`` replaces per-cluster rank windows
+  (a sort over every cluster's full membership — unbounded at corpus
+  scale) with a fixed absolute distance grid + ``min(struct)``
+  representative per stratum: one broadcast-crossJoin scoring pass and
+  one grouped aggregation with map-side partial min.
+
+Determinism: every metric that crosses an engine boundary is an integer
+before any aggregation — per-dimension fixed-point squared differences
+(summed as BIGINTs, order-free) and ×10000 fixed-point ratios; the
+budget test is integer cross-multiplication (10·kept ≥ 7·total), never
+a float compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.functions.textfns import tokens
+from backend_big_data_spark.plans.registry import register
+from backend_big_data_spark.sources.catalog import load_table
+from backend_big_data_spark.text.sampling import stable_hash
+
+#: fixed-point quality-score bucket width (score_fp ∈ [0, 10000] → 251
+#: buckets) — coarse enough that the histogram is always broadcast-tiny,
+#: fine enough that the budget overshoot (≤ one bucket's token mass) is
+#: ≤ ~0.4% of score range.
+_QBUCKET = 40
+
+#: keep-budget as an integer ratio: keep ≥ 7/10 of corpus tokens.
+_KEEP_NUM, _KEEP_DEN = 7, 10
+
+#: grids persisted by doc_quality_calibration — released via
+#: :func:`release_calibration_caches` (same hygiene contract as
+#: ``plans.curation.release_pipeline_caches``).
+_CALIBRATION_PERSISTED: list = []
+
+
+def release_calibration_caches() -> int:
+    """Unpersist every grid doc_quality_calibration has cached; returns
+    the number released. Call on corpus swap or at a bench boundary."""
+    n = 0
+    for df in _CALIBRATION_PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    _CALIBRATION_PERSISTED.clear()
+    return n
+
+
+_CALIBRATION_ORACLE = r"""
+WITH t AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\s+')) AS n,
+         len(list_distinct(string_split_regex(trim(text), '\s+'))) AS d
+  FROM documents
+), s AS (
+  SELECT source, n AS n_tokens,
+         CAST(floor(10000.0 * d / n + CAST(0.5 AS DOUBLE)) AS BIGINT) // 40
+           AS bucket
+  FROM t WHERE n > 0
+), grid AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS toks
+  FROM s GROUP BY 1, 2
+), ghist AS (
+  SELECT bucket, CAST(SUM(toks) AS BIGINT) AS btoks FROM grid GROUP BY 1
+), cum AS (
+  SELECT bucket,
+         CAST(SUM(btoks) OVER (ORDER BY bucket DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS kept,
+         CAST((SELECT SUM(btoks) FROM ghist) AS BIGINT) AS total
+  FROM ghist
+), thr AS (
+  SELECT MAX(bucket) AS tstar FROM cum WHERE 10 * kept >= 7 * total
+)
+SELECT source,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN bucket >= tstar THEN n_docs ELSE 0 END) AS BIGINT)
+         AS kept_docs,
+       CAST(SUM(CASE WHEN bucket >= tstar THEN toks ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       MAX(tstar) AS threshold_bucket,
+       CAST(floor(10000.0
+                  * SUM(CASE WHEN bucket >= tstar THEN toks ELSE 0 END)
+                  / SUM(toks) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS kept_rate_fp
+FROM grid, thr
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("doc_quality_calibration", oracle=_CALIBRATION_ORACLE)
+def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven quality-threshold calibration: find the single
+    global score threshold that keeps ≥ 70% of corpus TOKENS (the
+    highest such threshold — minimal overshoot, bounded by one bucket's
+    mass), then report the per-source consequences: docs/tokens kept and
+    the realized keep rate. This is the knob-setting readout you run
+    before a quality-filter pass — "what cut do I make to hit my token
+    budget, and which sources does it hit hardest?"
+
+    Score: fixed-point type-token ratio (distinct/total whitespace
+    tokens, ×10000) bucketed into a 251-cell histogram. No document-level
+    sort anywhere: one ``groupBy(source, bucket)`` shuffle at data scale,
+    a cumulative window over the ≤251-row global histogram, and a
+    broadcast 1-row threshold join. Integer cross-multiplication
+    (10·kept ≥ 7·total) decides the budget — no float compares."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = (
+        docs.select(
+            "source",
+            F.size(toks).alias("n"),
+            F.size(F.array_distinct(toks)).alias("d"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(floor(10000.0 * d / n + 0.5D) AS BIGINT) div 40"
+            ).alias("bucket"),
+        )
+    )
+    # the grid is sources×251 rows — persist it so the threshold branch
+    # and the final per-source rollup share ONE corpus scan (the plan
+    # otherwise re-tokenizes the corpus once per branch)
+    grid = (
+        scored.groupBy("source", "bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("toks"))
+        .persist()
+    )
+    _CALIBRATION_PERSISTED.append(grid)
+    from pyspark.sql.window import Window
+
+    glob = grid.groupBy("bucket").agg(F.sum("toks").alias("btoks"))
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # window + total over the ≤251-row histogram — bounded input by
+    # construction, never the corpus
+    cum = glob.select(
+        "bucket",
+        F.sum("btoks").over(w).alias("kept"),
+        F.sum("btoks").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    thr = cum.filter(
+        F.lit(_KEEP_DEN) * F.col("kept") >= F.lit(_KEEP_NUM) * F.col("total")
+    ).agg(F.max("bucket").alias("tstar"))
+    keep = F.col("bucket") >= F.col("tstar")
+    return (
+        grid.crossJoin(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.sum(F.when(keep, F.col("n_docs")).otherwise(0)).alias(
+                "kept_docs"
+            ),
+            F.sum(F.when(keep, F.col("toks")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.max("tstar").alias("threshold_bucket"),
+            F.floor(
+                F.lit(10000.0)
+                * F.sum(F.when(keep, F.col("toks")).otherwise(0))
+                / F.sum("toks")
+                + F.lit(0.5)
+            ).alias("kept_rate_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+#: fixed absolute stratum width over the integer squared-L2 grid
+#: (per-dim fixed-point ×10000, summed): ~9 strata for unit-norm-ish
+#: embeddings (d² ∈ [0, ~2.1] → d2_fp ∈ [0, ~21000]).
+_STRATUM_W = 2500
+
+#: number of fixed quantizer centroids (first _K corpus vectors — the
+#: same fixed-quantizer convention as kmeans_embedding_clusters / IVF).
+_K = 8
+
+_DIVERSITY_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), c AS (
+  SELECT CAST(vec_id AS INTEGER) AS cl, e AS ce FROM v WHERE vec_id < {_K}
+), scored AS (
+  SELECT v.vec_id, c.cl,
+         CAST(list_sum(list_transform(range(1, len(v.e) + 1),
+           i -> CAST(floor((v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]) * 10000
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS BIGINT)
+           AS d2_fp
+  FROM v, c
+), assigned AS (
+  SELECT vec_id, cl AS cluster, d2_fp FROM (
+    SELECT vec_id, cl, d2_fp,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2_fp, cl) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), strata AS (
+  SELECT vec_id, cluster, d2_fp, d2_fp // {_STRATUM_W} AS stratum,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM assigned
+), reps AS (
+  SELECT cluster, stratum, vec_id AS rep_vec_id FROM (
+    SELECT cluster, stratum, vec_id,
+           row_number() OVER (PARTITION BY cluster, stratum
+                              ORDER BY h, vec_id) AS rn
+    FROM strata
+  ) WHERE rn = 1
+)
+SELECT s.cluster, s.stratum,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(s.d2_fp) AS BIGINT) AS min_d2_fp,
+       CAST(MAX(s.d2_fp) AS BIGINT) AS max_d2_fp,
+       MAX(r.rep_vec_id) AS rep_vec_id
+FROM strata s JOIN reps r
+  ON s.cluster = r.cluster AND s.stratum = r.stratum
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("embedding_diversity_sample", oracle=_DIVERSITY_ORACLE)
+def embedding_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-stratified diversity sampling over the embedding corpus:
+    assign every vector to its nearest fixed centroid (first {_K} corpus
+    vectors — the registry's fixed-quantizer convention), stratify each
+    cluster by a FIXED absolute distance grid, and elect one
+    hash-deterministic representative per (cluster × stratum) cell. The
+    output grid is the diversity-preserving subset (plus per-cell
+    membership stats): near-centroid cells capture the modes, far cells
+    capture the tails — the coverage-first subsampling used to build
+    eval/seed sets, as opposed to uniform sampling which oversamples
+    dense modes.
+
+    Scale: no per-cluster rank window (a membership-sized sort per
+    cluster — unbounded at corpus scale). Scoring is one broadcast
+    crossJoin against the {_K}-row centroid table; assignment and
+    representative election are grouped ``min(struct)`` aggregations with
+    map-side partial combine. Distances are per-dimension fixed-point
+    integers summed as BIGINTs — order-free, so Spark's fold and the
+    oracle's list_sum agree bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    fixed = emb.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").cast("int").alias("cl"), v.alias("ce")
+    )
+    d2_fp = F.aggregate(
+        F.zip_with(
+            v,
+            F.col("ce"),
+            lambda x, y: F.floor((x - y) * (x - y) * 10000 + F.lit(0.5)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.select("vec_id", v.alias("embedding"))
+        .crossJoin(F.broadcast(fixed))
+        .select("vec_id", "cl", d2_fp.alias("d2_fp"))
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2_fp", "cl")).alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.cl").alias("cluster"),
+            F.col("best.d2_fp").alias("d2_fp"),
+        )
+    )
+    strata = assigned.select(
+        "vec_id",
+        "cluster",
+        "d2_fp",
+        F.expr(f"d2_fp div {_STRATUM_W}").alias("stratum"),
+        stable_hash(F.col("vec_id")).alias("h"),
+    )
+    return (
+        strata.groupBy("cluster", "stratum")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("d2_fp").alias("min_d2_fp"),
+            F.max("d2_fp").alias("max_d2_fp"),
+            F.min(F.struct("h", "vec_id")).alias("__rep"),
+        )
+        .select(
+            "cluster",
+            "stratum",
+            "n_members",
+            "min_d2_fp",
+            "max_d2_fp",
+            F.col("__rep.vec_id").alias("rep_vec_id"),
+        )
+        .orderBy("cluster", "stratum")
+    )
+
+
+#: Greenwald-Khanna accuracy for the banded gate: rank error ≤ 1/100.
+_GK_ACCURACY = 100
+
+_QSKETCH_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(quantile_cont("value", 0.5), 2) AS exact_p50,
+       ROUND(quantile_cont("value", 0.9), 2) AS exact_p90,
+       TRUE AS p50_within_band,
+       TRUE AS p90_within_band
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_quantile_sketch_band", oracle=_QSKETCH_ORACLE)
+def events_quantile_sketch_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-error certification of the quantile-sketch path — the
+    ``percentile_approx`` twin of ``events_hll_error_band``. Per event
+    type: the EXACT p50/p90 (value-checked against the oracle) plus
+    booleans asserting the Greenwald-Khanna sketch estimate lands inside
+    a RANK band the sketch's contract guarantees: with accuracy=100 the
+    returned sample's rank is within ±1% of the target, so its VALUE must
+    lie between the exact p40..p60 (resp. p85..p95) cut points — a
+    ~10-sigma band that never flakes on a healthy sketch and flips FALSE
+    (a driver hash mismatch) on a broken one.
+
+    Scale: exact grouped percentiles buffer each group's values — the
+    gate-scale certification side only. The sketch side is the 100 TB
+    path: fixed-size mergeable summaries, map-side combine, one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = F.percentile(
+        F.col("value"), F.array(*[F.lit(x) for x in (0.4, 0.5, 0.6, 0.85, 0.9, 0.95)])
+    )
+    est = F.percentile_approx(
+        F.col("value"), F.array(F.lit(0.5), F.lit(0.9)), F.lit(_GK_ACCURACY)
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), exact.alias("__ex"), est.alias("__est")
+    )
+    return per.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("__ex")[1], 2).alias("exact_p50"),
+        F.round(F.col("__ex")[4], 2).alias("exact_p90"),
+        (
+            (F.col("__est")[0] >= F.col("__ex")[0])
+            & (F.col("__est")[0] <= F.col("__ex")[2])
+        ).alias("p50_within_band"),
+        (
+            (F.col("__est")[1] >= F.col("__ex")[3])
+            & (F.col("__est")[1] <= F.col("__ex")[5])
+        ).alias("p90_within_band"),
+    ).orderBy("event_type")
+
+
+__all__ = [
+    "doc_quality_calibration",
+    "embedding_diversity_sample",
+    "events_quantile_sketch_band",
+    "release_calibration_caches",
+]

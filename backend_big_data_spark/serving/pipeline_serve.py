@@ -40,6 +40,9 @@ NAMED_ROUTES = {
     "/ops/hllErrorBand": "events_hll_error_band",
     "/ops/sourceOverlap": "source_overlap_matrix",
     "/ops/minhashBias": "minhash_bias_eval",
+    "/ops/qualityCalibration": "doc_quality_calibration",
+    "/ops/diversitySample": "embedding_diversity_sample",
+    "/ops/quantileSketchBand": "events_quantile_sketch_band",
 }
 
 

@@ -95,12 +95,23 @@ def drift_score(batch_counts: DataFrame, corpus_counts: DataFrame) -> DataFrame:
     )
 
 
-def drift_monitor_sink(counts_dir: str, metrics_dir: str):
+def drift_monitor_sink(
+    counts_dir: str,
+    metrics_dir: str,
+    auto_compact_every: int | None = None,
+):
     """``foreachBatch`` function: score the arriving batch against the
     corpus-so-far, append the one-row metric (keyed by batch id), then
     append the batch's own counts as ``delta=N``. First batch scores
     against an EMPTY corpus (all-new vocabulary — the expected spike).
-    Replays overwrite their own delta/metric directories (idempotent)."""
+    Replays overwrite their own delta/metric directories (idempotent).
+
+    ``auto_compact_every``: once more than this many ``delta=N``
+    directories exist, fold the commit-stable prefix into one pre-summed
+    delta (`streaming.maintenance.compact_drift_counts`) — bounding the
+    reader-side merge at O(auto_compact_every) directories instead of
+    O(total batches). The newest delta is never folded (replay safety),
+    and a replayed fold is itself idempotent (same union, same sum)."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -116,6 +127,16 @@ def drift_monitor_sink(counts_dir: str, metrics_dir: str):
         )
         bc.write.mode("overwrite").parquet(f"{counts_dir}/delta={batch_id}")
         bc.unpersist()
+        if auto_compact_every is not None:
+            n_deltas = len(
+                fsutil.list_subdirs(spark, counts_dir, prefix="delta=")
+            )
+            if n_deltas > auto_compact_every:
+                from backend_big_data_spark.streaming.maintenance import (
+                    compact_drift_counts,
+                )
+
+                compact_drift_counts(spark, counts_dir, keep_latest=1)
 
     return apply
 

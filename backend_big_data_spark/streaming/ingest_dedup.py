@@ -355,6 +355,7 @@ def ingest_dedup_sink(
     threshold: float = 0.5,
     use_bloom: bool = True,
     use_band_index: bool = True,
+    auto_compact_every: int | None = None,
 ):
     """``foreachBatch`` function maintaining a deduped corpus at
     ``corpus_dir`` (one ``batch=N`` subdirectory per micro-batch).
@@ -371,7 +372,15 @@ def ingest_dedup_sink(
     sidecar (``bands/batch=N``) and probes it instead of re-shingling
     the corpus (`dedup_batch_against_corpus_indexed`) — identical
     survivor sets, per-batch corpus cost reduced to two map-side
-    broadcast semi-joins (band keys, then candidate ids)."""
+    broadcast semi-joins (band keys, then candidate ids).
+
+    ``auto_compact_every``: once more than this many ``batch=N``
+    directories exist, fold the commit-stable prefix (survivors + band
+    sidecar, Bloom covered-set repointed) via
+    `streaming.maintenance.compact_ingest_corpus` — bounding per-probe
+    file-listing/footer cost at O(auto_compact_every) directories. The
+    newest directory is never folded, so the current batch can always
+    replay."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -414,6 +423,16 @@ def ingest_dedup_sink(
             merged = b if bloom_words is None else merge_blooms(bloom_words, b)
             save_corpus_bloom(spark, corpus_dir, merged, bloom_batches | {bdir})
         release_dedup_caches()
+        if auto_compact_every is not None:
+            n_dirs = len(
+                fsutil.list_subdirs(spark, corpus_dir, prefix="batch=")
+            )
+            if n_dirs > auto_compact_every:
+                from backend_big_data_spark.streaming.maintenance import (
+                    compact_ingest_corpus,
+                )
+
+                compact_ingest_corpus(spark, corpus_dir, keep_latest=1)
 
     return apply
 

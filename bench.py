@@ -131,6 +131,11 @@ HEADLINE = [
     "minhash_bias_eval",
     "doc_pack_efficiency",
     "doc_eval_overlap_spans",
+    # round-6c: budget-driven quality calibration (histogram threshold,
+    # no corpus sort) and distance-stratified diversity sampling
+    "doc_quality_calibration",
+    "embedding_diversity_sample",
+    "events_quantile_sketch_band",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
@@ -191,6 +196,7 @@ def main() -> None:
     # was run-to-run JVM state, NOT in-run cache pressure — these boundaries
     # are hygiene, not a measured perf fix.
     from backend_big_data_spark.plans.curation import release_pipeline_caches
+    from backend_big_data_spark.plans.round6c import release_calibration_caches
     from backend_big_data_spark.text.dedup import release_dedup_caches
 
     release_after = {
@@ -198,6 +204,8 @@ def main() -> None:
         "doc_prefix_join_pairs": release_dedup_caches,
         # last HEADLINE consumer of the persisted pipeline stage frames
         "doc_cleaning_pipeline_funnel": release_pipeline_caches,
+        # releases its own per-run score grid
+        "doc_quality_calibration": release_calibration_caches,
     }
 
     timings: dict[str, float] = {}

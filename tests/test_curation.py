@@ -1204,3 +1204,121 @@ def test_compact_drift_counts_preserves_scores(spark, tmp_path):
     got = {r.batch_id: r.drift_fp for r in read_drift_metrics(spark, metrics).collect()}
     want = {r.batch_id: r.drift_fp for r in read_drift_metrics(spark, mtwin).collect()}
     assert got[3] == want[3]
+
+
+# ---------------------------------------------------------------------------
+# round-6c: quality calibration + diversity sampling
+# ---------------------------------------------------------------------------
+
+
+def test_doc_quality_calibration_budget_semantics(spark, tmp_path):
+    """Crafted corpus with four distinct score buckets: the threshold must
+    be the HIGHEST bucket meeting the 70%-of-tokens budget, and the
+    per-source keep stats must follow from that single global cut."""
+    import os
+
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    rows = [
+        # 10 tokens each; ttr 1.0 / 0.5 / 0.2 / 0.1 → buckets 250/125/50/25
+        (1, " ".join(f"a{i}" for i in range(10)), "a"),
+        (2, "b1 b2 b3 b4 b5 b1 b2 b3 b4 b5", "a"),
+        (3, "c1 c2 c1 c2 c1 c2 c1 c2 c1 c2", "b"),
+        (4, "d d d d d d d d d d", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {
+        r.source: r
+        for r in QUERIES["doc_quality_calibration"](spark, str(tmp_path)).collect()
+    }
+    # kept(250)=10 < 28, kept(125)=20 < 28, kept(50)=30 >= 28 → t*=50
+    assert out["a"].threshold_bucket == 50 and out["b"].threshold_bucket == 50
+    assert (out["a"].kept_docs, out["a"].kept_tokens, out["a"].kept_rate_fp) == (2, 20, 10000)
+    assert (out["b"].kept_docs, out["b"].kept_tokens, out["b"].kept_rate_fp) == (1, 10, 5000)
+    assert (out["a"].n_docs, out["a"].n_tokens) == (2, 20)
+    assert (out["b"].n_docs, out["b"].n_tokens) == (2, 20)
+
+
+def test_embedding_diversity_sample_strata(spark, tmp_path):
+    """Crafted 2-d embeddings: 8 far-apart centroids (vec_id < 8), probe
+    points at controlled distances from centroid 0 land in the expected
+    (cluster, stratum) cells, each cell elects exactly one member as rep."""
+    import os
+
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    rows = [(i, [float(100 * (i + 1)), 0.0], 0) for i in range(8)]
+    rows += [
+        (8, [100.0, 0.1], 0),   # d2=0.01 → d2_fp=100   → cluster 0, stratum 0
+        (9, [100.0, 1.0], 0),   # d2=1.0  → d2_fp=10000 → cluster 0, stratum 4
+        (10, [200.0, 1.2], 0),  # d2=1.44 → d2_fp=14400 → cluster 1, stratum 5
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = QUERIES["embedding_diversity_sample"](spark, str(tmp_path)).collect()
+    cells = {(r.cluster, r.stratum): r for r in out}
+    # every centroid's own vector sits at d2=0 in its stratum-0 cell
+    assert set(cells) == {(i, 0) for i in range(8)} | {(0, 4), (1, 5)}
+    assert cells[(0, 0)].n_members == 2  # vec 0 + vec 8
+    assert cells[(0, 0)].min_d2_fp == 0 and cells[(0, 0)].max_d2_fp == 100
+    assert cells[(0, 4)].rep_vec_id == 9 and cells[(0, 4)].n_members == 1
+    assert cells[(1, 5)].rep_vec_id == 10
+    assert cells[(0, 0)].rep_vec_id in (0, 8)
+    # deterministic: identical grid on re-run
+    again = QUERIES["embedding_diversity_sample"](spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_sink_auto_compaction_policy(spark, tmp_path):
+    """auto_compact_every bounds the directory count while preserving
+    reads and admission decisions vs an uncompacted twin."""
+    import os
+
+    from backend_big_data_spark.streaming.drift_monitor import (
+        drift_monitor_sink,
+        read_corpus_counts,
+        read_drift_metrics,
+    )
+    from backend_big_data_spark.streaming.ingest_dedup import (
+        ingest_dedup_sink,
+        read_corpus,
+    )
+    from backend_big_data_spark.text.dedup import release_dedup_caches
+
+    cdir, twin = str(tmp_path / "c"), str(tmp_path / "t")
+    auto = ingest_dedup_sink(cdir, threshold=0.5, auto_compact_every=2)
+    plain = ingest_dedup_sink(twin, threshold=0.5)
+    batches = [
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        [(2, "one two three four five six seven")],
+        [(3, "alpha beta gamma delta epsilon zeta tail")],  # near-dup of 1
+        [(4, "completely fresh standalone content here")],
+    ]
+    for i, rows in enumerate(batches):
+        auto(_docs(spark, rows), i)
+        release_dedup_caches()
+        plain(_docs(spark, rows), i)
+        release_dedup_caches()
+    n_dirs = len([d for d in os.listdir(cdir) if d.startswith("batch=")])
+    assert n_dirs <= 3  # bounded: folded prefix + kept latest + current
+    got = sorted(r.doc_id for r in read_corpus(spark, cdir).collect())
+    want = sorted(r.doc_id for r in read_corpus(spark, twin).collect())
+    assert got == want and 3 not in got
+
+    mdir, md2 = str(tmp_path / "m"), str(tmp_path / "m2")
+    k1, k2 = str(tmp_path / "k1"), str(tmp_path / "k2")
+    dauto = drift_monitor_sink(k1, mdir, auto_compact_every=2)
+    dplain = drift_monitor_sink(k2, md2)
+    for i, rows in enumerate(batches):
+        dauto(_docs(spark, rows), i)
+        dplain(_docs(spark, rows), i)
+    assert len([d for d in os.listdir(k1) if d.startswith("delta=")]) <= 3
+    assert sorted(map(tuple, read_corpus_counts(spark, k1).collect())) == sorted(
+        map(tuple, read_corpus_counts(spark, k2).collect())
+    )
+    got_m = {r.batch_id: r.drift_fp for r in read_drift_metrics(spark, mdir).collect()}
+    want_m = {r.batch_id: r.drift_fp for r in read_drift_metrics(spark, md2).collect()}
+    assert got_m == want_m

@@ -47,6 +47,16 @@ def test_named_operational_routes(app):
     assert status == "200 OK"
     assert all(r["within_band"] for r in payload)
 
+    status, payload, _ = _call(app, "/ops/qualityCalibration")
+    assert status == "200 OK"
+    assert payload and {"source", "threshold_bucket", "kept_rate_fp"} <= set(
+        payload[0]
+    )
+
+    status, payload, _ = _call(app, "/ops/quantileSketchBand")
+    assert status == "200 OK"
+    assert all(r["p50_within_band"] and r["p90_within_band"] for r in payload)
+
 
 def test_introspection_lists_registry(app):
     status, names, _ = _call(app, "/ops/queries")
