@@ -109,23 +109,12 @@ ORDER BY source
 """
 
 
-@register("doc_quality_calibration", oracle=_CALIBRATION_ORACLE)
-def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Budget-driven quality-threshold calibration: find the single
-    global score threshold that keeps ≥ 70% of corpus TOKENS (the
-    highest such threshold — minimal overshoot, bounded by one bucket's
-    mass), then report the per-source consequences: docs/tokens kept and
-    the realized keep rate. This is the knob-setting readout you run
-    before a quality-filter pass — "what cut do I make to hit my token
-    budget, and which sources does it hit hardest?"
-
-    Score: fixed-point type-token ratio (distinct/total whitespace
-    tokens, ×10000) bucketed into a 251-cell histogram. No document-level
-    sort anywhere: one ``groupBy(source, bucket)`` shuffle at data scale,
-    a cumulative window over the ≤251-row global histogram, and a
-    broadcast 1-row threshold join. Integer cross-multiplication
-    (10·kept ≥ 7·total) decides the budget — no float compares."""
-    docs = load_table(spark, sf_dir, "documents")
+def score_grid(docs: DataFrame) -> DataFrame:
+    """(source, text) rows → the (source, bucket, n_docs, toks)
+    calibration grid: fixed-point type-token-ratio score, ``_QBUCKET``
+    buckets. One data-scale shuffle; grids MERGE by keyed sum, which is
+    what makes the streaming twin (`streaming/quality_monitor.py`)
+    possible — the at-rest state is this grid, never the documents."""
     toks = tokens(F.col("text"))
     scored = (
         docs.select(
@@ -138,19 +127,19 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("n").cast("long").alias("n_tokens"),
             F.expr(
-                "CAST(floor(10000.0 * d / n + 0.5D) AS BIGINT) div 40"
+                f"CAST(floor(10000.0 * d / n + 0.5D) AS BIGINT) div {_QBUCKET}"
             ).alias("bucket"),
         )
     )
-    # the grid is sources×251 rows — persist it so the threshold branch
-    # and the final per-source rollup share ONE corpus scan (the plan
-    # otherwise re-tokenizes the corpus once per branch)
-    grid = (
-        scored.groupBy("source", "bucket")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("toks"))
-        .persist()
+    return scored.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("toks")
     )
-    _CALIBRATION_PERSISTED.append(grid)
+
+
+def calibration_from_grid(grid: DataFrame) -> DataFrame:
+    """Grid → per-source calibration verdict (the query's output table).
+    Every input is already aggregated: windows run over the ≤251-row
+    global histogram, the threshold broadcasts as one row."""
     from pyspark.sql.window import Window
 
     glob = grid.groupBy("bucket").agg(F.sum("toks").alias("btoks"))
@@ -194,6 +183,34 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("doc_quality_calibration", oracle=_CALIBRATION_ORACLE)
+def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven quality-threshold calibration: find the single
+    global score threshold that keeps ≥ 70% of corpus TOKENS (the
+    highest such threshold — minimal overshoot, bounded by one bucket's
+    mass), then report the per-source consequences: docs/tokens kept and
+    the realized keep rate. This is the knob-setting readout you run
+    before a quality-filter pass — "what cut do I make to hit my token
+    budget, and which sources does it hit hardest?"
+
+    Score: fixed-point type-token ratio (distinct/total whitespace
+    tokens, ×10000) bucketed into a 251-cell histogram
+    (:func:`score_grid`). No document-level sort anywhere: one
+    ``groupBy(source, bucket)`` shuffle at data scale, a cumulative
+    window over the ≤251-row global histogram, and a broadcast 1-row
+    threshold join (:func:`calibration_from_grid`). Integer
+    cross-multiplication (10·kept ≥ 7·total) decides the budget — no
+    float compares. `streaming/quality_monitor.py` maintains the same
+    grid incrementally."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the grid is sources×251 rows — persist it so the threshold branch
+    # and the final per-source rollup share ONE corpus scan (the plan
+    # otherwise re-tokenizes the corpus once per branch)
+    grid = score_grid(docs).persist()
+    _CALIBRATION_PERSISTED.append(grid)
+    return calibration_from_grid(grid)
 
 
 #: fixed absolute stratum width over the integer squared-L2 grid
@@ -381,8 +398,10 @@ def events_quantile_sketch_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = [
+    "calibration_from_grid",
     "doc_quality_calibration",
     "embedding_diversity_sample",
     "events_quantile_sketch_band",
     "release_calibration_caches",
+    "score_grid",
 ]

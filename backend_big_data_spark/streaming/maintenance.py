@@ -108,6 +108,23 @@ def compact_ingest_corpus(
     return folded
 
 
+def compact_quality_grid(
+    spark: SparkSession, grid_dir: str, keep_latest: int = 1
+) -> list[int]:
+    """Fold the commit-stable prefix of the quality monitor's ``delta=N``
+    calibration-grid log into one pre-summed grid (the reader's keyed
+    merge done once and persisted). Returns the folded batch ids."""
+    return _fold(
+        spark,
+        grid_dir,
+        "delta",
+        keep_latest,
+        reducer=lambda df: df.groupBy("source", "bucket").agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("toks").alias("toks")
+        ),
+    )
+
+
 def compact_drift_counts(
     spark: SparkSession, counts_dir: str, keep_latest: int = 1
 ) -> list[int]:
@@ -123,4 +140,4 @@ def compact_drift_counts(
     )
 
 
-__all__ = ["compact_drift_counts", "compact_ingest_corpus"]
+__all__ = ["compact_drift_counts", "compact_ingest_corpus", "compact_quality_grid"]
