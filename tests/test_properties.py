@@ -100,3 +100,87 @@ def test_minhash_estimates_bounded_and_canonical(spark, texts):
         assert r.doc_a < r.doc_b          # canonical orientation, no dupes
     keys = [(r.doc_a, r.doc_b) for r in pairs]
     assert len(keys) == len(set(keys))
+
+
+grid_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),                # source
+        st.integers(min_value=0, max_value=250),         # bucket
+        st.integers(min_value=1, max_value=20),          # n_docs
+        st.integers(min_value=1, max_value=5000),        # toks
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(cells=grid_strategy)
+@_settings
+def test_calibration_threshold_is_optimal(spark, cells):
+    """The chosen threshold keeps >= 70% of tokens, AND is the HIGHEST
+    such threshold: raising it to the next occupied bucket must break
+    the budget. Verified against a driver-side brute force."""
+    from backend_big_data_spark.plans.round6c import calibration_from_grid
+
+    grid = (
+        spark.createDataFrame(
+            cells, "source string, bucket long, n_docs long, toks long"
+        )
+        .groupBy("source", "bucket")
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("toks").alias("toks"))
+    )
+    out = calibration_from_grid(grid).collect()
+    tstar = out[0].threshold_bucket
+    assert all(r.threshold_bucket == tstar for r in out)
+    hist: dict[int, int] = {}
+    for _, bucket, _, toks in cells:
+        hist[bucket] = hist.get(bucket, 0) + toks
+    total = sum(hist.values())
+    kept = sum(t for b, t in hist.items() if b >= tstar)
+    assert 10 * kept >= 7 * total  # budget met
+    higher = sorted(b for b in hist if b > tstar)
+    if higher:
+        kept_next = sum(t for b, t in hist.items() if b >= higher[0])
+        assert 10 * kept_next < 7 * total  # minimal overshoot
+    # per-source sums agree with the brute force
+    for r in out:
+        want = sum(t for s, b, _, t in cells if s == r.source and b >= tstar)
+        assert r.kept_tokens == want
+
+
+@given(
+    hashes=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    ),
+    flips=st.lists(st.integers(min_value=0, max_value=63), max_size=3),
+)
+@_settings
+def test_dhash_banding_lossless_radius3(spark, hashes, flips):
+    """Banded blocking finds EVERY pair within Hamming distance 3 —
+    including a crafted pair built by flipping <= 3 bits of an existing
+    hash — matching a brute-force scan exactly."""
+    from backend_big_data_spark.multimodal.phash import hamming_near_dup_pairs
+
+    crafted = hashes[0]
+    for bit in set(flips):
+        crafted ^= 1 << bit
+    crafted &= (1 << 64) - 1  # two's-complement wrap to signed 64-bit
+    crafted = crafted - (1 << 64) if crafted >= (1 << 63) else crafted
+    vals = list(dict.fromkeys(hashes + [crafted]))
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(vals)], "media_id long, dhash long"
+    )
+    got = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in hamming_near_dup_pairs(df, max_distance=3).collect()
+    }
+    want = {}
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            d = bin((vals[i] ^ vals[j]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(i, j)] = d
+    assert got == want
