@@ -340,6 +340,125 @@ def embedding_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: CDC boundary modulus: a token opens a new chunk when its stable hash
+#: ≡ 0 (mod 8) → expected chunk length 8 tokens.
+_CDC_MOD = 8
+
+_CDC_ORACLE = r"""
+WITH tt AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), toks AS (
+  SELECT doc_id, source, u.pos, t[u.pos] AS tok
+  FROM tt, LATERAL unnest(range(1, len(t) + 1)) AS u(pos)
+), marked AS (
+  SELECT doc_id, source, tok, pos,
+         CASE WHEN CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 8 = 0
+              THEN 1 ELSE 0 END AS is_boundary
+  FROM toks
+), chunked AS (
+  SELECT doc_id, source, tok, pos,
+         CAST(SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS chunk_id
+  FROM marked
+), chunks AS (
+  SELECT doc_id, source, chunk_id,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp,
+         CAST(COUNT(*) AS BIGINT) AS chunk_toks
+  FROM chunked GROUP BY 1, 2, 3
+), freq AS (
+  SELECT chunk_fp, COUNT(*) AS df FROM chunks GROUP BY 1
+)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT c.chunk_fp) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN f.df > 1 THEN c.chunk_toks ELSE 0 END) AS BIGINT)
+         AS dup_chunk_tokens,
+       CAST(SUM(c.chunk_toks) AS BIGINT) AS total_tokens,
+       CAST(floor(1000000.0
+                  * SUM(CASE WHEN f.df > 1 THEN c.chunk_toks ELSE 0 END)
+                  / SUM(c.chunk_toks) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS dup_token_ppm
+FROM chunks c JOIN freq f ON c.chunk_fp = f.chunk_fp
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("doc_cdc_chunk_dups", oracle=_CDC_ORACLE)
+def doc_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking duplication audit: partition every
+    document into variable-length chunks at content-determined
+    boundaries (a token opens a chunk when its stable hash ≡ 0 mod
+    ``_CDC_MOD`` — the storage-dedup CDC idea applied at token level),
+    fingerprint each chunk, and report per-source duplicated-chunk token
+    mass. Unlike fixed-k spans (`doc_duplicate_spans`) or line segments
+    (`doc_segment_dedup`), CDC boundaries RESYNCHRONIZE after
+    insertions/deletions: editing one token shifts at most its own
+    chunk, so shared runs between edited copies still collide — the
+    insertion-robust member of the dedup family.
+
+    Scale: tokenize+boundary is map-side; the chunk-id cumsum is a
+    per-document window (bounded by document length, the same shape as
+    the span/segment ops); chunk assembly and frequency are two keyed
+    shuffles on (doc, chunk) / fingerprint. Output is a bounded
+    per-source grid."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    marked = toks.withColumn(
+        "is_boundary",
+        (stable_hash(F.col("tok")) % _CDC_MOD == 0).cast("long"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chunked = marked.withColumn("chunk_id", F.sum("is_boundary").over(w))
+    chunks = (
+        chunked.groupBy("doc_id", "source", "chunk_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_fp"),
+            F.count("*").alias("chunk_toks"),
+        )
+    )
+    freq = chunks.groupBy("chunk_fp").agg(F.count("*").alias("df"))
+    dup_toks = F.sum(
+        F.when(F.col("df") > 1, F.col("chunk_toks")).otherwise(0)
+    )
+    return (
+        chunks.join(freq, "chunk_fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("chunk_fp").alias("n_unique"),
+            dup_toks.alias("dup_chunk_tokens"),
+            F.sum("chunk_toks").alias("total_tokens"),
+            F.floor(
+                F.lit(1000000.0) * dup_toks / F.sum("chunk_toks")
+                + F.lit(0.5)
+            ).alias("dup_token_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 #: Greenwald-Khanna accuracy for the banded gate: rank error ≤ 1/100.
 _GK_ACCURACY = 100
 
@@ -399,6 +518,7 @@ def events_quantile_sketch_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 __all__ = [
     "calibration_from_grid",
+    "doc_cdc_chunk_dups",
     "doc_quality_calibration",
     "embedding_diversity_sample",
     "events_quantile_sketch_band",

@@ -1322,3 +1322,44 @@ def test_sink_auto_compaction_policy(spark, tmp_path):
     got_m = {r.batch_id: r.drift_fp for r in read_drift_metrics(spark, mdir).collect()}
     want_m = {r.batch_id: r.drift_fp for r in read_drift_metrics(spark, md2).collect()}
     assert got_m == want_m
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark, tmp_path):
+    """The CDC property: inserting one token perturbs only the chunk it
+    lands in — every chunk fingerprint outside that chunk survives, so
+    the edited copy still collides with the original on shared runs."""
+    import os
+
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    import hashlib
+
+    def is_boundary(tok: str) -> bool:  # replicate stable_hash % 8 == 0
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 8 == 0
+
+    # build a corpus with KNOWN chunk structure: 4 chunks of exactly
+    # 4 tokens each (every chunk opens with a boundary token)
+    fillers = iter(f"f{i}" for i in range(10000))
+    bounds = iter(f"b{i}" for i in range(10000))
+    filler3 = lambda: [next(t for t in fillers if not is_boundary(t)) for _ in range(3)]
+    boundary = lambda: next(t for t in bounds if is_boundary(t))
+    chunks = [[boundary()] + filler3() for _ in range(4)]
+    base_tokens = [t for c in chunks for t in c]
+    base = " ".join(base_tokens)
+    # insert one NON-boundary token into chunk 2 (tokens 8..11): only
+    # that chunk's fingerprint changes; chunks 0, 1, 3 still collide
+    ins = next(t for t in fillers if not is_boundary(t))
+    edited = " ".join(base_tokens[:10] + [ins] + base_tokens[10:])
+    rows = [(1, base, "a"), (2, edited, "a"), (3, "x1 x2 x3 x4", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {
+        r.source: r
+        for r in QUERIES["doc_cdc_chunk_dups"](spark, str(tmp_path)).collect()
+    }
+    a = out["a"]
+    # 33 tokens total; chunks 0/1/3 (12 tokens) collide in both copies
+    # = 24 dup tokens; the edited chunk 2 (4 vs 5 tokens) does not
+    assert (a.n_chunks, a.n_unique) == (8, 5)
+    assert (a.dup_chunk_tokens, a.total_tokens) == (24, 33)
+    assert out["b"].dup_chunk_tokens == 0
