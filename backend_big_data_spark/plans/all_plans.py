@@ -106,9 +106,11 @@ _FRONT = [
 ]
 # Round-7 rotation note: lead the next _FRONT with (a) the queries whose
 # implementing files DRIFT in round 6 and whose newest green row predates
-# that drift (track per-commit; at minimum the round5b.py family re-lands
-# here if round5b.py changes again after the r06 gate), then (b) any r06
-# window spills, then (c) queries registered after the r06 window froze —
+# that drift — known so far: doc_semdedup_kept, doc_semdedup_blocked,
+# doc_incremental_semdedup (similarity/semdedup.py gained the adaptive
+# star-CC guard after the r06 window froze; re-verified 3/3 at sf0.01 +
+# sf0.1 in-session) — plus the round5b.py family if round5b.py changes
+# again after the r06 gate, then (b) any r06 window spills, then (c) queries registered after the r06 window froze —
 # doc_pack_efficiency, dedup_cluster_spectrum and doc_eval_overlap_spans
 # (plans/round6b.py), doc_quality_calibration,
 # embedding_diversity_sample, events_quantile_sketch_band and

@@ -39,6 +39,11 @@ from pyspark.sql import functions as F
 from backend_big_data_spark.ml.clustering import assign_to_centroids
 from backend_big_data_spark.similarity.neardup import blocked_cosine_pairs
 
+#: batch near-graphs larger than this switch the within-batch CC from
+#: min-label propagation (O(diameter) rounds) to large/small-star
+#: contraction (O(log n) rounds) — the mega-batch guard.
+_STAR_CC_EDGE_THRESHOLD = 100_000
+
 
 def semdedup(
     df: DataFrame,
@@ -159,16 +164,31 @@ def incremental_semdedup(
         )
         dropped = cross
     if within_batch:
-        from backend_big_data_spark.operators.graph import connected_components
+        from backend_big_data_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
 
         pairs = blocked_cosine_pairs(
             labeled, "cluster", threshold, id_col=id_col, vec_col=array_col
+        ).persist()
+        # adaptive CC: min-label propagation is O(diameter) rounds — fine
+        # for the typical small batch near-graph — but a pathological
+        # mega-batch (or one long chain of near-dups) wants the
+        # O(log n)-round large/small-star contraction. A bounded probe
+        # (limit+count stops scanning at the threshold) picks the variant
+        # without ever counting the full edge set.
+        big = (
+            pairs.limit(_STAR_CC_EDGE_THRESHOLD + 1).count()
+            > _STAR_CC_EDGE_THRESHOLD
         )
+        cc = connected_components_star if big else connected_components
         losers = (
-            connected_components(pairs, src="vec_id_a", dst="vec_id_b")
+            cc(pairs, src="vec_id_a", dst="vec_id_b")
             .filter(F.col("node") != F.col("component"))
             .select(F.col("node").alias(id_col))
         )
+        pairs.unpersist()
         dropped = losers if dropped is None else dropped.unionByName(losers)
 
     if dropped is None:

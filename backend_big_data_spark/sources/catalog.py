@@ -184,11 +184,20 @@ def ensure_parallelism(df: DataFrame, partitions: int | None = None) -> DataFram
     Small parquet files arrive as one input split, which would serialize
     expression-heavy per-row work (shingling, hashing, pandas UDFs) onto one
     core. One cheap shuffle of the raw rows buys full-cluster parallelism
-    for everything downstream. At 100 TB inputs already split ≥ core count,
-    so this becomes a no-op cost-wise (and can be skipped by callers that
-    know their input is large).
+    for everything downstream.
+
+    LOCAL-MODE ONLY: on a cluster master this returns ``df`` unchanged —
+    at 100 TB inputs already split ≥ core count and a blanket repartition
+    of the raw rows would be a pure-cost full shuffle. The guard makes
+    "keep this out of the cluster profile" structural instead of a
+    calling-convention footnote. Pass ``partitions`` explicitly to force
+    a repartition anywhere.
     """
     spark = df.sparkSession
+    if partitions is None and not spark.sparkContext.master.startswith(
+        "local"
+    ):
+        return df
     n = partitions or spark.sparkContext.defaultParallelism
     return df.repartition(n)
 
