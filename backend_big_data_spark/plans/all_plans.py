@@ -113,9 +113,9 @@ _FRONT = [
 # again after the r06 gate, then (b) any r06 window spills, then (c) queries registered after the r06 window froze —
 # doc_pack_efficiency, dedup_cluster_spectrum and doc_eval_overlap_spans
 # (plans/round6b.py), doc_quality_calibration,
-# embedding_diversity_sample, events_quantile_sketch_band and
-# doc_cdc_chunk_dups (plans/round6c.py) — each hash-verified at
-# sf0.001 + sf0.01 + sf0.1 during round 6 —
+# embedding_diversity_sample, events_quantile_sketch_band,
+# doc_cdc_chunk_dups and corpus_datasheet (plans/round6c.py) — each
+# hash-verified at sf0.001 + sf0.01 + sf0.1 during round 6 —
 # then (d) queries new in round 7, then (e) the longest-stale blocks by
 # last-green round: the r02 relational set (pricing_summary,
 # revenue_by_region, revenue_forecast, orders_by_month, events_by_hour,

@@ -340,6 +340,88 @@ def embedding_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DATASHEET_ORACLE = r"""
+WITH d AS (
+  SELECT source, lang, text,
+         md5(text) AS fp,
+         len(string_split_regex(trim(text), '\s+')) AS n,
+         len(list_distinct(string_split_regex(trim(text), '\s+'))) AS dd
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(floor(1000000.0 * (COUNT(*) - COUNT(DISTINCT fp)) / COUNT(*)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS exact_dup_ppm,
+       CAST(floor(
+         (SELECT SUM(CAST(floor(10000.0 * dd / n + CAST(0.5 AS DOUBLE))
+                          AS BIGINT)) * 1.0 FROM d WHERE n > 0)
+         / (SELECT COUNT(*) FROM d WHERE n > 0)
+         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mean_ttr_fp,
+       ROUND(quantile_cont(n, 0.5), 2) AS p50_doc_tokens,
+       CAST(SUM(CASE WHEN n = 0 OR length(trim(text)) = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS empty_docs
+FROM d
+"""
+
+
+@register("corpus_datasheet", oracle=_DATASHEET_ORACLE)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet — the "describe my dataset" readout
+    (datasheets-for-datasets style, from the public documentation
+    literature): scale (docs/tokens/chars/sources/langs), exact-dup rate,
+    mean fixed-point type-token ratio, median document length, empty-doc
+    count. Composes the same deterministic primitives the per-op queries
+    certify, collapsed into a single broadcastable row a catalog UI or a
+    data-governance report consumes.
+
+    Scale: one pass over the corpus — every metric is a partial-aggregable
+    expression (count/sum/count-distinct over md5 fingerprints); the only
+    non-sketch cardinality is COUNT(DISTINCT fp), which Spark plans as a
+    two-phase expand-aggregate (swap to approx_count_distinct at true
+    corpus scale; the exact form is the gate-scale certification)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = docs.select(
+        "source",
+        "lang",
+        "text",
+        F.md5("text").alias("fp"),
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("dd"),
+    )
+    score_fp = F.expr("CAST(floor(10000.0 * dd / n + 0.5D) AS BIGINT)")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.count("*") - F.countDistinct("fp"))
+            / F.count("*")
+            + F.lit(0.5)
+        ).alias("exact_dup_ppm"),
+        F.floor(
+            F.sum(F.when(F.col("n") > 0, score_fp)) * F.lit(1.0)
+            / F.sum(F.when(F.col("n") > 0, 1).otherwise(0))
+            + F.lit(0.5)
+        ).alias("mean_ttr_fp"),
+        F.round(F.percentile(F.col("n"), F.lit(0.5)), 2).alias(
+            "p50_doc_tokens"
+        ),
+        F.sum(
+            F.when(
+                (F.col("n") == 0) | (F.length(F.trim(F.col("text"))) == 0),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("empty_docs"),
+    )
+
+
 #: CDC boundary modulus: a token opens a new chunk when its stable hash
 #: ≡ 0 (mod 8) → expected chunk length 8 tokens.
 _CDC_MOD = 8

@@ -43,6 +43,7 @@ NAMED_ROUTES = {
     "/ops/qualityCalibration": "doc_quality_calibration",
     "/ops/diversitySample": "embedding_diversity_sample",
     "/ops/quantileSketchBand": "events_quantile_sketch_band",
+    "/ops/datasheet": "corpus_datasheet",
 }
 
 

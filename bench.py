@@ -137,6 +137,7 @@ HEADLINE = [
     "embedding_diversity_sample",
     "events_quantile_sketch_band",
     "doc_cdc_chunk_dups",
+    "corpus_datasheet",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

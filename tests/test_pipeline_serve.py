@@ -57,6 +57,11 @@ def test_named_operational_routes(app):
     assert status == "200 OK"
     assert all(r["p50_within_band"] and r["p90_within_band"] for r in payload)
 
+    status, payload, _ = _call(app, "/ops/datasheet")
+    assert status == "200 OK"
+    assert len(payload) == 1 and payload[0]["n_docs"] > 0
+    assert {"total_tokens", "exact_dup_ppm", "mean_ttr_fp"} <= set(payload[0])
+
 
 def test_introspection_lists_registry(app):
     status, names, _ = _call(app, "/ops/queries")
