@@ -114,10 +114,21 @@ _FRONT = [
 # doc_pack_efficiency, dedup_cluster_spectrum and doc_eval_overlap_spans
 # (plans/round6b.py), doc_quality_calibration,
 # embedding_diversity_sample, events_quantile_sketch_band,
-# doc_cdc_chunk_dups and corpus_datasheet (plans/round6c.py) — each
-# hash-verified at sf0.001 + sf0.01 + sf0.1 during round 6 —
+# doc_cdc_chunk_dups, corpus_datasheet and doc_leakage_safe_split
+# (plans/round6c.py) — each hash-verified at sf0.001 + sf0.01 + sf0.1
+# during round 6 —
 # then (d) queries new in round 7, then (e) the longest-stale blocks by
-# last-green round: the r02 relational set (pricing_summary,
+# last-green round — the r02 relational set was builder-re-verified 20/20
+# at sf0.01 during round 6 (driver_sim: pricing_summary,
+# revenue_by_region, revenue_forecast, orders_by_month, events_by_hour,
+# top50_orders, top_brand_types, top3_parts_per_brand,
+# customers_without_orders, lineitem_flags_salted,
+# asof_signup_before_purchase, purchases_prior_events_1h, orders_page3,
+# parts_search_union, distinct_order_priorities,
+# part_small_quantity_revenue, sole_delayed_supplier,
+# top_supplier_quarter, part_min_price_suppliers,
+# dominant_part_suppliers) but still needs external rows —
+# the r02 relational set (pricing_summary,
 # revenue_by_region, revenue_forecast, orders_by_month, events_by_hour,
 # top50_orders, top_brand_types, top3_parts_per_brand,
 # customers_without_orders, lineitem_flags_salted,

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from backend_big_data_spark.functions.textfns import tokens
-from backend_big_data_spark.plans.registry import register
+from backend_big_data_spark.plans.registry import QUERIES, register
 from backend_big_data_spark.sources.catalog import load_table
 from backend_big_data_spark.text.sampling import stable_hash
 
@@ -337,6 +337,137 @@ def embedding_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__rep.vec_id").alias("rep_vec_id"),
         )
         .orderBy("cluster", "stratum")
+    )
+
+
+def _leakage_split_oracle() -> str:
+    """Compose the certified cluster + verified-pair oracles: units =
+    near-dup components (singletons = the doc itself), split by unit
+    hash, then count near pairs straddling splits (0 by construction)
+    next to the naive doc-hash split's leak count."""
+    from backend_big_data_spark.plans.registry import ORACLES
+
+    return f"""
+WITH clusters AS ({ORACLES["doc_dup_clusters"]}),
+near AS ({ORACLES["doc_lsh_verified_dedup"]}),
+units AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS unit
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+),
+splits AS (
+  SELECT doc_id, unit,
+         CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test'
+              ELSE 'train' END AS split
+  FROM (SELECT doc_id, unit,
+               CAST(concat('0x', substr(md5(CAST(unit AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS b
+        FROM units)
+),
+xleak AS (
+  SELECT COUNT(*) AS n FROM near j
+  JOIN splits a ON j.doc_a = a.doc_id
+  JOIN splits b ON j.doc_b = b.doc_id
+  WHERE a.split <> b.split
+),
+nsplit AS (
+  SELECT doc_id,
+         CASE WHEN h < 10 THEN 'val' WHEN h < 20 THEN 'test'
+              ELSE 'train' END AS split
+  FROM (SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS h
+        FROM documents)
+),
+naive AS (
+  SELECT COUNT(*) AS n FROM near j
+  JOIN nsplit a ON j.doc_a = a.doc_id
+  JOIN nsplit b ON j.doc_b = b.doc_id
+  WHERE a.split <> b.split
+)
+SELECT s.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT s.unit) AS BIGINT) AS n_units,
+       CAST((SELECT n FROM xleak) AS BIGINT) AS cross_split_near_pairs,
+       CAST((SELECT n FROM naive) AS BIGINT) AS naive_cross_pairs
+FROM splits s GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("doc_leakage_safe_split", oracle=_leakage_split_oracle())
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the split UNIT is the
+    connected component of the verified near-dup graph (singleton docs
+    are their own unit), hashed into 10/10/80 val/test/train — so two
+    near-duplicate documents can NEVER land in different splits. The
+    output certifies it: ``cross_split_near_pairs`` (verified near pairs
+    straddling splits) is 0 by construction and value-checked by the
+    oracle, shown next to ``naive_cross_pairs`` — the leak count the
+    standard per-doc hash split would have let through. Eval
+    contamination via duplicates is the textbook failure this op
+    prevents.
+
+    Scale: clustering reuses the certified LSH→verify→star-CC path
+    (`doc_dup_clusters`); the split itself is a map-side hash on the
+    component label; both leak counters are two broadcast-able
+    semi-join-sized joins over the (tiny) verified-pair set."""
+    from backend_big_data_spark.text.dedup import (
+        doc_shingles,
+        lsh_verified_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = QUERIES["doc_dup_clusters"](spark, sf_dir)
+    units = (
+        docs.select("doc_id")
+        .join(labels, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("unit"),
+        )
+    )
+
+    def split_of(bucket):
+        return (
+            F.when(bucket < 10, F.lit("val"))
+            .when(bucket < 20, F.lit("test"))
+            .otherwise(F.lit("train"))
+        )
+
+    splits = units.withColumn(
+        "split", split_of(stable_hash(F.col("unit")) % 100)
+    ).persist()
+    _CALIBRATION_PERSISTED.append(splits)
+    pairs = lsh_verified_pairs(
+        doc_shingles(docs), threshold=0.5, hash_fn="md5"
+    ).select("doc_a", "doc_b")
+    a = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    xleak = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count("*").alias("cross_split_near_pairs"))
+    )
+    nsplit = docs.select(
+        "doc_id", split_of(stable_hash(F.col("doc_id")) % 100).alias("split")
+    )
+    na = nsplit.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    nb = nsplit.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    naive = (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count("*").alias("naive_cross_pairs"))
+    )
+    return (
+        splits.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("unit").alias("n_units"),
+        )
+        .crossJoin(F.broadcast(xleak))
+        .crossJoin(F.broadcast(naive))
+        .orderBy("split")
     )
 
 

@@ -141,8 +141,9 @@ HEADLINE = [
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
-    # dedup_cluster_spectrum composes it, so it stays off for the same
-    # reason (the spectrum's own aggregation is one bounded keyed sum).
+    # dedup_cluster_spectrum and doc_leakage_safe_split compose it, so
+    # they stay off for the same reason (their own additions are a
+    # map-side hash split plus pair-set-bounded joins).
 ]
 
 #: min-of-3: the first execution of a heavy operator pays whole-stage-codegen

@@ -1363,3 +1363,29 @@ def test_cdc_chunks_resynchronize_after_insertion(spark, tmp_path):
     assert (a.n_chunks, a.n_unique) == (8, 5)
     assert (a.dup_chunk_tokens, a.total_tokens) == (24, 33)
     assert out["b"].dup_chunk_tokens == 0
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark, tmp_path):
+    """Near-dup docs must land in the same split (cross-split near pairs
+    = 0 by construction); singletons split independently."""
+    import os
+
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    rows = [
+        (1, base, "a"),
+        (2, base + " tail", "a"),          # near-dup of 1
+        (3, "entirely different content here now", "a"),
+        (4, "another standalone document body text", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = QUERIES["doc_leakage_safe_split"](spark, str(tmp_path)).collect()
+    assert sum(r.n_docs for r in out) == 4
+    # docs 1+2 share a unit → 3 units across 4 docs
+    assert sum(r.n_units for r in out) == 3
+    assert all(r.cross_split_near_pairs == 0 for r in out)
+    # the near pair is in exactly one split's population
+    with_pair = [r for r in out if r.n_docs > r.n_units]
+    assert len(with_pair) == 1 and with_pair[0].n_docs - with_pair[0].n_units == 1
