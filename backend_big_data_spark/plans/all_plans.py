@@ -127,7 +127,12 @@ _FRONT = [
 # parts_search_union, distinct_order_priorities,
 # part_small_quantity_revenue, sole_delayed_supplier,
 # top_supplier_quarter, part_min_price_suppliers,
-# dominant_part_suppliers) but still needs external rows —
+# dominant_part_suppliers) but still needs external rows; the full
+# photo block + the r02 remainder were also builder-re-verified 20/20
+# at sf0.01 (photo_count_by_year ... photo_search,
+# first_order_per_customer, top_order_per_customer,
+# customer_count_with_orders, customer_spend_ranking,
+# order_price_buckets, avg_ship_delay_by_priority) —
 # the r02 relational set (pricing_summary,
 # revenue_by_region, revenue_forecast, orders_by_month, events_by_hour,
 # top50_orders, top_brand_types, top3_parts_per_brand,

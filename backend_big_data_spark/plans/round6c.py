@@ -31,6 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from backend_big_data_spark.functions.textfns import tokens
+
+# the leakage-split oracle composes registrations from plans.documents /
+# plans.extended — import them explicitly so importing THIS module alone
+# (scripts, notebooks) finds them registered, not only the all_plans path
+from backend_big_data_spark.plans import extended as _extended  # noqa: F401
 from backend_big_data_spark.plans.registry import QUERIES, register
 from backend_big_data_spark.sources.catalog import load_table
 from backend_big_data_spark.text.sampling import stable_hash
