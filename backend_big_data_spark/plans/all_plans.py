@@ -132,16 +132,16 @@ _FRONT = [
 # at sf0.01 (photo_count_by_year ... photo_search,
 # first_order_per_customer, top_order_per_customer,
 # customer_count_with_orders, customer_spend_ranking,
-# order_price_buckets, avg_ship_delay_by_priority) —
-# the r02 relational set (pricing_summary,
-# revenue_by_region, revenue_forecast, orders_by_month, events_by_hour,
-# top50_orders, top_brand_types, top3_parts_per_brand,
-# customers_without_orders, lineitem_flags_salted,
-# asof_signup_before_purchase, purchases_prior_events_1h, q17_small_qty,
-# q21_waiting_suppliers, q15_top_supplier, q2_min_cost_supplier,
-# q20_part_surplus and the rest of the r02 window) and then the r03
-# documents/streaming/ANN window. Everything in the r06 window below was
-# green at the r06 gate with files frozen.
+# order_price_buckets, avg_ship_delay_by_priority), and a 20-query r03
+# ANN/streaming/search sample was builder-re-verified 20/20 at sf0.01
+# (all seven ann_*_topk, embedding_near_dup_pairs,
+# embedding_random_projection, the four streaming_* oracles,
+# events_retention_cohorts, events_funnel_conversion, doc_bm25_search,
+# doc_hybrid_search, doc_similar_to_query, customer_rfm_segments,
+# events_user_lifecycle) — prioritize the r02
+# relational set first, then the r03 documents/streaming/ANN window.
+# Everything in the r06 window below was green at the r06 gate with
+# files frozen.
 
 def _reorder() -> None:
     """Rebuild the registry dicts in-place so iteration starts at ``_FRONT``.
