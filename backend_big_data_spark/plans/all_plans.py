@@ -46,7 +46,9 @@ from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 #: longest-stale r02 relational rows — 50 slots. Every name here has its
 #: implementing files in their FINAL round-6 state at certification time
 #: (the round5b.py chunk-key fix and the multimodal quarantine hardening
-#: land in files whose queries sit INSIDE the window).
+#: land in files whose queries sit INSIDE the window). All 50 window
+#: names re-swept 50/50 green at sf0.1 against the END-of-round repo
+#: state (driver_sim, after every round-6 edit landed).
 _FRONT = [
     # -- (a) drifted-file re-certifications (last green row predates r05) --
     "doc_exact_dedup",
