@@ -184,3 +184,57 @@ def test_dhash_banding_lossless_radius3(spark, hashes, flips):
             if d <= 3:
                 want[(i, j)] = d
     assert got == want
+
+
+@given(
+    n_tokens=st.integers(min_value=12, max_value=40),
+    ins_pos=st.integers(min_value=0, max_value=39),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@_settings
+def test_cdc_chunks_resynchronize_property(spark, tmp_path_factory, n_tokens, ins_pos, seed):
+    """For ANY document and ANY single-token insertion, every CDC chunk
+    that does not contain the edit survives verbatim — dup token mass
+    between original and edited copy >= 2 * (total chunk tokens outside
+    the edited chunk), computed by replicating the chunking in Python."""
+    import hashlib
+    import os
+
+    from backend_big_data_spark.plans.all_plans import QUERIES
+
+    def is_boundary(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 8 == 0
+
+    def chunks_of(toks):
+        out, cur = [], []
+        for t in toks:
+            if is_boundary(t) and cur:
+                out.append(cur)
+                cur = []
+            cur.append(t)
+        if cur:
+            out.append(cur)
+        return out
+
+    rng = __import__("random").Random(seed)
+    toks = [f"s{seed}_t{i}_{rng.randint(0, 9)}" for i in range(n_tokens)]
+    pos = min(ins_pos, n_tokens)
+    ins = f"s{seed}_ins"
+    edited = toks[:pos] + [ins] + toks[pos:]
+    base_chunks = [" ".join(c) for c in chunks_of(toks)]
+    edit_chunks = [" ".join(c) for c in chunks_of(edited)]
+    shared = set(base_chunks) & set(edit_chunks)
+    expect_dup = sum(
+        len(c.split())
+        for chunk_list in (base_chunks, edit_chunks)
+        for c in chunk_list
+        if c in shared and base_chunks.count(c) + edit_chunks.count(c) > 1
+    )
+    d = str(tmp_path_factory.mktemp("cdc_prop"))
+    spark.createDataFrame(
+        [(1, " ".join(toks), "a"), (2, " ".join(edited), "a")],
+        "doc_id long, text string, source string",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = QUERIES["doc_cdc_chunk_dups"](spark, d).collect()[0]
+    assert out.dup_chunk_tokens >= expect_dup
+    assert out.total_tokens == 2 * n_tokens + 1
