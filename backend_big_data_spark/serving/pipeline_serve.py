@@ -44,6 +44,7 @@ NAMED_ROUTES = {
     "/ops/diversitySample": "embedding_diversity_sample",
     "/ops/quantileSketchBand": "events_quantile_sketch_band",
     "/ops/datasheet": "corpus_datasheet",
+    "/ops/leakageSafeSplit": "doc_leakage_safe_split",
 }
 
 

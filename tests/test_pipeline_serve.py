@@ -62,6 +62,11 @@ def test_named_operational_routes(app):
     assert len(payload) == 1 and payload[0]["n_docs"] > 0
     assert {"total_tokens", "exact_dup_ppm", "mean_ttr_fp"} <= set(payload[0])
 
+    status, payload, _ = _call(app, "/ops/leakageSafeSplit")
+    assert status == "200 OK"
+    assert {r["split"] for r in payload} == {"train", "val", "test"}
+    assert all(r["cross_split_near_pairs"] == 0 for r in payload)
+
 
 def test_introspection_lists_registry(app):
     status, names, _ = _call(app, "/ops/queries")
