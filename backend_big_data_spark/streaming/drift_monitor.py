@@ -50,6 +50,9 @@ def read_corpus_counts(
     REPLAYED micro-batch must score against the same corpus state it saw
     the first time, not against its own earlier write (idempotent
     replay, like the ingest sinks)."""
+    from backend_big_data_spark.streaming.maintenance import recover_fold
+
+    recover_fold(spark, counts_dir, "delta")
     names = [
         n
         for n in fsutil.list_subdirs(spark, counts_dir, prefix="delta=")

@@ -19,14 +19,38 @@ fold only the older, commit-stable prefix. Folded ids cease to exist as
 directories; that is safe precisely because those ids will never be
 offered to ``exclude_batch`` again.
 
+Crash safety: the fold PUBLISHES before it DESTROYS. The folded union is
+first written to a ``_compacting_{prefix}_N`` temp dir; only once that
+copy is complete is a one-line journal (``_fold_journal_{prefix}.json``)
+committed atomically, after which the publish + source deletion proceed.
+Every state an interruption can leave behind is resolvable from the two
+markers alone, and :func:`recover_fold` — called by the compactors
+themselves and by every sidecar reader before listing — resolves it:
+
+* temp dir present, **no journal** → the folded copy may be partial;
+  roll BACK (delete the temp dir; all source dirs are still intact).
+* **journal present** → the folded copy was complete when the journal
+  committed; roll FORWARD (publish the temp dir over the oldest source
+  id if not yet done, then delete the remaining source dirs and the
+  journal). Re-running any suffix of these steps is idempotent.
+
+The only reader-visible transient is between publishing the folded dir
+and deleting the last source dir: a concurrent reader may briefly see
+some folded content twice (over-count / re-verify — the safe direction).
+No interleaving ever makes folded content silently disappear.
+
 Bloom sidecar: folding renames directories, not fingerprints — the
 bitmap's bits are unchanged. The sidecar's covered-batch list is
 rewritten to the post-fold directory set so `load_corpus_bloom` keeps
-trusting it instead of triggering a full rebuild.
+trusting it instead of triggering a full rebuild; a crash before that
+rewrite leaves a covered-list mismatch, which `load_corpus_bloom`
+already treats as "rebuild from the directories" — consistent, just
+slower once.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -42,6 +66,65 @@ def _batch_ids(spark: SparkSession, base: str, prefix: str) -> list[int]:
     )
 
 
+def _journal_path(base: str, prefix: str) -> str:
+    return os.path.join(base, f"_fold_journal_{prefix}.json")
+
+
+def _finish_fold(spark: SparkSession, base: str, prefix: str, meta: dict) -> None:
+    """Run (or re-run) the post-journal steps of a fold; idempotent.
+
+    The journal's existence certifies the temp dir held the COMPLETE
+    folded union when it was committed, so every step here is safe to
+    repeat: publish the temp dir as ``{prefix}={publish}`` (superseding
+    the source dir of the same id), then — only after the publish is
+    visible — delete the remaining source dirs, then drop the journal.
+    """
+    tmp = os.path.join(base, meta["tmp"])
+    target = os.path.join(base, f"{prefix}={meta['publish']}")
+    if fsutil.exists(spark, tmp):
+        # Superseded source dir of the same id: its rows are inside tmp.
+        fsutil.delete(spark, target)
+        fs, tgt, jvm = fsutil._fs(spark, target)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), tgt)
+    if not fsutil.exists(spark, target):
+        # Protocol violation (journal without tmp or published dir) —
+        # refuse to destroy anything; leave the journal for inspection.
+        raise RuntimeError(
+            f"fold journal {_journal_path(base, prefix)} names published dir "
+            f"{target} but neither it nor {tmp} exists"
+        )
+    # Publish is done (either just now or before the crash) — destroying
+    # the other source dirs can no longer lose their content.
+    for i in meta["delete"]:
+        if i != meta["publish"]:
+            fsutil.delete(spark, os.path.join(base, f"{prefix}={i}"))
+    fsutil.delete(spark, _journal_path(base, prefix))
+
+
+def recover_fold(spark: SparkSession, base: str, prefix: str) -> str | None:
+    """Detect and resolve an interrupted fold under ``base``.
+
+    Returns ``"forward"`` (journal found → fold completed), ``"back"``
+    (journal-less temp dir found → deleted, sources untouched), or
+    ``None`` (nothing stranded). Called by the compactors before folding
+    and by the sidecar readers before listing, so a crash mid-fold never
+    silently removes folded batches from the corpus (the round-6 version
+    deleted sources before publishing; a crash in between stranded the
+    whole fold in an orphan ``_compacting_*`` dir nothing ever read).
+
+    Cost: one small-file existence probe, plus a directory listing only
+    when the probe misses — metadata scale, any Hadoop filesystem.
+    """
+    jtext = fsutil.read_text(spark, _journal_path(base, prefix))
+    if jtext is not None:
+        _finish_fold(spark, base, prefix, json.loads(jtext))
+        return "forward"
+    stranded = fsutil.list_subdirs(spark, base, prefix=f"_compacting_{prefix}_")
+    for name in stranded:
+        fsutil.delete(spark, os.path.join(base, name))
+    return "back" if stranded else None
+
+
 def _fold(
     spark: SparkSession,
     base: str,
@@ -53,6 +136,7 @@ def _fold(
     ``base`` into the oldest folded id's directory. Returns folded ids
     (empty when there is nothing to do). ``reducer`` post-processes the
     unioned frame (the drift counts' keyed sum)."""
+    recover_fold(spark, base, prefix)
     ids = _batch_ids(spark, base, prefix)
     fold = ids[: len(ids) - keep_latest] if keep_latest else ids
     if len(fold) < 2:
@@ -66,14 +150,14 @@ def _fold(
         df = df.drop(prefix)
     if reducer is not None:
         df = reducer(df)
-    target = os.path.join(base, f"{prefix}={fold[0]}")
-    tmp = os.path.join(base, f"_compacting_{prefix}_{fold[0]}")
-    df.write.mode("overwrite").parquet(tmp)
-    for p in paths:
-        fsutil.delete(spark, p)
-    # publish via rename — readers never observe a half-deleted union
-    fs, tgt, jvm = fsutil._fs(spark, target)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), tgt)
+    tmp_name = f"_compacting_{prefix}_{fold[0]}"
+    df.write.mode("overwrite").parquet(os.path.join(base, tmp_name))
+    # Journal AFTER the folded copy is fully on disk: its presence is the
+    # commit point. Crash before this line → rollback (sources intact);
+    # crash after → roll-forward (tmp is complete by construction).
+    meta = {"prefix": prefix, "publish": fold[0], "tmp": tmp_name, "delete": fold}
+    fsutil.write_text_atomic(spark, _journal_path(base, prefix), json.dumps(meta))
+    _finish_fold(spark, base, prefix, meta)
     return fold
 
 
@@ -140,4 +224,9 @@ def compact_drift_counts(
     )
 
 
-__all__ = ["compact_drift_counts", "compact_ingest_corpus", "compact_quality_grid"]
+__all__ = [
+    "compact_drift_counts",
+    "compact_ingest_corpus",
+    "compact_quality_grid",
+    "recover_fold",
+]

@@ -37,6 +37,9 @@ def read_grid(
 ) -> DataFrame | None:
     """Merged calibration grid from every ``delta=N`` directory (keyed
     sum — folding deltas is semantics-preserving). None when empty."""
+    from backend_big_data_spark.streaming.maintenance import recover_fold
+
+    recover_fold(spark, grid_dir, "delta")
     dirs = [
         n
         for n in fsutil.list_subdirs(spark, grid_dir, prefix="delta=")

@@ -1173,6 +1173,85 @@ def test_compact_ingest_corpus_preserves_semantics(spark, tmp_path):
     assert got == want and 5 not in got and 6 in got
 
 
+def test_fold_crash_recovery_all_interrupt_points(spark, tmp_path):
+    """A fold interrupted at ANY point must never lose folded batches.
+
+    Three crash states, each resolved by the reader-side `recover_fold`:
+    (A) temp dir written partially, no journal  -> roll BACK (sources
+        intact, junk temp deleted);
+    (B) complete temp + journal, nothing published -> roll FORWARD;
+    (C) published, journal present, stale source dirs remain -> finish
+        the deletes (no double-count survives recovery).
+    """
+    import json
+    import os
+    import shutil
+
+    from backend_big_data_spark.streaming.drift_monitor import (
+        drift_monitor_sink,
+        read_corpus_counts,
+    )
+    from backend_big_data_spark.streaming.maintenance import recover_fold
+
+    def mk(d):
+        counts, metrics = str(d / "counts"), str(d / "metrics")
+        sink = drift_monitor_sink(counts, metrics)
+        sink(_docs(spark, [(1, "alpha beta gamma alpha")]), 0)
+        sink(_docs(spark, [(2, "beta beta delta")]), 1)
+        sink(_docs(spark, [(3, "gamma epsilon")]), 2)
+        return counts
+
+    def counts_of(cdir):
+        return sorted(map(tuple, read_corpus_counts(spark, cdir).collect()))
+
+    # -- (A) crash mid-temp-write, journal never committed ------------------
+    ca = mk(tmp_path / "a")
+    before = counts_of(ca)
+    os.makedirs(os.path.join(ca, "_compacting_delta_0"))
+    with open(os.path.join(ca, "_compacting_delta_0", "part-junk"), "w") as f:
+        f.write("not parquet")
+    assert counts_of(ca) == before  # reader rolled back
+    assert not os.path.exists(os.path.join(ca, "_compacting_delta_0"))
+    assert sorted(os.listdir(ca)) == ["delta=0", "delta=1", "delta=2"]
+
+    # -- (B) crash after journal commit, before publish ---------------------
+    cb = mk(tmp_path / "b")
+    assert counts_of(cb) == before
+    folded = (
+        spark.read.parquet(os.path.join(cb, "delta=0"), os.path.join(cb, "delta=1"))
+        .groupBy("tok")
+        .agg(F.sum("n").alias("n"))
+    )
+    folded.write.parquet(os.path.join(cb, "_compacting_delta_0"))
+    meta = {"prefix": "delta", "publish": 0, "tmp": "_compacting_delta_0",
+            "delete": [0, 1]}
+    with open(os.path.join(cb, "_fold_journal_delta.json"), "w") as f:
+        json.dump(meta, f)
+    assert counts_of(cb) == before  # reader rolled forward
+    assert sorted(n for n in os.listdir(cb) if n.startswith("delta=")) == [
+        "delta=0", "delta=2"]
+    assert not os.path.exists(os.path.join(cb, "_fold_journal_delta.json"))
+
+    # -- (C) crash after publish, before source deletes ---------------------
+    cc = mk(tmp_path / "c")
+    folded = (
+        spark.read.parquet(os.path.join(cc, "delta=0"), os.path.join(cc, "delta=1"))
+        .groupBy("tok")
+        .agg(F.sum("n").alias("n"))
+    )
+    folded.write.parquet(os.path.join(cc, "_compacting_delta_0"))
+    with open(os.path.join(cc, "_fold_journal_delta.json"), "w") as f:
+        json.dump(meta, f)
+    shutil.rmtree(os.path.join(cc, "delta=0"))
+    os.rename(os.path.join(cc, "_compacting_delta_0"), os.path.join(cc, "delta=0"))
+    # delta=1 is now BOTH inside the published fold and on disk — recovery
+    # must delete it or every read double-counts batch 1 forever.
+    assert recover_fold(spark, cc, "delta") == "forward"
+    assert counts_of(cc) == before
+    assert sorted(n for n in os.listdir(cc) if n.startswith("delta=")) == [
+        "delta=0", "delta=2"]
+
+
 def test_compact_drift_counts_preserves_scores(spark, tmp_path):
     """Folding token-count deltas into one pre-summed delta leaves both
     the merged counts and the NEXT batch's drift metric identical."""
