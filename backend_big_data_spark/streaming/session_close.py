@@ -74,10 +74,29 @@ def close_user_sessions(
         ts_ms = (ts.astype("int64") // 1_000_000).tolist()
         if state.exists:
             start_ms, last_ms, n = state.get
-            # an out-of-order event may predate the stored session start
-            # (possible whenever watermark delay > 0): merge it by lowering
-            # start, matching the batch sessionizer's per-user sort
-            start_ms = min(start_ms, ts_ms[0])
+            # Events EARLIER than the stored start (possible whenever the
+            # watermark delay exceeds the gap): the batch sessionizer's
+            # per-user sort would have processed them BEFORE the stored
+            # session — run the gap loop over them standalone, then either
+            # emit the final early run as its own closed session (it ends
+            # more than gap before the stored start) or extend the stored
+            # session's start to cover it (it connects).
+            early = [t for t in ts_ms if t < start_ms]
+            ts_ms = ts_ms[len(early):]
+            if early:
+                e_start = e_last = early[0]
+                e_n = 0
+                for t in early:
+                    if t - e_last > gap_ms:
+                        yield emit(e_start, e_last, e_n)
+                        e_start, e_n = t, 0
+                    e_last = t
+                    e_n += 1
+                if start_ms - e_last > gap_ms:
+                    yield emit(e_start, e_last, e_n)
+                else:
+                    start_ms = e_start
+                    n += e_n
         else:
             start_ms, last_ms, n = ts_ms[0], ts_ms[0], 0
         for t in ts_ms:

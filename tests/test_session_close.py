@@ -113,3 +113,58 @@ def test_out_of_order_event_lowers_session_start(spark, tmp_path):
     # start lowered to _m(5), duration measured from the true first event;
     # user 9's session stays open (no watermark proves it complete)
     assert closed == {(1, _m(5), _m(10), 2, 300)}
+
+
+def test_early_event_beyond_gap_closes_own_session(spark, tmp_path):
+    """A late event that predates the stored start by MORE than the gap
+    (possible whenever watermark delay > gap) must NOT be folded into the
+    stored session — the batch sessionizer would have closed a separate
+    earlier session, and the stream must emit exactly that."""
+    b1 = [(1, _m(100)), (4, _m(100))]
+    # user 1: 100 minutes early (> 30m gap) -> its own closed session;
+    # user 4: 20 minutes early (<= gap) -> merges, start lowered
+    b2 = [(1, _m(0)), (4, _m(80))]
+    b3 = [(9, _m(300))]  # watermark -> _m(180), closing both stored sessions
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate((b1, b2, b3)):
+        _ev(spark, rows).coalesce(1).write.parquet(str(in_dir / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    out_dir, ckpt = str(tmp_path / "out3"), str(tmp_path / "ckpt3")
+    q = (
+        close_user_sessions(stream, gap_minutes=30, watermark="120 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    closed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.duration_sec)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert closed == {
+        (1, _m(0), _m(0), 1, 0),        # early event: its own session
+        (1, _m(100), _m(100), 1, 0),    # stored session, start NOT lowered
+        (4, _m(80), _m(100), 2, 1200),  # within-gap early event: merged
+    }
+
+    # field-level equivalence with the batch sessionizer
+    from pyspark.sql import functions as F
+
+    from backend_big_data_spark.operators.timeseries import user_sessions
+
+    all_events = _ev(spark, b1 + b2 + b3).withColumn(
+        "event_id", F.monotonically_increasing_id()
+    )
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.duration_sec)
+        for r in user_sessions(all_events, gap_minutes=30).collect()
+    }
+    assert closed <= batch
