@@ -70,6 +70,16 @@ def audio_energy_segments(
                 mono = samples.astype("int64")
                 if mono.ndim == 2:  # average channels, integer floor
                     mono = mono.sum(axis=1) // mono.shape[1]
+                if len(mono) == 0:
+                    # structurally valid WAV, zero samples: quarantine row,
+                    # same as the decode-failure path — every media id
+                    # stays accounted for downstream
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(None)
+                    out["start_ms"].append(None)
+                    out["rms_fp"].append(None)
+                    out["is_silence"].append(None)
+                    continue
                 win = max(1, rate * window_ms // 1000)
                 thresh = 32768 >> SILENCE_SHIFT
                 for w in range(0, max(len(mono), 1), win):

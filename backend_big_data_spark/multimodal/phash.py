@@ -37,8 +37,10 @@ DEFAULT_MAX_DISTANCE = 3
 def dhash64(arr: np.ndarray) -> int:
     """64-bit difference hash of an (H, W, C) uint8 raster.
 
-    Integer-only: luma = (299R + 587G + 114B) // 1000; average-pool to a
-    9×8 grid by block-sum // block-area (block edges at i·H//9, j·W//8);
+    Integer-only: luma = (299R + 587G + 114B) // 1000; average-pool to an
+    8×9 grid (8 rows × 9 columns — the standard dHash shape: 9 columns
+    give 8 horizontal comparisons per row) by block-sum // block-area,
+    row edges at i·H//8, column edges at j·W//9;
     bit (r, c) = 1 iff grid[r][c+1] > grid[r][c]. Images narrower or
     shorter than the grid are rejected (ValueError → quarantine row)."""
     h, w = arr.shape[0], arr.shape[1]

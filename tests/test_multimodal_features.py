@@ -39,6 +39,19 @@ def test_audio_silence_and_energy(spark):
     assert by[(2, None)].rms_fp is None  # quarantine, job survives
 
 
+def test_audio_zero_sample_wav_yields_quarantine_row(spark):
+    """A structurally valid WAV whose data chunk holds no samples must
+    still produce one NULL-window quarantine row — every media id stays
+    accounted for downstream (same convention as the decode-failure
+    path and video_scene_cuts' <2-frame case)."""
+    empty = np.zeros(0, dtype=np.int16)
+    media = _media(spark, [(7, bytearray(encode_wav(empty, 1000)))])
+    rows = audio_energy_segments(media, window_ms=100).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.media_id == 7 and r.window_idx is None and r.rms_fp is None
+
+
 def test_audio_stereo_averages_channels(spark):
     rate = 1000
     stereo = np.stack(

@@ -27,10 +27,12 @@ def _media(spark, rows):
 def test_dhash_deterministic_and_brightness_invariant():
     base = _img(1)
     assert dhash64(base) == dhash64(base.copy())
-    # uniform brightness shift leaves every gradient sign unchanged
-    brighter = np.clip(base.astype(np.int16) + 40, 0, 215).astype(np.uint8)
-    # clip at 215 so no pixel saturates; gradients preserved exactly
-    assert dhash64(base) == dhash64(np.clip(base + 0, 0, 255))
+    # uniform brightness shift leaves every gradient sign unchanged —
+    # pre-clip the BASE at 215 so adding 40 saturates no pixel and the
+    # pooled-block ordering is preserved exactly
+    clipped = np.clip(base, 0, 215).astype(np.uint8)
+    brighter = (clipped.astype(np.int16) + 40).astype(np.uint8)
+    assert dhash64(clipped) == dhash64(brighter)
     assert dhash64(base) != dhash64(_img(2))
 
 
