@@ -12,6 +12,21 @@ server-side (``limit`` parameter, hard ceiling ``MAX_ROWS``) before
 collecting — the serving boundary never pulls a data-scale frame onto the
 driver.
 
+Compute is bounded too, not just rows (VERDICT r06 item 3): ``limit``
+caps what is COLLECTED, not what is COMPUTED — at production scale an
+arbitrary registered query (a full incremental-SemDeDup pipeline, a
+corpus-wide CC) is an hours-long job an HTTP GET must not be able to
+trigger. The generic route therefore runs only ALLOWLISTED queries: the
+named dashboard set plus whatever the deployment explicitly opts in via
+``create_pipeline_app(..., extra_allowed={...})``. Everything else gets
+a 403 naming the allowlist mechanism, never a silent multi-hour job.
+
+Determinism note: for queries without a total ORDER BY, ``limit`` returns
+an arbitrary (plan-dependent) subset of rows — fine for dashboards that
+aggregate or display "some rows", but callers that need stable pages
+should use a query with an explicit ordering (e.g. the pagination
+queries), not the generic route.
+
 Run: ``wsgiref.simple_server.make_server("", 8081,
 create_pipeline_app(spark, sf_dir)).serve_forever()``.
 """
@@ -48,15 +63,25 @@ NAMED_ROUTES = {
 }
 
 
-def create_pipeline_app(spark: SparkSession, sf_dir: str) -> Callable:
+def create_pipeline_app(
+    spark: SparkSession,
+    sf_dir: str,
+    extra_allowed: set[str] | frozenset[str] = frozenset(),
+) -> Callable:
     """Build the WSGI app closed over (spark, sf_dir). Routes:
 
     - each `NAMED_ROUTES` path runs its registry query;
-    - ``/ops/queries`` lists every registered query name (introspection);
-    - ``/ops/query/<name>?limit=N`` runs any registered query with the
-      row cap applied BEFORE collect (N clamped to ``MAX_ROWS``).
+    - ``/ops/queries`` lists every registered query name, flagging which
+      are servable on the generic route (introspection);
+    - ``/ops/query/<name>?limit=N`` runs an ALLOWLISTED registered query
+      with the row cap applied BEFORE collect (N clamped to
+      ``MAX_ROWS``). The allowlist is the named dashboard set plus
+      ``extra_allowed``; anything else is 403 (compute-cost guard — see
+      module docstring).
     """
     from backend_big_data_spark.plans.all_plans import QUERIES
+
+    allowed = set(NAMED_ROUTES.values()) | set(extra_allowed)
 
     def run(name: str, limit: int):
         limit = max(1, min(int(limit), MAX_ROWS))
@@ -72,11 +97,20 @@ def create_pipeline_app(spark: SparkSession, sf_dir: str) -> Callable:
         if path in NAMED_ROUTES:
             return run(NAMED_ROUTES[path], limit)
         if path == "/ops/queries":
-            return sorted(QUERIES)
+            return [
+                {"name": n, "servable": n in allowed} for n in sorted(QUERIES)
+            ]
         if path.startswith("/ops/query/"):
             name = path[len("/ops/query/") :]
             if name not in QUERIES:
                 raise KeyError(f"unknown query {name!r}")
+            if name not in allowed:
+                raise PermissionError(
+                    f"query {name!r} is not servable over HTTP: limit caps "
+                    "collected rows, not compute, so only dashboard-scale "
+                    "queries are exposed. Opt it in via "
+                    "create_pipeline_app(extra_allowed={...})."
+                )
             return run(name, limit)
         return None
 
@@ -104,6 +138,8 @@ def create_pipeline_app(spark: SparkSession, sf_dir: str) -> Callable:
             return respond("200 OK", payload)
         except KeyError as e:
             return respond("404 Not Found", json.dumps({"error": str(e)}).encode())
+        except PermissionError as e:
+            return respond("403 Forbidden", json.dumps({"error": str(e)}).encode())
         except Exception as e:  # the same per-route 500 envelope as photo
             return respond(
                 "500 Internal Server Error",

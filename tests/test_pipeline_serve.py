@@ -31,7 +31,8 @@ def _call(app, path, qs=""):
 
 @pytest.fixture(scope="module")
 def app(spark):
-    return create_pipeline_app(spark, SF_SMALL)
+    # doc_langid opted in explicitly: the generic route is allowlist-only
+    return create_pipeline_app(spark, SF_SMALL, extra_allowed={"doc_langid"})
 
 
 def test_named_operational_routes(app):
@@ -69,10 +70,13 @@ def test_named_operational_routes(app):
 
 
 def test_introspection_lists_registry(app):
-    status, names, _ = _call(app, "/ops/queries")
+    status, entries, _ = _call(app, "/ops/queries")
     assert status == "200 OK"
-    assert "doc_removal_audit" in names and "ann_recall_eval" in names
-    assert len(names) >= 180
+    by = {e["name"]: e["servable"] for e in entries}
+    assert by["doc_removal_audit"] and by["ann_recall_eval"]  # dashboards
+    assert by["doc_langid"]  # the fixture's explicit opt-in
+    assert not by["doc_incremental_semdedup"]  # compute-heavy: flagged
+    assert len(entries) >= 180
 
 
 def test_generic_query_route_with_cap(app):
@@ -85,6 +89,16 @@ def test_generic_query_route_with_cap(app):
     )
     assert status == "200 OK"
     assert len(payload) <= MAX_ROWS
+
+
+def test_generic_route_rejects_non_allowlisted_query(app):
+    """`limit` bounds collected rows, not compute — a registered but
+    non-dashboard query (full incremental-SemDeDup pipeline) must be
+    rejected on the generic route, not silently launched."""
+    status, payload, _ = _call(app, "/ops/query/doc_incremental_semdedup")
+    assert status == "403 Forbidden"
+    assert "not servable" in payload["error"]
+    assert "extra_allowed" in payload["error"]  # the opt-in is named
 
 
 def test_unknown_routes_and_queries_404(app):
