@@ -89,7 +89,16 @@ def dhash_image_batch(media: DataFrame, codec: str = "png") -> DataFrame:
                     out["dhash"].append(dhash64(decode(bytes(payload or b""))))
                 except (ValueError, struct.error):
                     out["dhash"].append(None)
-            yield pd.DataFrame(out)
+            # nullable Int64, NOT a plain DataFrame: one quarantine None in
+            # the batch would coerce the column to float64 and silently
+            # zero the low bits of every co-batched hash > 2^53 — the
+            # corrupted hash then misses its own near-dups forever
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="Int64"),
+                    "dhash": pd.array(out["dhash"], dtype="Int64"),
+                }
+            )
 
     return media.select("media_id", "payload").mapInPandas(
         compute, schema="media_id long, dhash long"

@@ -36,6 +36,26 @@ def test_dhash_deterministic_and_brightness_invariant():
     assert dhash64(base) != dhash64(_img(2))
 
 
+def test_dhash_batch_exact_when_cobatched_with_quarantine(spark):
+    """A quarantine None in the SAME Arrow batch must not degrade the
+    other hashes: a plain pandas int column with a None coerces to
+    float64, which silently zeroes the low bits of any hash > 2^53 —
+    the corrupted hash then misses its own near-dups forever. Force a
+    single partition so the None co-batches with a real image."""
+    from backend_big_data_spark.multimodal.phash import dhash_image_batch
+    from backend_big_data_spark.multimodal.ppm import encode_ppm
+
+    img = _img(21, 32, 24)
+    want = dhash64(img)
+    assert abs(want) > (1 << 53)  # the seed was picked to need low bits
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img))), (2, bytearray(b"garbage"))],
+        "media_id long, payload binary",
+    ).coalesce(1)
+    got = {r.media_id: r.dhash for r in dhash_image_batch(media, "ppm").collect()}
+    assert got == {1: want, 2: None}
+
+
 def test_dhash_small_image_rejected():
     with pytest.raises(ValueError):
         dhash64(np.zeros((4, 4, 3), dtype=np.uint8))
