@@ -50,13 +50,13 @@ def read_corpus_counts(
     REPLAYED micro-batch must score against the same corpus state it saw
     the first time, not against its own earlier write (idempotent
     replay, like the ingest sinks)."""
-    from backend_big_data_spark.streaming.maintenance import recover_fold
+    from backend_big_data_spark.streaming.maintenance import fold_exclusions
 
-    recover_fold(spark, counts_dir, "delta")
+    skip = fold_exclusions(spark, counts_dir, "delta")
     names = [
         n
         for n in fsutil.list_subdirs(spark, counts_dir, prefix="delta=")
-        if n != f"delta={exclude_batch}"
+        if n != f"delta={exclude_batch}" and n not in skip
     ]
     if not names:
         return None

@@ -47,13 +47,13 @@ def read_image_corpus(
     """Admitted images so far (media_id, payload, dhash), or None.
     ``exclude_batch`` drops that batch's own directory — a replay must
     probe the corpus state it saw the first time."""
-    from backend_big_data_spark.streaming.maintenance import recover_fold
+    from backend_big_data_spark.streaming.maintenance import fold_exclusions
 
-    recover_fold(spark, corpus_dir, "batch")
+    skip = fold_exclusions(spark, corpus_dir, "batch")
     names = [
         n
         for n in fsutil.list_subdirs(spark, corpus_dir, prefix="batch=")
-        if n != f"batch={exclude_batch}"
+        if n != f"batch={exclude_batch}" and n not in skip
     ]
     if not names:
         return None

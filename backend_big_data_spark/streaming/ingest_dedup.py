@@ -133,13 +133,13 @@ def read_corpus(
     an at-least-once REPLAY of batch N must probe the same corpus state it
     saw the first time, not its own earlier ``batch=N`` output (otherwise
     every prior survivor matches itself and the replay admits ~nothing)."""
-    from backend_big_data_spark.streaming.maintenance import recover_fold
+    from backend_big_data_spark.streaming.maintenance import fold_exclusions
 
-    recover_fold(spark, corpus_dir, "batch")
+    skip = fold_exclusions(spark, corpus_dir, "batch")
     names = [
         n
         for n in fsutil.list_subdirs(spark, corpus_dir, prefix="batch=")
-        if n != f"batch={exclude_batch}"
+        if n != f"batch={exclude_batch}" and n not in skip
     ]
     if not names:
         return None
@@ -156,14 +156,14 @@ def read_corpus_bands(
     ``{corpus_dir}/bands/batch=N``. None when no index exists (corpora
     written before the index shipped fall back to the union path).
     ``exclude_batch`` mirrors `read_corpus`'s replay semantics."""
-    from backend_big_data_spark.streaming.maintenance import recover_fold
+    from backend_big_data_spark.streaming.maintenance import fold_exclusions
 
     bands_dir = os.path.join(corpus_dir, "bands")
-    recover_fold(spark, bands_dir, "batch")
+    skip = fold_exclusions(spark, bands_dir, "batch")
     names = [
         n
         for n in fsutil.list_subdirs(spark, bands_dir, prefix="batch=")
-        if n != f"batch={exclude_batch}"
+        if n != f"batch={exclude_batch}" and n not in skip
     ]
     if not names:
         return None

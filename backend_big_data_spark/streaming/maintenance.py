@@ -34,9 +34,25 @@ themselves and by every sidecar reader before listing — resolves it:
   id if not yet done, then delete the remaining source dirs and the
   journal). Re-running any suffix of these steps is idempotent.
 
-The only reader-visible transient is between publishing the folded dir
-and deleting the last source dir: a concurrent reader may briefly see
-some folded content twice (over-count / re-verify — the safe direction).
+Mutating recovery runs ONLY in the compactor (one compaction at a time
+per directory — the same single-writer contract the ``batch=N`` layout
+already assumes). Readers must stay correct too, but a reader that
+deleted or renamed anything could destroy a LIVE compactor's
+in-progress fold, so readers instead apply the non-mutating
+:func:`fold_exclusions` mask: in every crash state the on-disk
+directories plus the journal determine an exact read —
+
+* no journal → read every ``{prefix}=N`` dir (a journal-less temp dir
+  is invisible to readers and its sources are intact);
+* journal + temp dir → the fold is unpublished; sources are
+  authoritative, exclude nothing;
+* journal, temp gone → the fold WAS published; exclude the journaled
+  source dirs that were superseded but not yet deleted (otherwise their
+  content double-counts).
+
+The only reader-visible transient is racing a live compactor between
+its publish and its last source delete: a reader may briefly see some
+folded content twice (over-count / re-verify — the safe direction).
 No interleaving ever makes folded content silently disappear.
 
 Bloom sidecar: folding renames directories, not fingerprints — the
@@ -102,15 +118,17 @@ def _finish_fold(spark: SparkSession, base: str, prefix: str, meta: dict) -> Non
 
 
 def recover_fold(spark: SparkSession, base: str, prefix: str) -> str | None:
-    """Detect and resolve an interrupted fold under ``base``.
+    """Detect and resolve an interrupted fold under ``base`` (MUTATING —
+    compactor-side only; readers use :func:`fold_exclusions`).
 
     Returns ``"forward"`` (journal found → fold completed), ``"back"``
     (journal-less temp dir found → deleted, sources untouched), or
-    ``None`` (nothing stranded). Called by the compactors before folding
-    and by the sidecar readers before listing, so a crash mid-fold never
-    silently removes folded batches from the corpus (the round-6 version
-    deleted sources before publishing; a crash in between stranded the
-    whole fold in an orphan ``_compacting_*`` dir nothing ever read).
+    ``None`` (nothing stranded). Called by the compactors before folding,
+    so a crash mid-fold never silently removes folded batches from the
+    corpus (the round-6 version deleted sources before publishing; a
+    crash in between stranded the whole fold in an orphan
+    ``_compacting_*`` dir nothing ever read). Safe to mutate here
+    because at most one compaction runs per directory at a time.
 
     Cost: one small-file existence probe, plus a directory listing only
     when the probe misses — metadata scale, any Hadoop filesystem.
@@ -123,6 +141,27 @@ def recover_fold(spark: SparkSession, base: str, prefix: str) -> str | None:
     for name in stranded:
         fsutil.delete(spark, os.path.join(base, name))
     return "back" if stranded else None
+
+
+def fold_exclusions(spark: SparkSession, base: str, prefix: str) -> set[str]:
+    """Directory names a reader must SKIP to stay exact when a fold was
+    interrupted (non-mutating; see the module docstring's case table).
+
+    Only the post-publish crash window needs masking: the journal lists
+    the superseded source dirs whose content is already inside the
+    published fold — reading them too would double-count. In every other
+    state the mask is empty. Cost: one small-file probe per read, plus
+    one existence check only when a journal is actually present.
+    """
+    jtext = fsutil.read_text(spark, _journal_path(base, prefix))
+    if jtext is None:
+        return set()
+    meta = json.loads(jtext)
+    if fsutil.exists(spark, os.path.join(base, meta["tmp"])):
+        return set()  # unpublished: the source dirs are authoritative
+    return {
+        f"{prefix}={i}" for i in meta["delete"] if i != meta["publish"]
+    }
 
 
 def _fold(
@@ -228,5 +267,6 @@ __all__ = [
     "compact_drift_counts",
     "compact_ingest_corpus",
     "compact_quality_grid",
+    "fold_exclusions",
     "recover_fold",
 ]

@@ -37,13 +37,13 @@ def read_grid(
 ) -> DataFrame | None:
     """Merged calibration grid from every ``delta=N`` directory (keyed
     sum — folding deltas is semantics-preserving). None when empty."""
-    from backend_big_data_spark.streaming.maintenance import recover_fold
+    from backend_big_data_spark.streaming.maintenance import fold_exclusions
 
-    recover_fold(spark, grid_dir, "delta")
+    skip = fold_exclusions(spark, grid_dir, "delta")
     dirs = [
         n
         for n in fsutil.list_subdirs(spark, grid_dir, prefix="delta=")
-        if n != f"delta={exclude_batch}"
+        if n != f"delta={exclude_batch}" and n not in skip
     ]
     if not dirs:
         return None

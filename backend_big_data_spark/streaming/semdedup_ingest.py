@@ -41,13 +41,13 @@ def read_embedding_corpus(
     at-least-once REPLAY of batch N must score against the corpus state it
     originally saw, not its own earlier output (every prior survivor would
     match itself at cosine 1.0 and the rewrite would admit ~nothing)."""
-    from backend_big_data_spark.streaming.maintenance import recover_fold
+    from backend_big_data_spark.streaming.maintenance import fold_exclusions
 
-    recover_fold(spark, corpus_dir, "batch")
+    skip = fold_exclusions(spark, corpus_dir, "batch")
     names = [
         n
         for n in fsutil.list_subdirs(spark, corpus_dir, prefix="batch=")
-        if n != f"batch={exclude_batch}"
+        if n != f"batch={exclude_batch}" and n not in skip
     ]
     if not names:
         return None

@@ -1174,14 +1174,19 @@ def test_compact_ingest_corpus_preserves_semantics(spark, tmp_path):
 
 
 def test_fold_crash_recovery_all_interrupt_points(spark, tmp_path):
-    """A fold interrupted at ANY point must never lose folded batches.
+    """A fold interrupted at ANY point must never lose folded batches OR
+    double-count them.
 
-    Three crash states, each resolved by the reader-side `recover_fold`:
-    (A) temp dir written partially, no journal  -> roll BACK (sources
-        intact, junk temp deleted);
-    (B) complete temp + journal, nothing published -> roll FORWARD;
-    (C) published, journal present, stale source dirs remain -> finish
-        the deletes (no double-count survives recovery).
+    Readers stay exact WITHOUT mutating (`fold_exclusions` — a mutating
+    reader could destroy a live compactor's in-progress fold), and the
+    compactor-side `recover_fold` repairs the directory on its next run:
+    (A) temp dir written partially, no journal -> readers ignore it
+        (sources intact); compactor rolls BACK;
+    (B) complete temp + journal, nothing published -> sources are
+        authoritative; readers exclude nothing; compactor rolls FORWARD;
+    (C) published, journal present, stale source dirs remain -> readers
+        exclude the superseded dirs (no double-count); compactor
+        finishes the deletes.
     """
     import json
     import os
@@ -1204,48 +1209,55 @@ def test_fold_crash_recovery_all_interrupt_points(spark, tmp_path):
     def counts_of(cdir):
         return sorted(map(tuple, read_corpus_counts(spark, cdir).collect()))
 
+    def fold_payload(cdir):
+        return (
+            spark.read.parquet(
+                os.path.join(cdir, "delta=0"), os.path.join(cdir, "delta=1")
+            )
+            .groupBy("tok")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    meta = {"prefix": "delta", "publish": 0, "tmp": "_compacting_delta_0",
+            "delete": [0, 1]}
+
     # -- (A) crash mid-temp-write, journal never committed ------------------
     ca = mk(tmp_path / "a")
     before = counts_of(ca)
     os.makedirs(os.path.join(ca, "_compacting_delta_0"))
     with open(os.path.join(ca, "_compacting_delta_0", "part-junk"), "w") as f:
         f.write("not parquet")
-    assert counts_of(ca) == before  # reader rolled back
+    assert counts_of(ca) == before  # readers never look at temp dirs
+    assert os.path.exists(os.path.join(ca, "_compacting_delta_0"))  # no mutation
+    assert recover_fold(spark, ca, "delta") == "back"
     assert not os.path.exists(os.path.join(ca, "_compacting_delta_0"))
     assert sorted(os.listdir(ca)) == ["delta=0", "delta=1", "delta=2"]
 
     # -- (B) crash after journal commit, before publish ---------------------
     cb = mk(tmp_path / "b")
     assert counts_of(cb) == before
-    folded = (
-        spark.read.parquet(os.path.join(cb, "delta=0"), os.path.join(cb, "delta=1"))
-        .groupBy("tok")
-        .agg(F.sum("n").alias("n"))
-    )
-    folded.write.parquet(os.path.join(cb, "_compacting_delta_0"))
-    meta = {"prefix": "delta", "publish": 0, "tmp": "_compacting_delta_0",
-            "delete": [0, 1]}
+    fold_payload(cb).write.parquet(os.path.join(cb, "_compacting_delta_0"))
     with open(os.path.join(cb, "_fold_journal_delta.json"), "w") as f:
         json.dump(meta, f)
-    assert counts_of(cb) == before  # reader rolled forward
+    assert counts_of(cb) == before  # sources authoritative, nothing excluded
+    assert os.path.exists(os.path.join(cb, "_fold_journal_delta.json"))  # no mutation
+    assert recover_fold(spark, cb, "delta") == "forward"
+    assert counts_of(cb) == before
     assert sorted(n for n in os.listdir(cb) if n.startswith("delta=")) == [
         "delta=0", "delta=2"]
     assert not os.path.exists(os.path.join(cb, "_fold_journal_delta.json"))
 
     # -- (C) crash after publish, before source deletes ---------------------
     cc = mk(tmp_path / "c")
-    folded = (
-        spark.read.parquet(os.path.join(cc, "delta=0"), os.path.join(cc, "delta=1"))
-        .groupBy("tok")
-        .agg(F.sum("n").alias("n"))
-    )
-    folded.write.parquet(os.path.join(cc, "_compacting_delta_0"))
+    fold_payload(cc).write.parquet(os.path.join(cc, "_compacting_delta_0"))
     with open(os.path.join(cc, "_fold_journal_delta.json"), "w") as f:
         json.dump(meta, f)
     shutil.rmtree(os.path.join(cc, "delta=0"))
     os.rename(os.path.join(cc, "_compacting_delta_0"), os.path.join(cc, "delta=0"))
-    # delta=1 is now BOTH inside the published fold and on disk — recovery
-    # must delete it or every read double-counts batch 1 forever.
+    # delta=1 is now BOTH inside the published fold and on disk — readers
+    # must mask it or every read double-counts batch 1.
+    assert counts_of(cc) == before  # exclusion mask, no mutation
+    assert os.path.exists(os.path.join(cc, "delta=1"))
     assert recover_fold(spark, cc, "delta") == "forward"
     assert counts_of(cc) == before
     assert sorted(n for n in os.listdir(cc) if n.startswith("delta=")) == [

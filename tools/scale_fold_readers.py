@@ -45,13 +45,19 @@ def main() -> None:
     spark = get_spark(app_name="scale_fold_readers", shuffle_partitions=8)
 
     # -- band index: n dirs x 50 (doc_id, band, band_key) rows --------------
+    # one partitionBy job materializes all batch=N dirs (the sink writes
+    # them one micro-batch at a time; for the READER measurement only the
+    # resulting directory layout matters)
     base = tempfile.mkdtemp(prefix="fold_bands_")
     bands_dir = f"{base}/bands"
-    for b in range(n):
-        rows = [(b * 1000 + i, i % 4, f"k{b}_{i}") for i in range(50)]
-        spark.createDataFrame(
-            rows, "doc_id long, band int, band_key string"
-        ).coalesce(1).write.parquet(f"{bands_dir}/batch={b}")
+    rows = [
+        (b, b * 1000 + i, i % 4, f"k{b}_{i}")
+        for b in range(n)
+        for i in range(50)
+    ]
+    spark.createDataFrame(
+        rows, "batch int, doc_id long, band int, band_key string"
+    ).repartition("batch").write.partitionBy("batch").parquet(bands_dir)
 
     def read_bands():
         read_corpus_bands(spark, base).agg(F.count("band_key")).collect()
@@ -68,14 +74,14 @@ def main() -> None:
 
     # -- image corpus dhash column: n dirs x 20 (media_id, payload, dhash) --
     base = tempfile.mkdtemp(prefix="fold_imgs_")
-    for b in range(n):
-        rows = [
-            (b * 1000 + i, bytearray(b"P6 fake payload " * 8), b * 7 + i)
-            for i in range(20)
-        ]
-        spark.createDataFrame(
-            rows, "media_id long, payload binary, dhash long"
-        ).coalesce(1).write.parquet(f"{base}/batch={b}")
+    rows = [
+        (b, b * 1000 + i, bytearray(b"P6 fake payload " * 8), b * 7 + i)
+        for b in range(n)
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "batch int, media_id long, payload binary, dhash long"
+    ).repartition("batch").write.partitionBy("batch").parquet(base)
 
     def read_dhash():
         read_image_corpus(spark, base).agg(F.count("dhash")).collect()
