@@ -73,7 +73,8 @@ def main() -> None:
     shutil.rmtree(base, ignore_errors=True)
 
     # -- image corpus dhash column: n dirs x 20 (media_id, payload, dhash) --
-    base = tempfile.mkdtemp(prefix="fold_imgs_")
+    tmp = tempfile.mkdtemp(prefix="fold_imgs_")
+    base = f"{tmp}/corpus"  # partitionBy refuses a pre-existing path
     rows = [
         (b, b * 1000 + i, bytearray(b"P6 fake payload " * 8), b * 7 + i)
         for b in range(n)
@@ -94,7 +95,7 @@ def main() -> None:
         f"({len(folded)} -> 1, +1 kept) {after:5.2f}s  "
         f"({before / after:.1f}x)"
     )
-    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
 
