@@ -32,6 +32,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round6b,
     round6c,
     round7,
+    round7b,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -111,7 +112,9 @@ _FRONT = [
 # known at rotation time — round-7 edits so far touch only non-registry
 # streaming/serving/multimodal files, and round7.py's two queries are
 # inside the window), then (b) any r07 window spills, then (c) queries
-# registered after this window froze (none at rotation time), then
+# registered after this window froze — audio_near_dup_pairs and
+# video_near_dup_pairs (plans/round7b.py, the audio/video twins of
+# image_near_dup_pairs) — then
 # (d) the remaining 19 r03-stale rows — brand_sizes_except_all,
 # brand_sizes_intersect_all, doc_chunks, doc_deterministic_shuffle_head,
 # doc_hash_sample_10pct, doc_split_counts, events_daily_pivot,
