@@ -33,6 +33,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round6c,
     round7,
     round7b,
+    round7c,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -114,7 +115,9 @@ _FRONT = [
 # inside the window), then (b) any r07 window spills, then (c) queries
 # registered after this window froze — audio_near_dup_pairs and
 # video_near_dup_pairs (plans/round7b.py, the audio/video twins of
-# image_near_dup_pairs) — then
+# image_near_dup_pairs) and doc_bpe_merges + doc_bpe_token_stats
+# (plans/round7b.py, BPE tokenizer training/encoding over documents) —
+# then
 # (d) the remaining 19 r03-stale rows — brand_sizes_except_all,
 # brand_sizes_intersect_all, doc_chunks, doc_deterministic_shuffle_head,
 # doc_hash_sample_10pct, doc_split_counts, events_daily_pivot,

@@ -337,3 +337,152 @@ def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = media.mapInPandas(render, schema="media_id long, payload binary")
     sigs = video_sig_batch(payloads)
     return sig_pairs(sigs).orderBy("media_id_a", "media_id_b")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer training over the corpus)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 12
+
+
+def _bpe_ctes(k: int = _BPE_MERGES) -> str:
+    """Shared WITH-prefix replaying `text/bpe.py::learn_bpe` as a k-step
+    CTE chain — see `_bpe_oracle` for the semantics argument. ``it{k}``
+    is the fully-merged vocabulary (one delimiter-wrapped string per
+    word), reused by the stats oracle as the encoded corpus."""
+    d = "chr(31)"
+    dd = f"{d}||{d}"
+    parts = [
+        r"WITH toks AS MATERIALIZED (SELECT"
+        r" string_split_regex(trim(text), '\s+') AS t"
+        " FROM documents),",
+        "wc AS MATERIALIZED (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM toks, LATERAL unnest(t) AS u(w) WHERE u.w <> '' GROUP BY 1),",
+        f"it0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', {d} || '\\1' || {d},"
+        " 'g') AS st, n FROM wc)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+s{i} AS MATERIALIZED (SELECT st, n,
+         string_split(substr(st, 2, len(st) - 2), {dd}) AS syms
+         FROM it{i - 1}),
+p{i} AS MATERIALIZED (SELECT syms[u.pos] AS l, syms[u.pos + 1] AS r,
+         CAST(SUM(n) AS BIGINT) AS cnt
+         FROM s{i}, LATERAL unnest(range(1, len(syms))) AS u(pos)
+         GROUP BY 1, 2),
+b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+it{i} AS MATERIALIZED (SELECT replace(st, {d}||b.l||{d}||{d}||b.r||{d},
+                 {d}||b.l||b.r||{d}) AS st, n FROM it{i - 1}, b{i} b)"""
+        )
+    return "\n".join(parts)
+
+
+def _bpe_oracle(k: int = _BPE_MERGES) -> str:
+    """Replay of `text/bpe.py::learn_bpe` as a k-step CTE chain.
+
+    Iteration state is one string per word: every symbol wrapped as
+    ``chr(31)||sym||chr(31)`` and concatenated, so the greedy
+    left-to-right non-overlapping merge IS SQL ``replace()`` (its scan
+    resumes after each replacement — 'aaaa' + (a,a) → ['aa','aa'],
+    matching the Spark fold exactly). Pair counts unnest the symbol
+    list positionally; the argmax uses the same deterministic
+    (count DESC, left, right) tie-break as ``min_by``'s ordering
+    struct. Early exhaustion agrees too: an empty b{{i}} empties every
+    later iteration, emitting no further rows — the Spark loop breaks.
+    Every CTE is MATERIALIZED: each ``it{i}`` is referenced twice (pair
+    scan + next iteration), so inlining would re-evaluate the chain
+    exponentially."""
+    steps = "\nUNION ALL\n".join(
+        f"SELECT CAST({i - 1} AS INTEGER) AS step, l AS left_sym,"
+        f" r AS right_sym, l || r AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return _bpe_ctes(k) + f"\nSELECT * FROM (\n{steps}\n) ORDER BY step"
+
+
+@register("doc_bpe_merges", oracle=_bpe_oracle())
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: learn the first 12 BPE merges from the
+    document corpus (`text/bpe.py::learn_bpe` — one corpus scan into the
+    word-frequency table, then 12 vocab-table iterations of pair-count →
+    deterministic argmax → greedy fold merge, all JVM higher-order
+    expressions). Output: (step, left_sym, right_sym, merged,
+    pair_count) in learning order."""
+    from backend_big_data_spark.text.bpe import learn_bpe
+
+    wc = _word_counts(spark, sf_dir)
+    return learn_bpe(wc, num_merges=_BPE_MERGES).orderBy("step")
+
+
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n) frequency table — the one corpus scan both BPE queries
+    share; everything downstream operates on the vocabulary."""
+    from backend_big_data_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _bpe_stats_oracle(k: int = _BPE_MERGES) -> str:
+    """Tokenization-stats oracle: ``it{k}`` from the shared chain IS the
+    encoded vocabulary — token count per word is half the delimiter
+    count ((len(st) − len(chars)) // 2, integer floor division), and
+    stripping the delimiters recovers the original word (merges only
+    concatenate symbols). Assumes the corpus yields all k merges (holds
+    at every gate sf — `doc_bpe_merges` returns exactly k rows); an
+    early-exhausted chain would empty ``it{k}`` while Spark still
+    encodes with the shorter merge list."""
+    return _bpe_ctes(k) + f""",
+enc AS MATERIALIZED (SELECT replace(st, chr(31), '') AS word,
+     (len(st) - len(replace(st, chr(31), ''))) // 2 AS toks, n
+     FROM it{k})
+SELECT CASE WHEN len(word) <= 3 THEN '1-3' WHEN len(word) <= 6 THEN '4-6'
+            WHEN len(word) <= 9 THEN '7-9' ELSE '10+' END AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS distinct_words,
+       CAST(SUM(n) AS BIGINT) AS occurrences,
+       CAST(SUM(len(word) * n) AS BIGINT) AS chars,
+       CAST(SUM(toks * n) AS BIGINT) AS bpe_tokens
+FROM enc GROUP BY 1 ORDER BY 1"""
+
+
+@register("doc_bpe_token_stats", oracle=_bpe_stats_oracle())
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application: learn the 12-merge BPE vocabulary, encode
+    the corpus with it (`text/bpe.py::apply_bpe` — one chained JVM
+    ``aggregate`` fold per merge over the VOCABULARY table, never the
+    corpus; occurrence weights rejoin the stats), and report compression
+    by word-length bucket: occurrence-weighted characters vs BPE tokens.
+    At production vocab sizes the encode step swaps chained folds for a
+    broadcast merge-rank table inside one Arrow pass; the measured
+    contract (tokens-per-word by bucket) is identical."""
+    from backend_big_data_spark.text.bpe import apply_bpe, learn_bpe
+
+    wc = _word_counts(spark, sf_dir)
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in learn_bpe(wc, num_merges=_BPE_MERGES).orderBy("step").collect()
+    ]
+    enc = apply_bpe(wc, merges)
+    bucket = (
+        F.when(F.length("word") <= 3, "1-3")
+        .when(F.length("word") <= 6, "4-6")
+        .when(F.length("word") <= 9, "7-9")
+        .otherwise("10+")
+    )
+    return (
+        enc.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count("*").alias("distinct_words"),
+            F.sum("n").alias("occurrences"),
+            F.sum(F.length("word").cast("long") * F.col("n")).alias("chars"),
+            F.sum(F.size("syms").cast("long") * F.col("n")).alias("bpe_tokens"),
+        )
+        .orderBy("len_bucket")
+    )
