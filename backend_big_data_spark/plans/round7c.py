@@ -1,0 +1,102 @@
+"""Round-7 additions II: fuzzy record linkage and fixed-point PageRank.
+
+Both are additive training-data-pipeline capabilities (the reference
+engine, CiccioRomeo/backend-big-data, has neither a fuzzy join nor an
+iterative graph operator): entity resolution against a dirty feed is the
+standard step before exact/near dedup can key on an entity id, and
+link-graph centrality is the classic web-corpus quality prior.
+
+Determinism/oracle strategy:
+
+- `part_fuzzy_match` derives the dirty feed from the part table itself
+  with TWO deterministic character edits (delete at 1 + pk mod len,
+  then substitute 'q' at 1 + 7·pk mod len'), so every dirty record is
+  within edit distance 2 of its source entity and the whole task is
+  replayable in ANSI SQL. The Spark side runs the Ed-Join prefix-filter
+  plan (`operators/fuzzyjoin.py`); the oracle brute-forces all pairs
+  with a length pre-filter — blocking is result-invariant (completeness
+  theorem + exact verify), so both produce identical pairs.
+- `supplier_pagerank` runs PageRank entirely in fixed-point BIGINT
+  micro-units with floor division at every step, so Spark and DuckDB
+  agree bit-for-bit; the oracle replays the iterations as a MATERIALIZED
+  CTE chain (same device as `round7b._bpe_ctes`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.plans.registry import register
+from backend_big_data_spark.sources.catalog import load_table
+
+_FUZZY_K = 2
+
+_FUZZY_ORACLE = """
+WITH e AS (
+  SELECT p_partkey AS id, p_name || '|' || p_brand || '|' || p_type AS ent
+  FROM part
+),
+d0 AS (SELECT id, ent, 1 + (id % len(ent)) AS pos1 FROM e),
+d1 AS (SELECT id,
+       substr(ent, 1, pos1 - 1) || substr(ent, pos1 + 1, 100000) AS e2
+       FROM d0),
+d2 AS (SELECT id, e2, 1 + ((id * 7) % len(e2)) AS pos2 FROM d1),
+dirty AS (SELECT id,
+          substr(e2, 1, pos2 - 1) || 'q' || substr(e2, pos2 + 1, 100000)
+          AS ds FROM d2)
+SELECT d.id AS dirty_id, c.id AS clean_id,
+       CAST(levenshtein(d.ds, c.ent) AS INTEGER) AS edit_dist
+FROM dirty d JOIN e c ON abs(len(d.ds) - len(c.ent)) <= 2
+WHERE levenshtein(d.ds, c.ent) <= 2
+ORDER BY dirty_id, clean_id
+"""
+
+
+def _entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("id"),
+        F.concat_ws("|", "p_name", "p_brand", "p_type").alias("s"),
+    )
+
+
+def _corrupt(clean: DataFrame) -> DataFrame:
+    """Two deterministic edits keyed on the id: delete one character,
+    then substitute one character with 'q' — edit distance ≤ 2 from the
+    source entity by construction."""
+    pos1 = F.lit(1) + F.pmod(F.col("id"), F.length("s"))
+    deleted = F.concat(
+        F.substring(F.col("s"), F.lit(1), pos1 - 1),
+        F.col("s").substr(pos1 + 1, F.lit(100000)),
+    )
+    d = clean.select("id", deleted.alias("s"))
+    pos2 = F.lit(1) + F.pmod(F.col("id") * 7, F.length("s"))
+    subbed = F.concat(
+        F.substring(F.col("s"), F.lit(1), pos2 - 1),
+        F.lit("q"),
+        F.col("s").substr(pos2 + 1, F.lit(100000)),
+    )
+    return d.select("id", subbed.alias("s"))
+
+
+@register("part_fuzzy_match", oracle=_FUZZY_ORACLE)
+def part_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: link a deterministically corrupted parts feed
+    back to the master part table at edit distance ≤ 2 via the Ed-Join
+    prefix-filter plan (`operators/fuzzyjoin.edit_distance_join` — q-gram
+    explode, global rarity order, k·q+1-rarest-gram candidate join,
+    exact levenshtein verify; no all-pairs stage anywhere)."""
+    from backend_big_data_spark.operators.fuzzyjoin import edit_distance_join
+
+    clean = _entities(spark, sf_dir)
+    dirty = _corrupt(clean)
+    return (
+        edit_distance_join(dirty, clean, max_dist=_FUZZY_K, q=3)
+        .select(
+            F.col("left_id").alias("dirty_id"),
+            F.col("right_id").alias("clean_id"),
+            "edit_dist",
+        )
+        .orderBy("dirty_id", "clean_id")
+    )
