@@ -100,3 +100,85 @@ def part_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dirty_id", "clean_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank (supply-graph centrality)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000_000
+
+
+def _pagerank_oracle(k: int = _PR_ITERS, scale: int = _PR_SCALE) -> str:
+    """Replay of `operators/pagerank.py` as a k-step MATERIALIZED CTE
+    chain (same device as `round7b._bpe_ctes`): every arithmetic step is
+    BIGINT floor division, so the replay is exact. DuckDB SUM() emits
+    HUGEINT — every aggregate is cast back to BIGINT."""
+    parts = [
+        f"""WITH edges AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  UNION
+  SELECT DISTINCT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outd AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM edges GROUP BY 1),
+r0 AS MATERIALIZED (SELECT node, CAST(CAST({scale} AS BIGINT) // n AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dang
+  FROM r{i - 1} r LEFT JOIN outd o ON r.node = o.node
+  WHERE o.node IS NULL),
+i{i} AS MATERIALIZED (SELECT e.dst AS node,
+  CAST(SUM(r.r // o.deg) AS BIGINT) AS in_sum
+  FROM r{i - 1} r JOIN outd o ON r.node = o.node
+  JOIN edges e ON e.src = r.node GROUP BY 1),
+r{i} AS MATERIALIZED (SELECT nd.node,
+  CAST((15 * CAST({scale} AS BIGINT)) // (100 * nn.n)
+    + (85 * (COALESCE(i.in_sum, 0) + d.dang // nn.n)) // 100 AS BIGINT) AS r
+  FROM nodes nd CROSS JOIN nn CROSS JOIN d{i} d
+  LEFT JOIN i{i} i ON nd.node = i.node)"""
+        )
+    return (
+        "".join(parts)
+        + f"\nSELECT node, r AS rank_fp FROM r{k} ORDER BY rank_fp DESC, node"
+    )
+
+
+@register("supplier_pagerank", oracle=_pagerank_oracle())
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph centrality over the supply graph: customer→supplier
+    edges from purchases (orders ⋈ lineitem, distinct pairs) plus
+    supplier→nation location edges; nations are dangling sinks whose
+    mass redistributes uniformly. Five fixed-point iterations
+    (`operators/pagerank.py::pagerank` — BIGINT micro-units, floor
+    division everywhere, bit-identical across engines and reduction
+    orders). Output: every node with its final rank, descending."""
+    from backend_big_data_spark.operators.pagerank import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    purchases = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    located = sup.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = purchases.unionByName(located).distinct()
+    return pagerank(edges, iterations=_PR_ITERS, scale=_PR_SCALE).orderBy(
+        F.desc("rank_fp"), "node"
+    )
