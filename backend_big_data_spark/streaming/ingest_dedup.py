@@ -148,6 +148,28 @@ def read_corpus(
     )
 
 
+def read_corpus_snapshot(
+    spark: SparkSession, corpus_dir: str, as_of_batch: int
+) -> DataFrame | None:
+    """Time travel: the kept corpus exactly as it stood after batch
+    ``as_of_batch`` was committed, or None when no batch ≤ ``as_of_batch``
+    exists. Because admission is append-only (a ``batch=N`` dir is never
+    edited after commit), a snapshot is just the union of directories
+    whose coverage ends at or before ``as_of_batch`` — metadata-scale
+    selection, no data rewritten. Raises ``ValueError`` when compaction
+    folded that snapshot away (see `maintenance.snapshot_dir_names`).
+    The reproducibility contract for training runs: "the train set as of
+    snapshot N" is re-materializable bit-for-bit until a fold crosses N."""
+    from backend_big_data_spark.streaming.maintenance import snapshot_dir_names
+
+    names = snapshot_dir_names(spark, corpus_dir, "batch", as_of_batch)
+    if not names:
+        return None
+    return spark.read.option("basePath", corpus_dir).parquet(
+        *[os.path.join(corpus_dir, n) for n in names]
+    )
+
+
 def read_corpus_bands(
     spark: SparkSession, corpus_dir: str, exclude_batch: int | None = None
 ) -> DataFrame | None:

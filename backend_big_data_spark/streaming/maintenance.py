@@ -86,6 +86,23 @@ def _journal_path(base: str, prefix: str) -> str:
     return os.path.join(base, f"_fold_journal_{prefix}.json")
 
 
+def _history_path(base: str, prefix: str) -> str:
+    return os.path.join(base, f"_fold_history_{prefix}.json")
+
+
+def fold_history(spark: SparkSession, base: str, prefix: str) -> dict[int, list[int]]:
+    """Which original batch ids each surviving folded ``{prefix}=N`` dir
+    covers: ``{published_id: sorted original ids}``. Directories that
+    were never folded are absent (they cover exactly themselves). The
+    sidecar is maintained inside the fold's journaled commit protocol
+    (see `_finish_fold`), so it is exactly as crash-consistent as the
+    fold itself."""
+    text = fsutil.read_text(spark, _history_path(base, prefix))
+    if text is None:
+        return {}
+    return {int(k): v for k, v in json.loads(text)["folds"].items()}
+
+
 def _finish_fold(spark: SparkSession, base: str, prefix: str, meta: dict) -> None:
     """Run (or re-run) the post-journal steps of a fold; idempotent.
 
@@ -114,6 +131,21 @@ def _finish_fold(spark: SparkSession, base: str, prefix: str, meta: dict) -> Non
     for i in meta["delete"]:
         if i != meta["publish"]:
             fsutil.delete(spark, os.path.join(base, f"{prefix}={i}"))
+    # Record lineage BEFORE dropping the journal: a crash in between
+    # re-runs this whole function (idempotent — the history update is a
+    # pure key replacement). Computed from the prior history, not the
+    # meta, so journals written before this sidecar existed still fold
+    # their constituents' coverage correctly.
+    hist = fold_history(spark, base, prefix)
+    covered = sorted({o for i in meta["delete"] for o in hist.get(i, [i])})
+    for i in meta["delete"]:
+        hist.pop(i, None)
+    hist[meta["publish"]] = covered
+    fsutil.write_text_atomic(
+        spark,
+        _history_path(base, prefix),
+        json.dumps({"folds": {str(k): v for k, v in sorted(hist.items())}}),
+    )
     fsutil.delete(spark, _journal_path(base, prefix))
 
 
@@ -162,6 +194,56 @@ def fold_exclusions(spark: SparkSession, base: str, prefix: str) -> set[str]:
     return {
         f"{prefix}={i}" for i in meta["delete"] if i != meta["publish"]
     }
+
+
+def _effective_history(
+    spark: SparkSession, base: str, prefix: str
+) -> dict[int, list[int]]:
+    """`fold_history` plus any journaled-but-unfinished fold: in the
+    post-publish crash window the published dir already holds the folded
+    union while the sidecar still describes the pre-fold state — apply
+    the pending update in memory so snapshot reads stay exact in every
+    crash state `fold_exclusions` can mask."""
+    hist = fold_history(spark, base, prefix)
+    jtext = fsutil.read_text(spark, _journal_path(base, prefix))
+    if jtext is None:
+        return hist
+    meta = json.loads(jtext)
+    if fsutil.exists(spark, os.path.join(base, meta["tmp"])):
+        return hist  # unpublished: source dirs are authoritative
+    covered = sorted({o for i in meta["delete"] for o in hist.get(i, [i])})
+    for i in meta["delete"]:
+        hist.pop(i, None)
+    hist[meta["publish"]] = covered
+    return hist
+
+
+def snapshot_dir_names(
+    spark: SparkSession, base: str, prefix: str, as_of: int
+) -> list[str]:
+    """Time travel: the ``{prefix}=N`` directory names whose union IS the
+    state after batch ``as_of`` was committed. Metadata-scale (one
+    listing + two small-file probes). Raises ``ValueError`` when
+    compaction has folded batch ``as_of`` together with LATER batches —
+    that snapshot no longer exists on disk (the same trade Delta-style
+    VACUUM makes; size ``keep_latest`` to the snapshot horizon)."""
+    hist = _effective_history(spark, base, prefix)
+    skip = fold_exclusions(spark, base, prefix)
+    out = []
+    for name in fsutil.list_subdirs(spark, base, prefix=prefix + "="):
+        if name in skip:
+            continue
+        i = int(name.split("=", 1)[1])
+        covered = hist.get(i, [i])
+        if covered[-1] <= as_of:
+            out.append(name)
+        elif covered[0] <= as_of:
+            raise ValueError(
+                f"snapshot {prefix}={as_of} was compacted away: {name} "
+                f"covers {covered[0]}..{covered[-1]}; raise keep_latest "
+                f"to retain the snapshot horizon"
+            )
+    return out
 
 
 def _fold(
@@ -268,5 +350,7 @@ __all__ = [
     "compact_ingest_corpus",
     "compact_quality_grid",
     "fold_exclusions",
+    "fold_history",
     "recover_fold",
+    "snapshot_dir_names",
 ]
