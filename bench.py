@@ -138,12 +138,21 @@ HEADLINE = [
     "events_quantile_sketch_band",
     "doc_cdc_chunk_dups",
     "corpus_datasheet",
+    # round-7: Ed-Join fuzzy record linkage (q-gram prefix filter +
+    # levenshtein verify — scales with the part table)
+    "part_fuzzy_match",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
     # dedup_cluster_spectrum and doc_leakage_safe_split compose it, so
     # they stay off for the same reason (their own additions are a
-    # map-side hash split plus pair-set-bounded joins).
+    # map-side hash split plus pair-set-bounded joins). The same
+    # fixed-sync-overhead rationale keeps the iterative round-7 ops
+    # (doc_bpe_merges / doc_bpe_token_stats / supplier_pagerank: 12 resp.
+    # 5 driver-synced rounds) and the fixed-gate-scale multimodal
+    # near-dup certificates (image/audio/video ≤700 media at every sf)
+    # off the headline; tools/scale_linkage.py measures the round-7
+    # operators' scaling directly.
 ]
 
 #: min-of-3: the first execution of a heavy operator pays whole-stage-codegen
