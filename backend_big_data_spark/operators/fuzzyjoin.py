@@ -107,4 +107,71 @@ def edit_distance_join(
     )
 
 
-__all__ = ["edit_distance_join", "qgrams"]
+def gram_index(df: DataFrame, q: int = 3) -> DataFrame:
+    """FULL distinct-gram inverted index of (id, s): one (id, gram) row
+    per distinct q-gram of each string — the maintained sidecar the
+    one-sided probe (`edit_distance_join_indexed`) joins against."""
+    return df.select(
+        F.col("id"), F.explode(F.array_distinct(qgrams(F.col("s"), q))).alias("gram")
+    )
+
+
+def edit_distance_join_indexed(
+    left: DataFrame,
+    right_index: DataFrame,
+    right_strings: DataFrame,
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """Fuzzy join ``left`` (id, s) against a PRE-BUILT gram index
+    (`gram_index` rows (id, gram)) plus its strings (id, s) — the
+    incremental/streaming variant: the right side is never re-shingled.
+
+    One-sided prefix filtering: any k·q+1 grams of a left string serve
+    as its prefix (k edits destroy at most k·q grams, so at least one
+    chosen gram SURVIVES as a substring of any right string within
+    distance k — and therefore appears in that string's FULL gram
+    index). Completeness thus holds for ANY ranking of the left grams;
+    the ranking only tunes candidate fan-out, so left-local frequency
+    (cheap, self-contained, no shared global order to maintain) picks
+    the rarest. The tiny prefix table is broadcast, so the index is
+    scanned map-side — no shuffle of the at-rest index.
+
+    Returns (left_id, right_id, left_s, right_s, edit_dist)."""
+    prefix_len = max_dist * q + 1
+    lg = left.select(F.col("id"), F.explode(qgrams(F.col("s"), q)).alias("gram"))
+    freq = lg.groupBy("gram").agg(F.count("*").alias("cnt"))
+    lp = _prefix_grams(lg, freq, prefix_len).withColumnRenamed("id", "left_id")
+    cand = (
+        F.broadcast(lp)
+        .join(right_index.withColumnRenamed("id", "right_id"), "gram")
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    ls = left.select(F.col("id").alias("left_id"), F.col("s").alias("left_s"))
+    rs = right_strings.select(
+        F.col("id").alias("right_id"), F.col("s").alias("right_s")
+    )
+    return (
+        cand.join(F.broadcast(ls), "left_id")
+        .join(rs, "right_id")
+        .where(
+            (F.abs(F.length("left_s") - F.length("right_s")) <= max_dist)
+            & (F.levenshtein("left_s", "right_s") <= max_dist)
+        )
+        .select(
+            "left_id",
+            "right_id",
+            "left_s",
+            "right_s",
+            F.levenshtein("left_s", "right_s").cast("int").alias("edit_dist"),
+        )
+    )
+
+
+__all__ = [
+    "edit_distance_join",
+    "edit_distance_join_indexed",
+    "gram_index",
+    "qgrams",
+]

@@ -117,8 +117,10 @@ _FRONT = [
 # video_near_dup_pairs (plans/round7b.py, the audio/video twins of
 # image_near_dup_pairs) and doc_bpe_merges + doc_bpe_token_stats
 # (plans/round7b.py, BPE tokenizer training/encoding over documents)
-# and part_fuzzy_match + supplier_pagerank (plans/round7c.py, Ed-Join
-# fuzzy record linkage + fixed-point PageRank) — then
+# and part_fuzzy_match + part_fuzzy_match_indexed + supplier_pagerank
+# (plans/round7c.py, Ed-Join fuzzy record linkage [two-sided + the
+# streaming sink's maintained-index probe] + fixed-point PageRank) —
+# then
 # (d) the remaining 19 r03-stale rows — brand_sizes_except_all,
 # brand_sizes_intersect_all, doc_chunks, doc_deterministic_shuffle_head,
 # doc_hash_sample_10pct, doc_split_counts, events_daily_pivot,

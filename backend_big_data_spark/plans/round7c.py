@@ -102,6 +102,35 @@ def part_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("part_fuzzy_match_indexed", oracle=_FUZZY_ORACLE)
+def part_fuzzy_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same linkage task through the INCREMENTAL path
+    (`operators/fuzzyjoin.edit_distance_join_indexed` — the dirty side's
+    k·q+1 rarest grams broadcast-probe a pre-built master gram index;
+    the master is never re-shingled; this is the probe the streaming
+    sink `streaming/linkage_ingest.py` runs per micro-batch). Same
+    brute-force oracle as `part_fuzzy_match`: both paths are
+    result-invariant blockings of the same join."""
+    from backend_big_data_spark.operators.fuzzyjoin import (
+        edit_distance_join_indexed,
+        gram_index,
+    )
+
+    clean = _entities(spark, sf_dir)
+    dirty = _corrupt(clean)
+    return (
+        edit_distance_join_indexed(
+            dirty, gram_index(clean, q=3), clean, max_dist=_FUZZY_K, q=3
+        )
+        .select(
+            F.col("left_id").alias("dirty_id"),
+            F.col("right_id").alias("clean_id"),
+            "edit_dist",
+        )
+        .orderBy("dirty_id", "clean_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fixed-point PageRank (supply-graph centrality)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,194 @@
+"""Streaming entity resolution — the LINKAGE member of the ingest
+family (`ingest_dedup` = text near-dup, `semdedup_ingest` = embeddings,
+`image_ingest` = binary media, this = fuzzy record linkage).
+
+Per micro-batch of dirty (id, s) records arriving against a master
+entity table at ``master_dir``:
+
+1. LINK: every batch record fuzzy-joins the admitted master at edit
+   distance ≤ k via the one-sided prefix probe
+   (`operators/fuzzyjoin.edit_distance_join_indexed`): the batch's
+   k·q+1 rarest grams are broadcast against the master's MAINTAINED
+   gram index — the master strings are never re-shingled (the same
+   maintained-admission-state discipline as the family's fp/Bloom/band
+   and dhash sidecars). Links land in ``links/batch=N``.
+2. ADMIT: records that matched nothing become new master entities
+   (after within-batch exact dedup on the string — min id survives,
+   deterministic). Their rows append as ``batch=N`` and their distinct
+   grams as ``grams/batch=N``, so the index grows in lockstep with the
+   master — admission maintains the probe state, nothing is rebuilt.
+
+Batch-internal NEAR-dups (two novel records within distance k of each
+other) are admitted as separate entities — the standard streaming-ER
+compromise: resolving them needs a transitive-closure pass the
+micro-batch path deliberately avoids; they will link to each other's
+rows from the NEXT batch on, and the batch-twin audit
+(`linkage_batch_twin`) reports them. Exact duplicates ARE resolved.
+
+Replay safety mirrors the family: ``exclude_batch`` on every master
+read plus per-batch directory overwrite make at-least-once retries
+rewrite identical links and identical admissions.
+
+Scale: per-batch cost = one gram explode over the BATCH, a broadcast
+prefix probe scanning the gram index map-side (no index shuffle — plan
+test asserts no Exchange above its scan), and a candidate-bounded
+levenshtein verify. The master fold-compacts like every family sidecar
+(`maintenance.compact_ingest_corpus` semantics via `compact_linkage_master`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.operators.fuzzyjoin import (
+    edit_distance_join_indexed,
+    gram_index,
+)
+from backend_big_data_spark.sources import fsutil
+
+DEFAULT_MAX_DIST = 2
+DEFAULT_Q = 3
+
+
+def _read_dirs(
+    spark: SparkSession, base: str, exclude_batch: int | None
+) -> DataFrame | None:
+    from backend_big_data_spark.streaming.maintenance import fold_exclusions
+
+    skip = fold_exclusions(spark, base, "batch")
+    names = [
+        n
+        for n in fsutil.list_subdirs(spark, base, prefix="batch=")
+        if n != f"batch={exclude_batch}" and n not in skip
+    ]
+    if not names:
+        return None
+    return spark.read.option("basePath", base).parquet(
+        *[os.path.join(base, n) for n in names]
+    )
+
+
+def read_master(
+    spark: SparkSession, master_dir: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """Admitted master entities (id, s) so far, or None."""
+    return _read_dirs(spark, master_dir, exclude_batch)
+
+
+def read_master_grams(
+    spark: SparkSession, master_dir: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """The maintained (id, gram) index over the admitted master."""
+    return _read_dirs(spark, os.path.join(master_dir, "grams"), exclude_batch)
+
+
+def link_batch(
+    batch: DataFrame,
+    master: DataFrame | None,
+    master_grams: DataFrame | None,
+    max_dist: int = DEFAULT_MAX_DIST,
+    q: int = DEFAULT_Q,
+) -> DataFrame:
+    """(dirty_id, master_id, edit_dist) for every batch record within
+    ``max_dist`` of an admitted master entity (empty frame on an empty
+    master)."""
+    if master is None or master_grams is None:
+        return batch.sparkSession.createDataFrame(
+            [], "dirty_id long, master_id long, edit_dist int"
+        )
+    return edit_distance_join_indexed(
+        batch, master_grams, master, max_dist=max_dist, q=q
+    ).select(
+        F.col("left_id").alias("dirty_id"),
+        F.col("right_id").alias("master_id"),
+        "edit_dist",
+    )
+
+
+def admit_novel(batch: DataFrame, links: DataFrame) -> DataFrame:
+    """Batch records with no master link, exact-deduped on the string
+    (min id survives — deterministic)."""
+    unmatched = batch.join(
+        links.select(F.col("dirty_id").alias("id")).distinct(), "id", "anti"
+    )
+    return (
+        unmatched.groupBy("s")
+        .agg(F.min("id").alias("id"))
+        .select("id", "s")
+    )
+
+
+def linkage_ingest_sink(
+    master_dir: str, max_dist: int = DEFAULT_MAX_DIST, q: int = DEFAULT_Q
+):
+    """``foreachBatch`` function maintaining the master table, its gram
+    index, and the per-batch link results under ``master_dir``."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        b = batch.select("id", "s").persist()
+        master = read_master(spark, master_dir, exclude_batch=batch_id)
+        grams = read_master_grams(spark, master_dir, exclude_batch=batch_id)
+        links = link_batch(b, master, grams, max_dist=max_dist, q=q).persist()
+        novel = admit_novel(b, links)
+        bdir = f"batch={batch_id}"
+        links.write.mode("overwrite").parquet(
+            os.path.join(master_dir, "links", bdir)
+        )
+        novel.write.mode("overwrite").parquet(os.path.join(master_dir, bdir))
+        gram_index(
+            spark.read.parquet(os.path.join(master_dir, bdir)), q=q
+        ).write.mode("overwrite").parquet(
+            os.path.join(master_dir, "grams", bdir)
+        )
+        links.unpersist()
+        b.unpersist()
+
+    return apply
+
+
+def linkage_ingest_stream(
+    dirty_stream: DataFrame,
+    master_dir: str,
+    checkpoint: str,
+    max_dist: int = DEFAULT_MAX_DIST,
+):
+    """Attach the linkage sink to a dirty-record stream. Returns the
+    started StreamingQuery (caller awaits/stops)."""
+    return (
+        dirty_stream.writeStream.foreachBatch(
+            linkage_ingest_sink(master_dir, max_dist=max_dist)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_linkage_master(
+    spark: SparkSession, master_dir: str, keep_latest: int = 1
+) -> list[int]:
+    """Fold the commit-stable prefix of the master and its gram index
+    (links stay per-batch — they are RESULTS, not probe state)."""
+    from backend_big_data_spark.streaming.maintenance import _fold
+
+    folded = _fold(spark, master_dir, "batch", keep_latest)
+    if folded:
+        grams_dir = os.path.join(master_dir, "grams")
+        if fsutil.list_subdirs(spark, grams_dir, prefix="batch="):
+            _fold(spark, grams_dir, "batch", keep_latest)
+    return folded
+
+
+__all__ = [
+    "admit_novel",
+    "compact_linkage_master",
+    "link_batch",
+    "linkage_ingest_sink",
+    "linkage_ingest_stream",
+    "read_master",
+    "read_master_grams",
+]

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from backend_big_data_spark.operators.fuzzyjoin import (
     edit_distance_join,
+    edit_distance_join_indexed,
+    gram_index,
     qgrams,
 )
 
@@ -75,6 +77,19 @@ class TestEditDistanceJoin:
 
     def test_matches_brute_force_q2(self, spark):
         assert self._run(spark, 2, q=2) == _brute(2)
+
+    def test_indexed_variant_matches_brute_force(self, spark):
+        # the one-sided prefix probe against a pre-built gram index must
+        # be result-invariant too (completeness holds for ANY left-gram
+        # ranking, so batch-local frequency is safe)
+        ldf = spark.createDataFrame(list(enumerate(LEFT)), "id int, s string")
+        rdf = spark.createDataFrame(list(enumerate(RIGHT)), "id int, s string")
+        for k in (1, 2):
+            out = edit_distance_join_indexed(
+                ldf, gram_index(rdf), rdf, max_dist=k
+            ).collect()
+            got = sorted((r.left_id, r.right_id, r.edit_dist) for r in out)
+            assert got == _brute(k), k
 
     def test_self_join_shape(self, spark):
         df = spark.createDataFrame(list(enumerate(LEFT)), "id int, s string")
