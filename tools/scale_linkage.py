@@ -136,6 +136,33 @@ def main() -> None:
             clean.unpersist()
             dirty.unpersist()
 
+    # incremental probe: hold the arriving batch FIXED (replica 0's
+    # dirty records) and grow the at-rest master 1x/4x/16x — the
+    # per-batch-cost claim of the streaming linkage sink. Master index
+    # is pre-built (as admission maintains it); probe = broadcast prefix
+    # grams against the index scan + candidate-bounded verify.
+    from backend_big_data_spark.operators.fuzzyjoin import (
+        edit_distance_join_indexed,
+        gram_index,
+    )
+
+    batch = _corrupt(replicate_disjoint_grams(clean0, 1)).cache()
+    batch.count()
+    for factor in FACTORS:
+        master = replicate_disjoint_grams(clean0, factor).cache()
+        idx = gram_index(master).cache()
+        nm, _ = master.count(), idx.count()
+        out = edit_distance_join_indexed(batch, idx, master, max_dist=2, q=3)
+        pairs = out.count()
+        wall = timed(lambda: out.count())
+        print(
+            f"linkage_probe factor={factor:>2} master={nm:>7} "
+            f"pairs={pairs:>7} wall={wall:6.2f}s"
+        )
+        master.unpersist()
+        idx.unpersist()
+    batch.unpersist()
+
     for factor in FACTORS:
         edges = replicate_edges(edges0, factor).cache()
         ne = edges.count()
