@@ -1154,7 +1154,9 @@ def test_compact_ingest_corpus_preserves_semantics(spark, tmp_path):
     assert folded == [0, 1]
     import os
 
-    assert sorted(os.listdir(cdir + "/bands")) == ["batch=0", "batch=2"]
+    assert sorted(
+        n for n in os.listdir(cdir + "/bands") if n.startswith("batch=")
+    ) == ["batch=0", "batch=2"]  # plus the fold-history sidecar
     assert sorted(
         (r["doc_id"], r["text"]) for r in read_corpus(spark, cdir).collect()
     ) == rows_before
