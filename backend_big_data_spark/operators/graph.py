@@ -185,6 +185,75 @@ def connected_components_star(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 4,
+) -> DataFrame:
+    """Community detection via synchronous weighted label propagation
+    (Raghavan et al. 2007, "Near linear time algorithm to detect community
+    structures in large-scale networks") — the graph-family complement of
+    the component operators: CC answers "which nodes are CONNECTED",
+    LPA answers "which nodes are DENSELY connected" (communities), the
+    standard corpus-curation prior for link-graph domains.
+
+    Semantics, fully deterministic so a SQL oracle can replay it:
+
+    - edges are undirected; self-loops dropped; parallel edges collapse
+      into an integer weight (``count(*)``, or ``sum(weight)`` when a
+      weight column is named);
+    - every node starts labeled with its own id;
+    - each round, SYNCHRONOUSLY, every node adopts the label with the
+      highest incident weight among its neighbors' labels, ties broken by
+      MINIMUM label — no node keeps a stale vote for itself, and no
+      random tie-break (the published algorithm's randomness is exactly
+      what an engine-portable contract must remove);
+    - a FIXED ``iterations`` count, not a convergence loop: synchronous
+      LPA can 2-cycle on bipartite structure, so "run to fixpoint" is not
+      well-defined; a fixed round count is, and both engines replay it.
+
+    One keyed shuffle per round (groupBy (node, label) vote sum, then a
+    ``min_by`` argmax per node — the same deterministic-argmax device as
+    ``text/bpe.py``), lineage truncated per round. Scale shape is
+    identical to :func:`connected_components`: rounds × one shuffle over
+    the edge list, no all-pairs anywhere.
+
+    Returns ``(node, community)`` for every node on a non-self-loop edge.
+    """
+    und = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+        *( [F.col(weight).cast("long").alias("w")] if weight else [] ),
+    ).filter(F.col("a") != F.col("b"))
+    agg = F.sum("w") if weight else F.count(F.lit(1))
+    und = und.groupBy("a", "b").agg(agg.cast("long").alias("w"))
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).localCheckpoint()
+
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a", "label")
+            .agg(F.sum("w").alias("v"))
+        )
+        labels = (
+            votes.groupBy(F.col("a").alias("node"))
+            .agg(
+                F.min_by(
+                    F.col("label"), F.struct((-F.col("v")).alias("nv"), "label")
+                ).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",

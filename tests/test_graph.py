@@ -81,3 +81,94 @@ def test_triangle_counts_known_graph(spark):
     got = {r.vertex: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
     assert 5 not in got  # pendant vertex closes no triangle
+
+
+# ---------------------------------------------------------------------------
+# label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+from backend_big_data_spark.operators.graph import label_propagation  # noqa: E402
+
+
+def _lpa_ref(pairs, iterations=4, weights=None):
+    """Plain-Python reference for the deterministic synchronous LPA
+    contract: undirected, self-loops dropped, parallel edges summed,
+    argmax by (weight desc, label asc), fixed iteration count."""
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for i, (a, b) in enumerate(pairs):
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        w[(lo, hi)] += 1 if weights is None else weights[i]
+    adj = defaultdict(dict)
+    for (a, b), ww in w.items():
+        adj[a][b] = adj[a].get(b, 0) + ww
+        adj[b][a] = adj[b].get(a, 0) + ww
+    labels = {n: n for n in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for n, nbrs in adj.items():
+            votes = defaultdict(int)
+            for m, ww in nbrs.items():
+                votes[labels[m]] += ww
+            nxt[n] = min(votes, key=lambda lb: (-votes[lb], lb))
+        labels = nxt
+    return set(labels.items())
+
+
+def _communities(df):
+    return {(r.node, r.community) for r in df.collect()}
+
+
+def test_lpa_two_cliques_weak_bridge(spark):
+    """Two 4-cliques joined by one edge settle into two communities, each
+    labeled by its minimum member — the canonical LPA sanity case."""
+    k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    pairs = k1 + k2 + [(3, 10)]
+    got = _communities(label_propagation(_edges_df(spark, pairs)))
+    assert got == _lpa_ref(pairs)
+    comm = dict(got)
+    assert {comm[n] for n in range(4)} == {0}
+    assert {comm[n] for n in range(10, 14)} == {10}
+
+
+def test_lpa_weight_flips_a_vote(spark):
+    """Edge weight changes the argmax: on triangle 1-2-3, unweighted votes
+    send every node to its minimum neighbor, but a heavy 2-3 edge makes 2
+    and 3 vote for each other instead — one synchronous round shows the
+    difference, and both sides must match the reference."""
+    pairs = [(1, 2), (1, 3), (2, 3)]
+    weights = [1, 1, 5]
+    df = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in zip(pairs, weights)],
+        "src long, dst long, w long",
+    )
+    got_w = _communities(label_propagation(df, weight="w", iterations=1))
+    got_u = _communities(label_propagation(df.select("src", "dst"), iterations=1))
+    assert got_w == _lpa_ref(pairs, iterations=1, weights=weights)
+    assert got_u == _lpa_ref(pairs, iterations=1)
+    assert got_w == {(1, 2), (2, 3), (3, 2)}
+    assert got_u == {(1, 2), (2, 1), (3, 1)}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_lpa_matches_reference_on_random_graphs(spark, seed):
+    rng = random.Random(100 + seed)
+    n = 40
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges_df(spark, pairs)
+    assert _communities(label_propagation(e, iterations=4)) == _lpa_ref(
+        pairs, iterations=4
+    )
+
+
+def test_lpa_parallel_edges_collapse_to_weight(spark):
+    """Duplicate (and reversed-duplicate) edges vote with multiplicity:
+    triple edge 1-2 outvotes two single edges 1-3, 1-4."""
+    pairs = [(1, 2), (2, 1), (1, 2), (1, 3), (1, 4), (3, 4)]
+    got = _communities(label_propagation(_edges_df(spark, pairs), iterations=2))
+    assert got == _lpa_ref(pairs, iterations=2)
