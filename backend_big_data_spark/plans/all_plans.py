@@ -34,6 +34,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round7,
     round7b,
     round7c,
+    round7d,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -119,8 +120,10 @@ _FRONT = [
 # (plans/round7b.py, BPE tokenizer training/encoding over documents)
 # and part_fuzzy_match + part_fuzzy_match_indexed + supplier_pagerank
 # (plans/round7c.py, Ed-Join fuzzy record linkage [two-sided + the
-# streaming sink's maintained-index probe] + fixed-point PageRank) —
-# then
+# streaming sink's maintained-index probe] + fixed-point PageRank)
+# and supplier_communities + doc_unigram_vocab + doc_unigram_token_stats
+# (plans/round7d.py, label-propagation communities + the unigram-LM
+# tokenizer pair) — then
 # (d) the remaining 19 r03-stale rows — brand_sizes_except_all,
 # brand_sizes_intersect_all, doc_chunks, doc_deterministic_shuffle_head,
 # doc_hash_sample_10pct, doc_split_counts, events_daily_pivot,

@@ -1,0 +1,145 @@
+"""Unigram-LM tokenizer: distributed Viterbi/EM vs plain-Python reference.
+
+The contract under test (`text/unigram.py`) is the deterministic hard-EM
+variant of Kudo 2018: integer milli-nat costs, (total, start, piece)
+argmin tie-break, (count DESC, piece ASC) pruning, single-char coverage
+floor. Every distributed fold must reproduce the reference bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from backend_big_data_spark.text.unigram import (
+    hard_em,
+    piece_costs,
+    seed_counts,
+    segment_word_ref,
+    viterbi_segment,
+)
+
+
+def _wc_df(spark, pairs):
+    return spark.createDataFrame(pairs, "word string, n long")
+
+
+def test_piece_costs_fixed_point(spark):
+    """cost = floor(-1000·ln(cnt/total)) as BIGINT — bit-checked against
+    Python's math over the same doubles."""
+    counts = [("a", 6), ("b", 3), ("ab", 1)]
+    df = spark.createDataFrame(counts, "piece string, cnt long")
+    got = {r.piece: (r.cnt, r.cost) for r in piece_costs(df).collect()}
+    tot = 10
+    for p, c in counts:
+        assert got[p] == (c, math.floor(-1000.0 * math.log(c / tot)))
+
+
+def test_seed_counts_top_v_tie_break(spark):
+    """Multi-char seed keeps the top-V substrings by (count DESC, piece
+    ASC); singles are always kept. 'aaaa'×2: substrings a:8, aa:6, aaa:4,
+    aaaa:2 — V=2 keeps aa, aaa."""
+    df = _wc_df(spark, [("aaaa", 2)])
+    got = {(r.piece, r.cnt) for r in seed_counts(df, 4, 2).collect()}
+    assert got == {("a", 8), ("aa", 6), ("aaa", 4)}
+
+
+def test_viterbi_prefers_cheap_pieces(spark):
+    """A known-cost vocabulary yields the hand-computable segmentation:
+    with cheap 'ab' and expensive singles, 'abab' → [ab, ab]."""
+    vocab = spark.createDataFrame(
+        [("a", 1, 5000), ("b", 1, 5000), ("ab", 4, 100)],
+        "piece string, cnt long, cost long",
+    )
+    seg = viterbi_segment(_wc_df(spark, [("abab", 7)]), vocab, 4).collect()
+    assert len(seg) == 1
+    assert seg[0].pieces == ["ab", "ab"]
+    assert seg[0].total_cost == 200
+    assert seg[0].n == 7
+
+
+def test_viterbi_tie_break_is_deterministic(spark):
+    """Equal-cost split points resolve by (total, start, piece): with
+    every piece cost 100, 'aa' can be [a,a] (200) or [aa] (100) — [aa]
+    wins on total; 'ab'|'a','b' all at 100 → 'ab' single piece wins."""
+    vocab = spark.createDataFrame(
+        [("a", 1, 100), ("b", 1, 100), ("ab", 1, 100), ("aa", 1, 100)],
+        "piece string, cnt long, cost long",
+    )
+    seg = {
+        r.word: (r.pieces, r.total_cost)
+        for r in viterbi_segment(
+            _wc_df(spark, [("aa", 1), ("ab", 1), ("aab", 1)]), vocab, 4
+        ).collect()
+    }
+    assert seg["aa"] == (["aa"], 100)
+    assert seg["ab"] == (["ab"], 100)
+    # 'aab': [aa, b] vs [a, ab] both cost 200; backtrack at pos 3 compares
+    # (200, s=1, 'ab') < (200, s=2, 'b') — start ASC — so 'ab' wins, then 'a'.
+    assert seg["aab"] == (["a", "ab"], 200)
+    ref_pieces, ref_cost = segment_word_ref(
+        "aab", {"a": 100, "b": 100, "ab": 100, "aa": 100}
+    )
+    assert (ref_pieces, ref_cost) == (["a", "ab"], 200)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_viterbi_matches_reference_on_random_corpora(spark, seed):
+    """Random words + the real seeded costs: the distributed DP and
+    backtrack folds equal the plain-Python reference on every word."""
+    rng = random.Random(seed)
+    words = [
+        (
+            "".join(rng.choice("abcd") for _ in range(rng.randrange(1, 11))),
+            rng.randrange(1, 9),
+        )
+        for _ in range(30)
+    ]
+    # collapse duplicate words the way a frequency table would
+    agg: dict[str, int] = {}
+    for w, n in words:
+        agg[w] = agg.get(w, 0) + n
+    wc = _wc_df(spark, sorted(agg.items()))
+    vocab = piece_costs(seed_counts(wc, 4, 10))
+    costs = {r.piece: r.cost for r in vocab.collect()}
+    got = {
+        r.word: (list(r.pieces), r.total_cost)
+        for r in viterbi_segment(wc, vocab, 4).collect()
+    }
+    assert set(got) == set(agg)
+    for w in agg:
+        ref_pieces, ref_cost = segment_word_ref(w, costs)
+        assert got[w] == (ref_pieces, ref_cost), w
+
+
+def test_hard_em_prunes_unused_and_keeps_coverage(spark):
+    """After EM, every surviving multi-char piece was used by some
+    Viterbi segmentation, and every corpus character survives with
+    count ≥ 1 (the coverage floor)."""
+    wc = _wc_df(spark, [("banana", 10), ("bandana", 4), ("ananas", 6), ("nap", 3)])
+    vocab = {r.piece: (r.cnt, r.cost) for r in hard_em(wc, 4, 6, 2).collect()}
+    chars = set("".join(w for w, _ in [("banana", 0), ("bandana", 0), ("ananas", 0), ("nap", 0)]))
+    for ch in chars:
+        assert ch in vocab and vocab[ch][0] >= 1
+    seg = viterbi_segment(
+        wc,
+        spark.createDataFrame(
+            [(p, c, k) for p, (c, k) in vocab.items()],
+            "piece string, cnt long, cost long",
+        ),
+        4,
+    ).collect()
+    used = {p for r in seg for p in r.pieces}
+    multi = {p for p in vocab if len(p) > 1}
+    # fixpoint-style sanity: the kept multi pieces are exactly the used ones
+    # (vocab_size exceeds the used count in this tiny corpus)
+    assert multi == {p for p in used if len(p) > 1}
+
+
+def test_hard_em_zero_rounds_is_seed(spark):
+    wc = _wc_df(spark, [("abab", 3)])
+    seed_pieces = {r.piece for r in piece_costs(seed_counts(wc, 4, 5)).collect()}
+    em_pieces = {r.piece for r in hard_em(wc, 4, 5, 0).collect()}
+    assert em_pieces == seed_pieces
