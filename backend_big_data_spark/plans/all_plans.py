@@ -122,8 +122,11 @@ _FRONT = [
 # (plans/round7c.py, Ed-Join fuzzy record linkage [two-sided + the
 # streaming sink's maintained-index probe] + fixed-point PageRank)
 # and supplier_communities + doc_unigram_vocab + doc_unigram_token_stats
-# (plans/round7d.py, label-propagation communities + the unigram-LM
-# tokenizer pair) — then
+# + community_modularity + tokenizer_fertility_eval +
+# ann_ivf_maintained_topk (plans/round7d.py, label-propagation
+# communities with their modularity quality gate, the unigram-LM
+# tokenizer pair with the BPE-vs-unigram fertility eval, and the
+# maintained-index IVF serving probe) — then
 # (d) the remaining 19 r03-stale rows — brand_sizes_except_all,
 # brand_sizes_intersect_all, doc_chunks, doc_deterministic_shuffle_head,
 # doc_hash_sample_10pct, doc_split_counts, events_daily_pivot,

@@ -346,19 +346,24 @@ def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 12
 
 
-def _bpe_ctes(k: int = _BPE_MERGES) -> str:
+def _bpe_ctes(k: int = _BPE_MERGES, include_corpus: bool = True) -> str:
     """Shared WITH-prefix replaying `text/bpe.py::learn_bpe` as a k-step
     CTE chain — see `_bpe_oracle` for the semantics argument. ``it{k}``
     is the fully-merged vocabulary (one delimiter-wrapped string per
-    word), reused by the stats oracle as the encoded corpus."""
+    word), reused by the stats oracle as the encoded corpus.
+    ``include_corpus=False`` drops the leading ``WITH toks/wc`` prelude
+    so the chain can splice into a composite oracle that already defines
+    them (`round7d._fertility_oracle`)."""
     d = "chr(31)"
     dd = f"{d}||{d}"
-    parts = [
+    corpus = [
         r"WITH toks AS MATERIALIZED (SELECT"
         r" string_split_regex(trim(text), '\s+') AS t"
         " FROM documents),",
         "wc AS MATERIALIZED (SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS n"
         " FROM toks, LATERAL unnest(t) AS u(w) WHERE u.w <> '' GROUP BY 1),",
+    ]
+    parts = (corpus if include_corpus else []) + [
         f"it0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', {d} || '\\1' || {d},"
         " 'g') AS st, n FROM wc)",
     ]

@@ -25,6 +25,13 @@ from backend_big_data_spark.plans.registry import register
 from backend_big_data_spark.sources.catalog import load_table
 
 _LPA_ITERS = 4
+#: repeat-purchase threshold: the raw TPC-H customer×supplier incidence
+#: graph is near-complete bipartite noise (every customer touches most
+#: suppliers once) and LPA correctly collapses it to ~2 giant blobs;
+#: keeping only repeat-purchase edges (w ≥ 3) leaves the actual affinity
+#: structure (~194 communities at sf0.01) — the standard sparsification
+#: before community detection on co-occurrence graphs.
+_LPA_MIN_W = 3
 
 
 def _lpa_oracle(k: int = _LPA_ITERS) -> str:
@@ -34,10 +41,11 @@ def _lpa_oracle(k: int = _LPA_ITERS) -> str:
     label)` — the same (−weight, label) ordering as the Spark side's
     ``min_by`` struct."""
     parts = [
-        """WITH raw AS MATERIALIZED (
+        f"""WITH raw AS MATERIALIZED (
   SELECT 'c' || o_custkey AS x, 's' || l_suppkey AS y,
          CAST(COUNT(*) AS BIGINT) AS w
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2
+  HAVING COUNT(*) >= {_LPA_MIN_W}
   UNION ALL
   SELECT 's' || s_suppkey, 'n' || s_nationkey, CAST(1 AS BIGINT)
   FROM supplier
@@ -142,21 +150,33 @@ cost{r} AS MATERIALIZED (
   FROM voc{r}, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM voc{r}) t)"""
 
 
-def _uni_ctes(rounds: int, maxl: int = _UNI_MAXL, v: int = _UNI_V) -> str:
+_UNI_CORPUS = r"""WITH RECURSIVE toks AS MATERIALIZED (
+  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+wc AS MATERIALIZED (
+  SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks, LATERAL unnest(t) AS u(w) WHERE u.w <> '' GROUP BY 1),
+"""
+
+
+def _uni_ctes(
+    rounds: int,
+    maxl: int = _UNI_MAXL,
+    v: int = _UNI_V,
+    include_corpus: bool = True,
+) -> str:
     """WITH-prefix replaying `text/unigram.py::hard_em` through
     ``cost{rounds}``: the corpus word table, the occurrence-weighted
     substring seed (all singles + top-``v`` multis under the
     (count DESC, piece ASC) order), milli-nat fixed-point costs, then
     ``rounds`` Viterbi-EM rounds. ``ln`` is the single cross-engine
     double (≤1-ulp wobble vs a 1e-3 quantization grid — the FPGrowth
-    minSupport contract); every comparison downstream is BIGINT."""
+    minSupport contract); every comparison downstream is BIGINT.
+    ``include_corpus=False`` drops the ``WITH RECURSIVE toks/wc``
+    prelude for splicing into a composite oracle that already defines
+    them (`_fertility_oracle`)."""
     parts = [
-        r"""WITH RECURSIVE toks AS MATERIALIZED (
-  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
-wc AS MATERIALIZED (
-  SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS n
-  FROM toks, LATERAL unnest(t) AS u(w) WHERE u.w <> '' GROUP BY 1),
-subs AS MATERIALIZED (
+        (_UNI_CORPUS if include_corpus else "")
+        + r"""subs AS MATERIALIZED (
   SELECT substr(w.word, s.s + 1, l.l) AS piece, CAST(SUM(w.n) AS BIGINT) AS cnt"""
         + f"""
   FROM wc w, LATERAL unnest(range(0, len(w.word))) AS s(s),
@@ -284,17 +304,201 @@ def doc_unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("supplier_communities", oracle=_lpa_oracle())
-def supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection over the weighted supply graph: customer—
-    supplier edges weighted by purchase count (orders ⋈ lineitem,
-    count per pair) plus unit-weight supplier—nation location edges,
-    undirected. Four synchronous label-propagation rounds
-    (`operators/graph.py::label_propagation` — deterministic
-    (weight DESC, label ASC) argmax, one keyed shuffle per round).
-    Output: every node with its community label, ordered by node."""
-    from backend_big_data_spark.operators.graph import label_propagation
+# ---------------------------------------------------------------------------
+# Maintained-index IVF serving (the ANN member of the incremental family)
+# ---------------------------------------------------------------------------
 
+
+def _ivf_maintained_oracle() -> str:
+    """The scratch IVF oracle VERBATIM (`plans/extended.py::ann_ivf_topk`):
+    the maintained path is a result-invariant re-blocking — assignment at
+    admission instead of query time — so the same SQL certifies it. The
+    module import guarantees the source oracle is registered first."""
+    from backend_big_data_spark.plans import extended  # noqa: F401
+    from backend_big_data_spark.plans.registry import ORACLES
+
+    return ORACLES["ann_ivf_topk"]
+
+
+@register("ann_ivf_maintained_topk", oracle=_ivf_maintained_oracle())
+def ann_ivf_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the MAINTAINED-index path
+    (`similarity/ivf_serve.py`): inverted lists are assigned once at
+    admission (`assign_lists` — the column the streaming embedding sink
+    stores as ``cluster``) and the query path probes the stored ids with
+    one broadcast join; the corpus is never re-scored against the coarse
+    quantizer. Same fixed deterministic quantizer, same output contract,
+    same oracle as `ann_ivf_topk` — the gate certifies the re-blocking
+    is result-invariant."""
+    from backend_big_data_spark.similarity.ivf_serve import (
+        assign_lists,
+        ivf_maintained_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cvec = F.col("embedding").cast("array<double>")
+    fixed = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"), cvec.alias("centroid")
+    )
+    assigned = assign_lists(emb, fixed)
+    return ivf_maintained_topk(
+        assigned, emb.filter(F.col("vec_id") < 10), fixed, k=5, nprobe=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility eval: BPE vs unigram head-to-head
+# ---------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    """Composite oracle: the BPE k-step merge chain and the unigram
+    EM + encode chain spliced under ONE shared toks/wc corpus prelude
+    (CTE names are disjoint apart from toks/wc by construction), joined
+    word-for-word. The fertility ratios are BIGINT floor divisions of
+    exact token sums — the eval-harness discipline: both tokenizers'
+    oracles certify their encodings, this one certifies the COMPARISON."""
+    from backend_big_data_spark.plans.round7b import _BPE_MERGES, _bpe_ctes
+
+    enc_r = _UNI_ROUNDS + 1
+    return (
+        _UNI_CORPUS
+        + _bpe_ctes(_BPE_MERGES, include_corpus=False)
+        + ",\n"
+        + _uni_ctes(_UNI_ROUNDS, include_corpus=False)
+        + _uni_round(enc_r, _UNI_MAXL, _UNI_V)
+        + f""",
+bpe_enc AS MATERIALIZED (
+  SELECT replace(st, chr(31), '') AS word,
+         (len(st) - len(replace(st, chr(31), ''))) // 2 AS toks, n
+  FROM it{_BPE_MERGES}),
+uni_enc AS MATERIALIZED (
+  SELECT word, CAST(COUNT(piece) AS BIGINT) AS toks
+  FROM seg{enc_r} WHERE piece IS NOT NULL GROUP BY 1),
+j AS MATERIALIZED (
+  SELECT b.word, b.n, b.toks AS bpe_toks, u.toks AS uni_toks
+  FROM bpe_enc b JOIN uni_enc u USING (word))
+SELECT {_UNI_BUCKET} AS len_bucket,
+       CAST(SUM(n) AS BIGINT) AS occurrences,
+       CAST(SUM(len(word) * n) AS BIGINT) AS chars,
+       CAST(SUM(bpe_toks * n) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(uni_toks * n) AS BIGINT) AS unigram_tokens,
+       CAST((SUM(len(word) * n) * 1000) // SUM(bpe_toks * n) AS BIGINT)
+         AS bpe_chars_per_tok_mil,
+       CAST((SUM(len(word) * n) * 1000) // SUM(uni_toks * n) AS BIGINT)
+         AS uni_chars_per_tok_mil
+FROM j GROUP BY 1 ORDER BY 1"""
+    )
+
+
+@register("tokenizer_fertility_eval", oracle=_fertility_oracle())
+def tokenizer_fertility_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval harness for the tokenizer family: train BOTH tokenizers on
+    the same corpus (BPE 12 merges, unigram 2 EM rounds), encode the
+    vocabulary with each, and compare fertility (chars per token,
+    milli-units, BIGINT floor division) by word-length bucket — the
+    readout that decides which tokenizer a pipeline should ship. Every
+    term is an exact integer; the oracle replays both training chains
+    end-to-end, so a regression in EITHER tokenizer hash-fails this
+    row as well as its own."""
+    from backend_big_data_spark.text.bpe import apply_bpe, learn_bpe
+    from backend_big_data_spark.text.unigram import hard_em, viterbi_segment
+
+    wc = _uni_word_counts(spark, sf_dir).localCheckpoint(eager=True)
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in learn_bpe(wc, num_merges=12).orderBy("step").collect()
+    ]
+    bpe = apply_bpe(wc, merges).select(
+        "word", "n", F.size("syms").cast("long").alias("bpe_toks")
+    )
+    vocab = hard_em(
+        wc, max_piece_len=_UNI_MAXL, vocab_size=_UNI_V, rounds=_UNI_ROUNDS
+    )
+    uni = viterbi_segment(wc, vocab, max_piece_len=_UNI_MAXL).select(
+        "word", F.size("pieces").cast("long").alias("uni_toks")
+    )
+    j = bpe.join(uni, "word")
+    bucket = (
+        F.when(F.length("word") <= 3, "1-3")
+        .when(F.length("word") <= 6, "4-6")
+        .when(F.length("word") <= 9, "7-9")
+        .otherwise("10+")
+    )
+    return (
+        j.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.sum("n").alias("occurrences"),
+            F.sum(F.length("word").cast("long") * F.col("n")).alias("chars"),
+            F.sum(F.col("bpe_toks") * F.col("n")).alias("bpe_tokens"),
+            F.sum(F.col("uni_toks") * F.col("n")).alias("unigram_tokens"),
+        )
+        .select(
+            "len_bucket",
+            "occurrences",
+            "chars",
+            "bpe_tokens",
+            "unigram_tokens",
+            F.expr("chars * 1000L div bpe_tokens").alias("bpe_chars_per_tok_mil"),
+            F.expr("chars * 1000L div unigram_tokens").alias(
+                "uni_chars_per_tok_mil"
+            ),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Community modularity: the quality gate for the LPA labels
+# ---------------------------------------------------------------------------
+
+_MOD_SCALE = 1_000_000_000
+
+
+def _modularity_oracle(k: int = _LPA_ITERS, scale: int = _MOD_SCALE) -> str:
+    """Extends the LPA replay chain with Newman weighted modularity in
+    fixed point: per community c, ``contrib_fp = (scale·in_c) // m −
+    ((scale·tot_c) // (2m) · tot_c) // (2m)`` — every step BIGINT floor
+    division in the SAME nesting order both engines, so the replay is
+    exact. (Bound: scale·m must fit in BIGINT — fine through m ≈ 9·10⁹;
+    a production run at larger total weight would widen to DECIMAL(38).)"""
+    lpa = _lpa_oracle(k)
+    chain = lpa[: lpa.rindex("\nSELECT")]
+    return (
+        chain
+        + f""",
+deg AS MATERIALIZED (
+  SELECT a AS node, CAST(SUM(w) AS BIGINT) AS deg FROM sym GROUP BY 1),
+mm AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS m FROM und),
+inw AS MATERIALIZED (
+  SELECT la.label AS community, CAST(SUM(u.w) AS BIGINT) AS in_w
+  FROM und u
+  JOIN l{k} la ON la.node = u.a
+  JOIN l{k} lb ON lb.node = u.b AND lb.label = la.label
+  GROUP BY 1),
+comm AS MATERIALIZED (
+  SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM l{k} GROUP BY 1),
+tot AS MATERIALIZED (
+  SELECT la.label AS community, CAST(SUM(d.deg) AS BIGINT) AS tot_deg
+  FROM l{k} la JOIN deg d ON d.node = la.node GROUP BY 1)
+SELECT c.community AS community, c.n_nodes,
+       CAST(COALESCE(i.in_w, 0) AS BIGINT) AS internal_w, t.tot_deg,
+       CAST(({scale} * COALESCE(i.in_w, 0)) // mm.m
+            - (({scale} * t.tot_deg) // (2 * mm.m) * t.tot_deg) // (2 * mm.m)
+            AS BIGINT) AS contrib_fp
+FROM comm c
+JOIN tot t ON t.community = c.community
+LEFT JOIN inw i ON i.community = c.community
+CROSS JOIN mm
+ORDER BY c.community"""
+    )
+
+
+def _supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted supply graph both community queries share:
+    repeat-purchase customer—supplier edges (purchase count ≥
+    ``_LPA_MIN_W``) plus unit-weight supplier—nation location edges."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
@@ -305,13 +509,101 @@ def supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _LPA_MIN_W)
     )
     located = sup.select(
         F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
         F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
         F.lit(1).cast("long").alias("w"),
     )
-    edges = purchases.unionByName(located)
+    return purchases.unionByName(located)
+
+
+@register("community_modularity", oracle=_modularity_oracle())
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the LPA communities (the eval-harness pattern:
+    every algorithm ships with an oracle-checked readout of how good its
+    output is): Newman weighted modularity per community over the same
+    supply graph, in fixed point — (community, n_nodes, internal_w,
+    tot_deg, contrib_fp) where ``sum(contrib_fp)/1e9`` is the graph's
+    modularity Q. A community with negative contribution is worse than
+    random — the signal to stop propagating or re-weight."""
+    from backend_big_data_spark.operators.graph import label_propagation
+
+    edges = _supply_graph(spark, sf_dir)
+    labels = label_propagation(edges, weight="w", iterations=_LPA_ITERS)
+
+    # identical normalization to the operator's internal one: undirected
+    # (least, greatest), self-loops dropped, parallel edges summed
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.sum("w").alias("deg"))
+    m = und.agg(F.sum("w").alias("m"))
+
+    la = labels.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    inw = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.sum("w").alias("in_w"))
+    )
+    comm = labels.groupBy(F.col("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    tot = (
+        labels.join(deg, "node")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("tot_deg"))
+    )
+    s = F.lit(_MOD_SCALE).cast("long")
+    return (
+        comm.join(tot, "community")
+        .join(inw, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("in_w", F.lit(0)).cast("long").alias("internal_w"),
+            "tot_deg",
+            (
+                F.expr(f"{_MOD_SCALE}L * coalesce(in_w, 0L) div m")
+                - F.expr(
+                    f"({_MOD_SCALE}L * tot_deg div (2L * m)) * tot_deg"
+                    " div (2L * m)"
+                )
+            ).alias("contrib_fp"),
+        )
+        .orderBy("community")
+    )
+
+
+@register("supplier_communities", oracle=_lpa_oracle())
+def supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the weighted supply graph:
+    repeat-purchase customer—supplier edges (purchase count ≥
+    ``_LPA_MIN_W`` — see the threshold note above) plus unit-weight
+    supplier—nation location edges, undirected. Four synchronous
+    label-propagation rounds (`operators/graph.py::label_propagation` —
+    deterministic (weight DESC, label ASC) argmax, one keyed shuffle per
+    round). Output: every node with its community label, ordered by
+    node."""
+    from backend_big_data_spark.operators.graph import label_propagation
+
+    edges = _supply_graph(spark, sf_dir)
     return label_propagation(edges, weight="w", iterations=_LPA_ITERS).orderBy(
         "node"
     )
