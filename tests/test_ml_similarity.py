@@ -295,3 +295,74 @@ def test_ivf_sq8_partial_probe_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF×SQ8 recall too low: {recall}"
+
+
+# ---------------------------------------------------------------------------
+# maintained-index IVF serving (similarity/ivf_serve.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_maintained_equals_scratch(spark):
+    """Result-invariance of the maintained-index re-blocking: probing
+    stored list assignments returns exactly what the scratch path
+    (assign at query time) returns, for every nprobe."""
+    import random
+
+    from backend_big_data_spark.similarity.ann import ivf_cosine_topk
+    from backend_big_data_spark.similarity.ivf_serve import (
+        assign_lists,
+        ivf_maintained_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(6)], "list_id int, centroid array<double>"
+    )
+    queries = corpus.filter("vec_id < 7")
+    assigned = assign_lists(corpus, cents)
+    for nprobe in (1, 3, 6):
+        scratch = ivf_cosine_topk(
+            corpus, queries, k=4, nlist=6, nprobe=nprobe, centroids=cents
+        ).collect()
+        maintained = ivf_maintained_topk(
+            assigned, queries, cents, k=4, nprobe=nprobe
+        ).collect()
+        assert [tuple(r) for r in scratch] == [tuple(r) for r in maintained]
+
+
+def test_ivf_maintained_corpus_branch_has_no_window(spark):
+    """The serving win, asserted on the plan: the maintained path scores
+    centroids only on the query side — exactly 2 Window ops (query probe
+    top-k + final re-rank) vs the scratch path's 3 (those plus the
+    corpus-wide per-vector assignment window)."""
+    import random
+
+    from backend_big_data_spark.similarity.ann import ivf_cosine_topk
+    from backend_big_data_spark.similarity.ivf_serve import (
+        assign_lists,
+        ivf_maintained_topk,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(4)], "list_id int, centroid array<double>"
+    )
+    queries = corpus.filter("vec_id < 5")
+    assigned = assign_lists(corpus, cents).localCheckpoint(eager=True)
+
+    import re
+
+    def window_nodes(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return sum(
+            1 for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)
+        )
+
+    assert window_nodes(ivf_maintained_topk(assigned, queries, cents, k=3, nprobe=2)) == 2
+    assert window_nodes(
+        ivf_cosine_topk(corpus, queries, k=3, nlist=4, nprobe=2, centroids=cents)
+    ) == 3
