@@ -60,6 +60,8 @@ NAMED_ROUTES = {
     "/ops/quantileSketchBand": "events_quantile_sketch_band",
     "/ops/datasheet": "corpus_datasheet",
     "/ops/leakageSafeSplit": "doc_leakage_safe_split",
+    "/ops/communityModularity": "community_modularity",
+    "/ops/tokenizerFertility": "tokenizer_fertility_eval",
 }
 
 

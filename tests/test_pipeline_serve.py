@@ -68,6 +68,15 @@ def test_named_operational_routes(app):
     assert {r["split"] for r in payload} == {"train", "val", "test"}
     assert all(r["cross_split_near_pairs"] == 0 for r in payload)
 
+    status, payload, _ = _call(app, "/ops/communityModularity")
+    assert status == "200 OK"
+    assert payload and {"community", "n_nodes", "contrib_fp"} <= set(payload[0])
+
+    status, payload, _ = _call(app, "/ops/tokenizerFertility")
+    assert status == "200 OK"
+    assert payload and {"len_bucket", "bpe_chars_per_tok_mil",
+                        "uni_chars_per_tok_mil"} <= set(payload[0])
+
 
 def test_introspection_lists_registry(app):
     status, entries, _ = _call(app, "/ops/queries")
