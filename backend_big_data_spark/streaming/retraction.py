@@ -113,20 +113,34 @@ def retract_ids(
     # crash-window mask while we erase
     recover_fold(spark, base, prefix)
     skip = fold_exclusions(spark, base, prefix)
-    rewritten: list[str] = []
-    removed = 0
-    lits = [F.lit(i) for i in ids]
-    for name in sorted(
+    names = sorted(
         n
         for n in fsutil.list_subdirs(spark, base, prefix=f"{prefix}=")
         if n not in skip
-    ):
+    )
+    if not names or not ids:
+        return {"dirs_rewritten": [], "rows_removed": 0}
+    lits = [F.lit(i) for i in ids]
+    # ONE partition-discovered probe finds every affected directory:
+    # column-pruned to the id (footer stats skip clean files), grouped on
+    # the discovered {prefix} partition column — per-request cost is a
+    # single metadata-light job, not a job per directory
+    probe = spark.read.option("basePath", base).parquet(
+        *[os.path.join(base, n) for n in names]
+    )
+    hits = {
+        f"{prefix}={r[prefix]}": r["n"]
+        for r in probe.filter(F.col(id_col).isin(lits))
+        .groupBy(prefix)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rewritten: list[str] = []
+    removed = 0
+    for name in sorted(hits):
+        n_hit = hits[name]
         path = os.path.join(base, name)
         df = spark.read.parquet(path)
-        hit = df.filter(F.col(id_col).isin(lits))
-        n_hit = hit.count()  # column-pruned probe; stats skip clean files
-        if n_hit == 0:
-            continue
         surviving = df.filter(~F.col(id_col).isin(lits))
         bands_rel = (
             os.path.join("bands", name)
