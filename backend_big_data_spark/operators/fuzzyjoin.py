@@ -108,35 +108,58 @@ def edit_distance_join(
         F.lit("l").alias("side"), "id", "s"
     ).unionByName(right.select(F.lit("r").alias("side"), "id", "s"))
     grams = tagged.select(
-        "side", "id", F.explode(qgrams(F.col("s"), q)).alias("gram")
+        "side",
+        "id",
+        F.posexplode(qgrams(F.col("s"), q)).alias("p", "gram"),
     )
     # ONE gram scan feeds both the shared frequency order and both
     # sides' prefix ranking (sides may reuse ids, so the prefix groupBy
-    # keys on (side, id))
+    # keys on (side, id)). Prefix rows carry ALL occurrence positions of
+    # each chosen gram for the Ed-Join position filter below.
     freq = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
     pre = (
         grams.join(freq, "gram")
+        .groupBy("side", "id", "gram")
+        .agg(F.first("cnt").alias("cnt"), F.collect_list("p").alias("poss"))
         .groupBy("side", "id")
         .agg(
             F.slice(
-                F.array_sort(F.collect_set(F.struct("cnt", "gram"))),
+                F.array_sort(F.collect_list(F.struct("cnt", "gram", "poss"))),
                 1,
                 prefix_len,
             ).alias("pre")
         )
-        .select("side", "id", F.explode("pre.gram").alias("gram"))
+        .select("side", "id", F.explode("pre").alias("pg"))
+        .select("side", "id", F.col("pg.gram").alias("gram"), F.col("pg.poss").alias("poss"))
         # materialized once: BOTH join branches read it (without this the
         # whole gram-scan + ranking subtree executes twice); prefix rows
         # are (k·q+1)·|ids| — tiny next to the inputs
         .localCheckpoint()
     )
     lp = pre.filter(F.col("side") == "l").select(
-        F.col("id").alias("left_id"), "gram"
+        F.col("id").alias("left_id"), "gram", F.col("poss").alias("l_poss")
     )
     rp = pre.filter(F.col("side") == "r").select(
-        F.col("id").alias("right_id"), "gram"
+        F.col("id").alias("right_id"), "gram", F.col("poss").alias("r_poss")
     )
-    cand = lp.join(rp, "gram").select("left_id", "right_id")
+    # Ed-Join position filter: k edits shift a surviving occurrence by at
+    # most k, so a true match must have SOME occurrence pair of the
+    # shared gram within |Δpos| ≤ k. Prefix rows keep every occurrence
+    # position, so pruning on min positions alone (unsound) never
+    # happens; arrays are per-string-tiny, the check is codegen-local.
+    cand = (
+        lp.join(rp, "gram")
+        .where(
+            F.exists(
+                F.col("l_poss"),
+                lambda p: F.exists(
+                    F.col("r_poss"),
+                    lambda r2: F.abs(p - r2) <= F.lit(max_dist),
+                ),
+            )
+        )
+        .select("left_id", "right_id")
+    )
     ls = left.select(F.col("id").alias("left_id"), F.col("s").alias("left_s"))
     rs = right.select(F.col("id").alias("right_id"), F.col("s").alias("right_s"))
     return _verify_pairs(cand, ls, rs, max_dist)
