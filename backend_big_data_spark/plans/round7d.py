@@ -1,19 +1,32 @@
-"""Round-7 additions III: community detection over the supply graph.
+"""Round-7 additions III: communities, the unigram tokenizer, and
+maintained-index ANN serving.
 
-Completes the graph-operator family as first-class registry rows:
-connected components answer reachability (dedup clustering), PageRank
-answers centrality (corpus quality prior), label propagation answers
-COMMUNITY structure — the standard link-graph curation prior for
-grouping sources/domains before mixture balancing. The reference engine
-(CiccioRomeo/backend-big-data) has no iterative graph operator; this row
-belongs to the additive training-data-pipeline capability set.
+Five registry families, all additive training-data-pipeline capability
+(the reference engine, CiccioRomeo/backend-big-data, has none of them):
+
+- `supplier_communities` — label propagation over the repeat-purchase
+  supply graph, completing the graph family (CC = reachability,
+  PageRank = centrality, LPA = community structure — the link-graph
+  curation prior for grouping sources before mixture balancing);
+- `community_modularity` — the LPA labels' quality gate (Newman
+  weighted modularity per community in exact BIGINT fixed point);
+- `doc_unigram_vocab` / `doc_unigram_token_stats` — the unigram-LM
+  tokenizer (`text/unigram.py`), completing the tokenizer family next
+  to BPE;
+- `tokenizer_fertility_eval` — BPE vs unigram head-to-head on the same
+  corpus (the ship-decision readout);
+- `ann_ivf_maintained_topk` — IVF serving over STORED inverted lists
+  (`similarity/ivf_serve.py`), the ANN member of the maintained-index
+  family.
 
 Determinism/oracle strategy: the published LPA is randomized (random
 update order, random tie-break); `operators/graph.py::label_propagation`
 pins the engine-portable contract — synchronous rounds, integer vote
 weights, (weight DESC, label ASC) argmax, FIXED iteration count — so a
 k-step MATERIALIZED CTE chain (the `round7c._pagerank_oracle` device)
-replays it exactly.
+replays it exactly. The unigram chain replays its Viterbi DP with
+recursive list-growing CTEs (depth = max word length) and quantizes
+costs to BIGINT milli-nats so every comparison is exact.
 """
 
 from __future__ import annotations
