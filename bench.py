@@ -139,8 +139,10 @@ HEADLINE = [
     "doc_cdc_chunk_dups",
     "corpus_datasheet",
     # round-7: Ed-Join fuzzy record linkage (q-gram prefix filter +
-    # levenshtein verify — scales with the part table)
+    # levenshtein verify — scales with the part table), and the
+    # maintained-index IVF serving probe (stored inverted lists)
     "part_fuzzy_match",
+    "ann_ivf_maintained_topk",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
