@@ -41,102 +41,82 @@ from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 #: Names pinned to the front of the registry, in order. Everything not named
 #: here follows in its original registration order.
 #:
-#: Round-7 window (executing the round-6 rotation note exactly): lead with
-#: (a) the 3 `similarity/semdedup.py` queries whose file drifted after the
-#: r06 window froze (adaptive star-CC guard), then (b) the 9 round-6
-#: post-window registrations (plans/round6b.py + round6c.py families —
-#: their first driver rows), then (c) round-7's registrations:
-#: image_near_dup_pairs (new: oracle-gated multimodal dedup) and
-#: events_hll_user_rollup (re-registered with the banded oracle —
-#: 196/196 oracle-gated), then (d) the 31-query r02 relational block
-#: whose newest external row was 5 rounds old, then (e) the four r03
-#: streaming oracles + the SQL frontend row (the oldest r03 rows) in the
-#: spare slots — 50 slots total.
+#: Round-8 window (executing the round-7 rotation note exactly): lead with
+#: (a) the 13 round-7 post-window registrations — their first driver rows
+#: (fuzzy-join pair, PageRank, communities + modularity, BPE pair, unigram
+#: pair, fertility eval, maintained-IVF probe, audio/video near-dup twins),
+#: then (b) round-8's own registrations (each new query this round gets a
+#: same-round driver slot reserved up front, per the r07 rotation advice),
+#: then (c) the 18-query r03-stale block (newest external row was r03),
+#: then (d) the r04 photo block in the remaining slots — 50 slots total.
 _FRONT = [
-    # -- (a) drifted-file re-certifications (similarity/semdedup.py) --------
-    "doc_semdedup_kept",
-    "doc_semdedup_blocked",
-    "doc_incremental_semdedup",
-    # -- (b) round-6 post-window registrations (first driver rows) ----------
-    "doc_pack_efficiency",
-    "dedup_cluster_spectrum",
-    "doc_eval_overlap_spans",
-    "doc_quality_calibration",
-    "embedding_diversity_sample",
-    "events_quantile_sketch_band",
-    "doc_cdc_chunk_dups",
-    "corpus_datasheet",
-    "doc_leakage_safe_split",
-    # -- (c) new/upgraded in round 7 ----------------------------------------
-    "image_near_dup_pairs",
-    "events_hll_user_rollup",
-    # -- (d) the r02 relational block (newest external row was r02) ---------
-    "asof_signup_before_purchase",
-    "avg_order_value_by_year",
-    "avg_ship_delay_by_priority",
-    "brand_types_except",
-    "brand_types_intersect",
-    "customer_count_with_orders",
-    "customer_spend_ranking",
-    "customers_without_orders",
-    "distinct_order_priorities",
-    "embedding_near_dup_pairs",
-    "events_by_hour",
-    "events_props_json",
-    "first_order_per_customer",
-    "large_quantity_orders",
-    "lineitem_flags_salted",
-    "median_order_value_by_priority",
-    "order_price_buckets",
-    "orders_by_month",
-    "orders_grouping_sets",
-    "orders_rollup",
-    "part_small_quantity_revenue",
-    "purchases_prior_events_1h",
-    "repeat_customer_order_gap",
-    "returned_revenue_by_customer",
-    "shipping_priority_top10",
-    "sole_delayed_supplier",
-    "top3_parts_per_brand",
-    "top50_orders",
-    "top_brand_types",
-    "top_order_per_customer",
-    "top_supplier_quarter",
-    # -- (e) oldest r03 rows: streaming oracles + SQL frontend --------------
-    "streaming_tumbling_hourly",
-    "streaming_sliding_halfhour",
-    "streaming_session_windows",
-    "streaming_dedup_events",
-    "sql_frontend_customers_by_nation",
+    # -- (a) round-7 post-window registrations (first driver rows) ----------
+    "part_fuzzy_match",
+    "part_fuzzy_match_indexed",
+    "supplier_pagerank",
+    "supplier_communities",
+    "community_modularity",
+    "doc_bpe_merges",
+    "doc_bpe_token_stats",
+    "doc_unigram_vocab",
+    "doc_unigram_token_stats",
+    "tokenizer_fertility_eval",
+    "ann_ivf_maintained_topk",
+    "audio_near_dup_pairs",
+    "video_near_dup_pairs",
+    # -- (b) round-8 registrations (same-round driver slots) ----------------
+    # (names inserted here as round 8 registers them; 5 slots reserved)
+    # -- (c) the r03-stale block (newest external row was r03) --------------
+    "brand_sizes_except_all",
+    "brand_sizes_intersect_all",
+    "doc_chunks",
+    "doc_deterministic_shuffle_head",
+    "doc_hash_sample_10pct",
+    "doc_split_counts",
+    "events_daily_pivot",
+    "events_hourly_by_type",
+    "events_minmax_scaled",
+    "events_search_page",
+    "events_user_count_sketch",
+    "nation_actor_counts_outer",
+    "order_value_quantiles",
+    "orders_cube",
+    "orders_trailing_revenue",
+    "priority_measures_unpivot",
+    "priority_status_sets",
+    "supplier_revenue_by_nation",
+    # -- (d) the r04 photo block (photo files unchanged since d4) -----------
+    "photo_count_by_year",
+    "photo_count_by_hour_taken",
+    "photo_accuracy_distribution",
+    "photo_pro_distribution",
+    "photo_pro_distribution_users",
+    "photo_top_tags",
+    "photo_engagement_by_year",
+    "photo_time_to_post",
+    "photo_views_quartiles",
+    "photo_first_post_cohorts",
+    "photo_top_owners",
+    "photo_owner_profiles",
+    "photo_brand_top_models",
+    "photo_search",
 ]
-# Round-8 rotation note: lead the next _FRONT with (a) queries whose
-# implementing files drift in round 7 after this window freezes (none
-# known at rotation time — round-7 edits so far touch only non-registry
-# streaming/serving/multimodal files, and round7.py's two queries are
-# inside the window), then (b) any r07 window spills, then (c) queries
-# registered after this window froze — audio_near_dup_pairs and
-# video_near_dup_pairs (plans/round7b.py, the audio/video twins of
-# image_near_dup_pairs) and doc_bpe_merges + doc_bpe_token_stats
-# (plans/round7b.py, BPE tokenizer training/encoding over documents)
-# and part_fuzzy_match + part_fuzzy_match_indexed + supplier_pagerank
-# (plans/round7c.py, Ed-Join fuzzy record linkage [two-sided + the
-# streaming sink's maintained-index probe] + fixed-point PageRank)
-# and supplier_communities + doc_unigram_vocab + doc_unigram_token_stats
-# + community_modularity + tokenizer_fertility_eval +
-# ann_ivf_maintained_topk (plans/round7d.py, label-propagation
-# communities with their modularity quality gate, the unigram-LM
-# tokenizer pair with the BPE-vs-unigram fertility eval, and the
-# maintained-index IVF serving probe) — then
-# (d) the remaining 19 r03-stale rows — brand_sizes_except_all,
-# brand_sizes_intersect_all, doc_chunks, doc_deterministic_shuffle_head,
-# doc_hash_sample_10pct, doc_split_counts, events_daily_pivot,
-# events_hourly_by_type, events_minmax_scaled, events_search_page,
-# events_user_count_sketch, nation_actor_counts_outer,
-# order_value_quantiles, orders_cube, orders_trailing_revenue,
-# priority_measures_unpivot, priority_status_sets,
-# supplier_revenue_by_nation (events_hll_user_rollup got its r07 row) —
-# then (e) the r04 photo block (photo files unchanged since d4; oldest
-# remaining external rows once the r03 set is re-certified).
+# Round-9 rotation note: lead the next _FRONT with (a) queries whose
+# implementing files drift in round 8 after this window freezes, then
+# (b) any r08 window spills, then (c) queries registered after this
+# window froze, then (d) the oldest remaining external rows — after this
+# window certifies, the oldest blocks are the r04 TPC-H residue
+# (pricing_summary, revenue_by_region, revenue_forecast,
+# part_min_price_suppliers, dominant_part_suppliers,
+# customer_spend_deciles, q4/q8/q13/q16/q22) and the r04 dedup family
+# (doc_exact_dedup, doc_ngram_jaccard_pairs, doc_ngram_jaccard_capped,
+# doc_minhash_lsh_pairs, doc_simhash, doc_winnowing,
+# doc_lsh_verified_dedup, doc_contamination, doc_corpus_deduped,
+# doc_dup_clusters, doc_corpus_deduped_cc, doc_incremental_dedup,
+# doc_incremental_dedup_full, doc_contamination_bloom, doc_token_itemsets,
+# ann_* r04 rows, events_user_sessions, events_daily_gapfilled,
+# embedding_random_projection, doc_repetition_mix,
+# kmeans_embedding_clusters) — fill 50 slots oldest-first.
 
 
 def _reorder() -> None:
