@@ -33,6 +33,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+class FuzzyJoinCandidateBlowup(ValueError):
+    """Raised by `edit_distance_join` when ``candidate_cap`` is set and the
+    prefix-filter candidate bound exceeds it — the SHARED-VOCABULARY regime
+    (a small closed gram vocabulary, e.g. TPC-H's 64 color words, where even
+    the globally-rarest grams are dense on both sides and the equi-join
+    fans out superlinearly). Detected BEFORE the candidate join runs, from
+    the per-gram prefix counts the join already computes. Mitigations, in
+    order: pass ``escalate_q_to`` (longer grams shrink per-gram frequency —
+    sound whenever every string has len ≥ the escalated q), or block on a
+    coarser key first so each block leaves the regime."""
+
+
 def qgrams(s: Column, q: int = 3) -> Column:
     """Positional q-grams of ``s`` as array<string> (multiset, in order).
 
@@ -96,12 +108,24 @@ def edit_distance_join(
     right: DataFrame,
     max_dist: int = 2,
     q: int = 3,
+    candidate_cap: int | None = None,
+    escalate_q_to: int | None = None,
 ) -> DataFrame:
     """Fuzzy join ``left`` (id, s) × ``right`` (id, s): all pairs with
     ``levenshtein(left.s, right.s) <= max_dist``.
 
     Returns (left_id, right_id, left_s, right_s, edit_dist). Both inputs
     must have columns ``id`` and ``s`` with len(s) >= q.
+
+    ``candidate_cap`` arms the SIZING RULE: the exact pre-verify fan-out
+    of the candidate equi-join, Σ_g |left prefixes exposing g| · |right
+    prefixes exposing g|, is computed from the (tiny, already
+    materialized) prefix tables before the join runs. Above the cap the
+    join escalates to ``q+1`` grams (result-invariant — the prefix
+    theorem holds for any q with len(s) ≥ q — so retried up to
+    ``escalate_q_to``, provided every string is long enough) and
+    otherwise raises :class:`FuzzyJoinCandidateBlowup` naming the regime,
+    instead of silently running quadratic.
     """
     prefix_len = max_dist * q + 1
     tagged = left.select(
@@ -142,6 +166,43 @@ def edit_distance_join(
     rp = pre.filter(F.col("side") == "r").select(
         F.col("id").alias("right_id"), "gram", F.col("poss").alias("r_poss")
     )
+    if candidate_cap is not None:
+        # exact pre-position-filter fan-out of the equi-join below, from
+        # two per-gram counts over the checkpointed prefix rows — cost is
+        # one pass over (k·q+1)·|ids| rows, nothing touches the inputs
+        bound_row = (
+            lp.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("nl"))
+            .join(rp.groupBy("gram").agg(F.count(F.lit(1)).alias("nr")), "gram")
+            .agg(F.coalesce(F.sum(F.col("nl") * F.col("nr")), F.lit(0)).alias("b"))
+            .first()
+        )
+        bound = int(bound_row["b"])
+        if bound > candidate_cap:
+            if escalate_q_to is not None and q < escalate_q_to:
+                min_len = tagged.agg(F.min(F.length("s"))).first()[0]
+                if min_len is not None and min_len >= q + 1:
+                    return edit_distance_join(
+                        left,
+                        right,
+                        max_dist=max_dist,
+                        q=q + 1,
+                        candidate_cap=candidate_cap,
+                        escalate_q_to=escalate_q_to,
+                    )
+            raise FuzzyJoinCandidateBlowup(
+                f"shared-vocabulary gram regime at q={q}: prefix candidate "
+                f"bound {bound} exceeds candidate_cap={candidate_cap}"
+                + (
+                    f" and q cannot escalate past {q} (escalate_q_to="
+                    f"{escalate_q_to}, min string length "
+                    f"{tagged.agg(F.min(F.length('s'))).first()[0]})"
+                    if escalate_q_to is not None
+                    else " (no escalate_q_to given)"
+                )
+                + "; use longer grams (escalate_q_to) or block on a "
+                "coarser key first"
+            )
     # Ed-Join position filter: k edits shift a surviving occurrence by at
     # most k, so a true match must have SOME occurrence pair of the
     # shared gram within |Δpos| ≤ k. Prefix rows keep every occurrence
@@ -181,6 +242,7 @@ def edit_distance_join_indexed(
     max_dist: int = 2,
     q: int = 3,
     rank_by_index_freq: bool = False,
+    index_freq: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy join ``left`` (id, s) against a PRE-BUILT gram index
     (`gram_index` rows (id, gram)) plus its strings (id, s) — the
@@ -209,15 +271,28 @@ def edit_distance_join_indexed(
       for large probe batches against a shared-vocabulary master
       (part of the 55 s → 17 s sf0.1 improvement with the query-side
       broadcast hint; at 228 distinct index grams the fan-out floor is
-      structural). Costs one aggregate scan over the index per call; a
-      production sink would maintain the per-gram counts as a sidecar
-      next to the index.
+      structural). Costs one aggregate scan over the index per call —
+      unless ``index_freq`` supplies the counts.
+
+    ``index_freq``: a MAINTAINED (gram, cnt) table whose summed counts
+    equal ``right_index.groupBy("gram").count()`` exactly (the linkage
+    sink's ``gramfreq`` sidecar, kept in lockstep at admission) — the
+    index-frequency ranking then costs no aggregate over the full index:
+    the probe's only contact with the index is the candidate equi-join
+    scan itself. Implies ``rank_by_index_freq``. Because the counts are
+    exact and the (cnt, gram) order is total, the ranking — and hence
+    the result — is bit-identical to the on-the-fly aggregate's.
 
     Returns (left_id, right_id, left_s, right_s, edit_dist)."""
     prefix_len = max_dist * q + 1
     lg = left.select(F.col("id"), F.explode(qgrams(F.col("s"), q)).alias("gram"))
-    if rank_by_index_freq:
-        ifreq = right_index.groupBy("gram").agg(F.count("*").alias("cnt"))
+    if rank_by_index_freq or index_freq is not None:
+        if index_freq is not None:
+            ifreq = index_freq.groupBy("gram").agg(
+                F.sum("cnt").cast("long").alias("cnt")
+            )
+        else:
+            ifreq = right_index.groupBy("gram").agg(F.count("*").alias("cnt"))
         ranked = lg.join(ifreq, "gram", "left").select(
             "id", "gram", F.coalesce("cnt", F.lit(0)).alias("cnt")
         )
@@ -249,6 +324,7 @@ def edit_distance_join_indexed(
 
 
 __all__ = [
+    "FuzzyJoinCandidateBlowup",
     "edit_distance_join",
     "edit_distance_join_indexed",
     "gram_index",

@@ -14,9 +14,12 @@ entity table at ``master_dir``:
    and dhash sidecars). Links land in ``links/batch=N``.
 2. ADMIT: records that matched nothing become new master entities
    (after within-batch exact dedup on the string — min id survives,
-   deterministic). Their rows append as ``batch=N`` and their distinct
-   grams as ``grams/batch=N``, so the index grows in lockstep with the
-   master — admission maintains the probe state, nothing is rebuilt.
+   deterministic). Their rows append as ``batch=N``, their distinct
+   grams as ``grams/batch=N``, and their per-gram counts as
+   ``gramfreq/batch=N``, so the index AND its frequency statistics grow
+   in lockstep with the master — admission maintains the probe state
+   (including the candidate-volume-minimizing gram ranking), nothing is
+   rebuilt and nothing is re-aggregated per probe.
 
 Batch-internal NEAR-dups (two novel records within distance k of each
 other) are admitted as separate entities — the standard streaming-ER
@@ -85,22 +88,71 @@ def read_master_grams(
     return _read_dirs(spark, os.path.join(master_dir, "grams"), exclude_batch)
 
 
+def _covered_names(
+    spark: SparkSession, base: str, exclude_batch: int | None
+) -> set[str]:
+    from backend_big_data_spark.streaming.maintenance import fold_exclusions
+
+    skip = fold_exclusions(spark, base, "batch")
+    return {
+        n
+        for n in fsutil.list_subdirs(spark, base, prefix="batch=")
+        if n != f"batch={exclude_batch}" and n not in skip
+    }
+
+
+def read_master_gram_freq(
+    spark: SparkSession, master_dir: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """Per-gram totals (gram, cnt) from the MAINTAINED ``gramfreq``
+    sidecar — the counts `fuzzyjoin.edit_distance_join_indexed` would
+    otherwise aggregate from the full (id, gram) index on every probe
+    call. Admission writes one (gram, cnt) frame per batch; batches
+    admit disjoint ids, so the summed per-batch counts equal the full
+    index's groupBy count exactly, and the probe's ranking (hence its
+    result) is bit-identical to the on-the-fly aggregate's.
+
+    Returns None when the sidecar does not cover every gram directory
+    (a pre-sidecar layout, or a retraction that rewrote grams on an old
+    layout) — callers then fall back to aggregating the index. Coverage
+    is name-set equality with ``grams/``: the compactor folds both with
+    the same keep_latest, so folded layouts stay covered."""
+    gf_base = os.path.join(master_dir, "gramfreq")
+    names = _covered_names(spark, gf_base, exclude_batch)
+    if not names or names != _covered_names(
+        spark, os.path.join(master_dir, "grams"), exclude_batch
+    ):
+        return None
+    return spark.read.option("basePath", gf_base).parquet(
+        *[os.path.join(gf_base, n) for n in sorted(names)]
+    )
+
+
 def link_batch(
     batch: DataFrame,
     master: DataFrame | None,
     master_grams: DataFrame | None,
     max_dist: int = DEFAULT_MAX_DIST,
     q: int = DEFAULT_Q,
+    master_gram_freq: DataFrame | None = None,
 ) -> DataFrame:
     """(dirty_id, master_id, edit_dist) for every batch record within
     ``max_dist`` of an admitted master entity (empty frame on an empty
-    master)."""
+    master). With ``master_gram_freq`` (the ``gramfreq`` sidecar) the
+    probe ranks its prefix grams by INDEX frequency — the
+    candidate-volume-minimizing order — at no per-probe aggregate over
+    the index; without it, batch-local ranking (self-contained)."""
     if master is None or master_grams is None:
         return batch.sparkSession.createDataFrame(
             [], "dirty_id long, master_id long, edit_dist int"
         )
     return edit_distance_join_indexed(
-        batch, master_grams, master, max_dist=max_dist, q=q
+        batch,
+        master_grams,
+        master,
+        max_dist=max_dist,
+        q=q,
+        index_freq=master_gram_freq,
     ).select(
         F.col("left_id").alias("dirty_id"),
         F.col("right_id").alias("master_id"),
@@ -132,7 +184,10 @@ def linkage_ingest_sink(
         b = batch.select("id", "s").persist()
         master = read_master(spark, master_dir, exclude_batch=batch_id)
         grams = read_master_grams(spark, master_dir, exclude_batch=batch_id)
-        links = link_batch(b, master, grams, max_dist=max_dist, q=q).persist()
+        gfreq = read_master_gram_freq(spark, master_dir, exclude_batch=batch_id)
+        links = link_batch(
+            b, master, grams, max_dist=max_dist, q=q, master_gram_freq=gfreq
+        ).persist()
         novel = admit_novel(b, links)
         bdir = f"batch={batch_id}"
         links.write.mode("overwrite").parquet(
@@ -143,6 +198,14 @@ def linkage_ingest_sink(
             spark.read.parquet(os.path.join(master_dir, bdir)), q=q
         ).write.mode("overwrite").parquet(
             os.path.join(master_dir, "grams", bdir)
+        )
+        # per-gram counts of THIS batch's admissions — summed across
+        # batches they equal the full index's groupBy count (disjoint
+        # ids), so probes rank by index frequency with no index aggregate
+        spark.read.parquet(os.path.join(master_dir, "grams", bdir)).groupBy(
+            "gram"
+        ).agg(F.count(F.lit(1)).alias("cnt")).write.mode("overwrite").parquet(
+            os.path.join(master_dir, "gramfreq", bdir)
         )
         links.unpersist()
         b.unpersist()
@@ -180,6 +243,19 @@ def compact_linkage_master(
         grams_dir = os.path.join(master_dir, "grams")
         if fsutil.list_subdirs(spark, grams_dir, prefix="batch="):
             _fold(spark, grams_dir, "batch", keep_latest)
+        gramfreq_dir = os.path.join(master_dir, "gramfreq")
+        if fsutil.list_subdirs(spark, gramfreq_dir, prefix="batch="):
+            # keyed sum keeps the folded sidecar one row per gram; the
+            # reader sums anyway, so this is tightness, not correctness
+            _fold(
+                spark,
+                gramfreq_dir,
+                "batch",
+                keep_latest,
+                reducer=lambda df: df.groupBy("gram").agg(
+                    F.sum("cnt").alias("cnt")
+                ),
+            )
     return folded
 
 
@@ -190,5 +266,6 @@ __all__ = [
     "linkage_ingest_sink",
     "linkage_ingest_stream",
     "read_master",
+    "read_master_gram_freq",
     "read_master_grams",
 ]

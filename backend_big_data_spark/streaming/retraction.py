@@ -141,7 +141,11 @@ def retract_ids(
         n_hit = hits[name]
         path = os.path.join(base, name)
         df = spark.read.parquet(path)
-        surviving = df.filter(~F.col(id_col).isin(lits))
+        # explicit isNull arm: ``~isin`` is NULL (not true) for a NULL id,
+        # so without it null-id rows would be deleted as collateral
+        surviving = df.filter(
+            F.col(id_col).isNull() | ~F.col(id_col).isin(lits)
+        )
         bands_rel = (
             os.path.join("bands", name)
             if drop_band_sidecar
@@ -207,41 +211,175 @@ def retract_from_ingest_corpus(
     return out
 
 
+def retract_from_embedding_corpus(
+    spark: SparkSession, corpus_dir: str, vec_ids: list, id_col: str = "vec_id"
+) -> dict:
+    """Erase vectors from a semdedup embedding corpus
+    (`streaming/semdedup_ingest.py` layout): journaled row removal that
+    PRESERVES the cluster-partitioned directory layout (the incremental
+    probe's dynamic partition pruning depends on it). The corpus' only
+    maintained per-row state is the stored ``cluster`` id, which leaves
+    with the row; the pinned centroid frame is aggregate blocking
+    statistics, not per-vector content, so it is deliberately untouched
+    — future batches keep clustering consistently, and a re-ingested
+    twin of an erased vector is ADMITTED because the corpus no longer
+    holds its neighbor (no ghost dedup)."""
+    return retract_ids(
+        spark,
+        corpus_dir,
+        vec_ids,
+        id_col=id_col,
+        partition_by=("cluster",),
+        drop_band_sidecar=False,
+    )
+
+
+def retract_from_image_corpus(
+    spark: SparkSession, corpus_dir: str, media_ids: list
+) -> dict:
+    """Erase images from an image ingest corpus
+    (`streaming/image_ingest.py` layout): journaled row removal takes the
+    payload AND its maintained in-row ``dhash`` fingerprint together (the
+    probe computes band keys from the corpus scan per batch, so there is
+    no separate band sidecar to chase), and quarantine rows naming the
+    erased ids are purged too — a quarantined media_id is still a record
+    that the content arrived."""
+    out = retract_ids(spark, corpus_dir, media_ids, id_col="media_id")
+    qbase = os.path.join(corpus_dir, "quarantine")
+    if fsutil.exists(spark, qbase):
+        q = retract_ids(
+            spark, qbase, media_ids, id_col="media_id", drop_band_sidecar=False
+        )
+        out["quarantine_rows_removed"] = q["rows_removed"]
+    else:
+        out["quarantine_rows_removed"] = 0
+    return out
+
+
+def _linkage_journal_path(master_dir: str) -> str:
+    return os.path.join(master_dir, "_retract_linkage_journal.json")
+
+
+def _purge_linkage_sidecars(
+    spark: SparkSession, master_dir: str, ids: list, q: int
+) -> list[str]:
+    """Rewrite every gram/gramfreq sidecar directory still naming a
+    retracted id, from its (already rewritten) master directory —
+    UNCONDITIONAL: affected dirs are detected by probing the gram
+    sidecars for the ids themselves, never inferred from a prior step's
+    return value, so the purge is idempotent and replayable after any
+    crash. Per directory the gramfreq rewrite runs FIRST: ghost (id,
+    gram) rows are the durable marker that a directory's sidecars are
+    not yet purged, so the marker must be destroyed last."""
+    from backend_big_data_spark.operators.fuzzyjoin import gram_index
+
+    grams_base = os.path.join(master_dir, "grams")
+    names = sorted(fsutil.list_subdirs(spark, grams_base, prefix="batch="))
+    if not names or not ids:
+        return []
+    lits = [F.lit(i) for i in ids]
+    probe = spark.read.option("basePath", grams_base).parquet(
+        *[os.path.join(grams_base, n) for n in names]
+    )
+    hit = sorted(
+        f"batch={r['batch']}"
+        for r in probe.filter(F.col("id").isin(lits))
+        .select("batch")
+        .distinct()
+        .collect()
+    )
+    for name in hit:
+        master_path = os.path.join(master_dir, name)
+        freq_rel = os.path.join("gramfreq", name)
+        grams_rel = os.path.join("grams", name)
+        if fsutil.exists(spark, master_path):
+            fresh = gram_index(spark.read.parquet(master_path), q=q)
+            if fsutil.exists(spark, os.path.join(master_dir, freq_rel)):
+                _journaled_replace(
+                    spark,
+                    master_dir,
+                    freq_rel,
+                    fresh.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")),
+                )
+            _journaled_replace(spark, master_dir, grams_rel, fresh)
+        else:
+            fsutil.delete(spark, os.path.join(master_dir, freq_rel))
+            fsutil.delete(spark, os.path.join(master_dir, grams_rel))
+    return hit
+
+
+def _purge_linkage_links(spark: SparkSession, master_dir: str, ids: list) -> int:
+    links_base = os.path.join(master_dir, "links")
+    if not fsutil.exists(spark, links_base):
+        return 0
+    out = retract_ids(
+        spark, links_base, ids, id_col="master_id", drop_band_sidecar=False
+    )
+    return out["rows_removed"]
+
+
+def recover_linkage_retraction(spark: SparkSession, master_dir: str) -> None:
+    """Roll a crashed `retract_from_linkage_master` forward (idempotent;
+    called on entry). The linkage journal records the erasure REQUEST
+    (ids, q) before any mutation, and is cleared only after the sidecar
+    and link purges complete — so a crash in any window replays them
+    here. Without this, the q-gram multiset of an erased string could
+    survive in the ``grams`` sidecar forever: erasure that survives in
+    a sidecar is not erasure."""
+    raw = fsutil.read_text(spark, _linkage_journal_path(master_dir))
+    if raw is None:
+        return
+    meta = json.loads(raw)
+    retract_ids(
+        spark, master_dir, meta["ids"], id_col="id", drop_band_sidecar=False
+    )
+    _purge_linkage_sidecars(spark, master_dir, meta["ids"], meta["q"])
+    _purge_linkage_links(spark, master_dir, meta["ids"])
+    fsutil.delete(spark, _linkage_journal_path(master_dir), recursive=False)
+
+
 def retract_from_linkage_master(
     spark: SparkSession, master_dir: str, ids: list, q: int = 3
 ) -> dict:
     """Erase entities from a linkage master
-    (`streaming/linkage_ingest.py` layout): journaled row removal, each
-    affected directory's gram-index sidecar REWRITTEN from its surviving
-    rows (journaled too — the gram index has no self-healing rebuild, so
-    unlike the band sidecar it must never be left missing; stale GHOST
-    gram rows in any crash window are harmless because candidates verify
-    against the rewritten master), and link-result rows naming the
-    erased master ids purged from ``links/batch=N`` (derived personal
-    data goes with the entity)."""
-    from backend_big_data_spark.operators.fuzzyjoin import gram_index
+    (`streaming/linkage_ingest.py` layout): journaled row removal, every
+    gram-index and gram-frequency sidecar directory still naming an
+    erased id REWRITTEN from its surviving master rows, and link-result
+    rows naming the erased master ids purged from ``links/batch=N``
+    (derived personal data goes with the entity).
 
+    The whole sequence runs behind its own journal recording the erasure
+    request up front: unlike the text corpus's Bloom/band sidecars
+    (where staleness only costs false-positive candidates), ghost gram
+    rows largely RECONSTRUCT the erased string, so the sidecar purge is
+    part of the erasure guarantee, not a tightness optimisation — it
+    must survive a crash in any window. Sidecar purge targets are
+    detected by probing the sidecars for the ids (never keyed off which
+    master dirs the row removal happened to rewrite), so the journaled
+    replay in :func:`recover_linkage_retraction` is unconditional and
+    idempotent."""
+    recover_linkage_retraction(spark, master_dir)
+    fsutil.write_text_atomic(
+        spark,
+        _linkage_journal_path(master_dir),
+        json.dumps({"ids": list(ids), "q": q}),
+    )
     out = retract_ids(
         spark, master_dir, ids, id_col="id", drop_band_sidecar=False
     )
-    for name in out["dirs_rewritten"]:
-        path = os.path.join(master_dir, name)
-        grams_rel = os.path.join("grams", name)
-        if fsutil.exists(spark, path):
-            fresh = gram_index(spark.read.parquet(path), q=q)
-            _journaled_replace(spark, master_dir, grams_rel, fresh)
-        else:
-            fsutil.delete(spark, os.path.join(master_dir, grams_rel))
-    links_base = os.path.join(master_dir, "links")
-    links = retract_ids(
-        spark, links_base, ids, id_col="master_id", drop_band_sidecar=False
-    ) if fsutil.exists(spark, links_base) else {"rows_removed": 0}
-    out["link_rows_removed"] = links["rows_removed"]
+    out["gram_dirs_rewritten"] = _purge_linkage_sidecars(
+        spark, master_dir, ids, q
+    )
+    out["link_rows_removed"] = _purge_linkage_links(spark, master_dir, ids)
+    fsutil.delete(spark, _linkage_journal_path(master_dir), recursive=False)
     return out
 
 
 __all__ = [
+    "recover_linkage_retraction",
     "recover_retraction",
+    "retract_from_embedding_corpus",
+    "retract_from_image_corpus",
     "retract_from_ingest_corpus",
     "retract_from_linkage_master",
     "retract_ids",

@@ -60,6 +60,11 @@ DEFAULT_MAX_PIECE_LEN = 4
 DEFAULT_VOCAB_SIZE = 24
 DEFAULT_EM_ROUNDS = 2
 
+#: DP cost of an unreachable position: finite (see viterbi_segment's
+#: docstring for why not NULL) but too large for any real path to reach
+#: while leaving BIGINT headroom for the per-step additions above it.
+_UNCOVERABLE = 1 << 62
+
 
 def _substrings(word_counts: DataFrame, max_piece_len: int) -> DataFrame:
     """(word, n) → (word, n, s, e, piece): every substring of length
@@ -141,17 +146,36 @@ def viterbi_segment(
     DP and backtrack are ``aggregate`` folds over the word's positions;
     the argmin at each end position orders candidates by
     ``(best[start]+cost, start, piece)`` — exact BIGINT comparisons,
-    deterministic across engines. Every character must be in ``vocab``
-    (the seed/EM steps guarantee it); an uncoverable word would surface
-    as a NULL total, never a silent drop."""
-    cands = (
-        _substrings(word_counts.select("word", "n"), max_piece_len)
+    deterministic across engines. A vocabulary from the seed/EM steps
+    covers every character, but for an EXTERNALLY supplied vocabulary an
+    uncoverable word surfaces as a row with NULL ``total_cost`` (and
+    NULL ``pieces``), never a silent drop: the words frame is
+    left-joined back after the candidate join (a word sharing no
+    substring with vocab would otherwise lose its row), and unreachable
+    DP positions carry an explicit ``_UNCOVERABLE`` BIGINT sentinel —
+    not a NULL, which Spark's higher-order-function codegen can read
+    back as 0 downstream of the fold (observed: the same aggregate
+    yields [0, NULL] shown directly but [0, 0] through a later
+    element_at), and which array_sort would order before real costs in
+    the backtrack argmin."""
+    words = word_counts.select("word", "n")
+    matched = (
+        _substrings(words, max_piece_len)
         .join(F.broadcast(vocab.select("piece", "cost")), "piece")
         .groupBy("word")
         .agg(
-            F.first("n").alias("n"),
             F.collect_list(F.struct("s", "e", "piece", "cost")).alias("cands"),
         )
+    )
+    cands = words.join(matched, "word", "left").withColumn(
+        "cands",
+        F.coalesce(
+            F.col("cands"),
+            F.expr(
+                "CAST(array() AS "
+                "array<struct<s:int,e:int,piece:string,cost:bigint>>)"
+            ),
+        ),
     )
     best = F.aggregate(
         F.sequence(F.lit(1), F.length("word")),
@@ -159,11 +183,14 @@ def viterbi_segment(
         lambda acc, e: F.concat(
             acc,
             F.array(
-                F.array_min(
-                    F.transform(
-                        F.filter(F.col("cands"), lambda c: c["e"] == e),
-                        lambda c: F.element_at(acc, c["s"] + 1) + c["cost"],
-                    )
+                F.coalesce(
+                    F.array_min(
+                        F.transform(
+                            F.filter(F.col("cands"), lambda c: c["e"] == e),
+                            lambda c: F.element_at(acc, c["s"] + 1) + c["cost"],
+                        )
+                    ),
+                    F.lit(_UNCOVERABLE),
                 )
             ),
         ),
@@ -173,8 +200,11 @@ def viterbi_segment(
     def _chosen(st):
         """Argmin candidate ending at st.pos by (total, start, piece) —
         referenced twice per step; textually identical subtrees, so
-        codegen's common-subexpression elimination shares the work."""
-        return F.element_at(
+        codegen's common-subexpression elimination shares the work.
+        ``try_element_at``: a position no vocab piece ends at has zero
+        candidates — NULL (surfacing as the NULL-total contract row)
+        instead of an ANSI array-index error."""
+        return F.try_element_at(
             F.array_sort(
                 F.transform(
                     F.filter(F.col("cands"), lambda c: c["e"] == st["pos"]),
@@ -187,7 +217,7 @@ def viterbi_segment(
                     ),
                 )
             ),
-            1,
+            F.lit(1),
         )
 
     walk = F.aggregate(
@@ -203,11 +233,15 @@ def viterbi_segment(
             )
         ),
     )
+    total = F.element_at(F.col("best"), F.length("word") + 1)
+    covered = total < F.lit(_UNCOVERABLE)
     return with_best.select(
         "word",
         "n",
-        walk["pieces"].alias("pieces"),
-        F.element_at(F.col("best"), F.length("word") + 1).alias("total_cost"),
+        # an uncovered word end means the DP never spanned the word;
+        # the backtrack walk is then meaningless, so NULL both outputs
+        F.when(covered, walk["pieces"]).alias("pieces"),
+        F.when(covered, total).alias("total_cost"),
     )
 
 

@@ -12,7 +12,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from backend_big_data_spark.operators.fuzzyjoin import (
+    FuzzyJoinCandidateBlowup,
     edit_distance_join,
     edit_distance_join_indexed,
     gram_index,
@@ -99,6 +102,98 @@ class TestEditDistanceJoin:
         assert {(i, i) for i in range(len(LEFT))} <= got
         # symmetric
         assert {(b, a) for a, b in got} == got
+
+
+# shared-vocabulary regime: every string is a 2-word combination over a
+# 4-word closed vocabulary, so even the globally-rarest q=3 grams are
+# dense on both sides and the prefix equi-join fans out superlinearly —
+# the exact adversarial regime the sizing rule exists to detect
+_VOCAB = ["red", "blue", "green", "gold"]
+_SHARED = [f"{a} {b}" for a in _VOCAB for b in _VOCAB]
+
+
+def _brute_pairs(left, right, k):
+    return sorted(
+        (i, j, _lev(a, b))
+        for i, a in enumerate(left)
+        for j, b in enumerate(right)
+        if _lev(a, b) <= k
+    )
+
+
+class TestSizingRule:
+    def _frames(self, spark):
+        ldf = spark.createDataFrame(
+            list(enumerate(_SHARED)), "id int, s string"
+        )
+        rdf = spark.createDataFrame(
+            list(enumerate(_SHARED)), "id int, s string"
+        )
+        return ldf, rdf
+
+    def test_blowup_raises_naming_the_regime(self, spark):
+        ldf, rdf = self._frames(spark)
+        with pytest.raises(FuzzyJoinCandidateBlowup) as ei:
+            edit_distance_join(ldf, rdf, max_dist=2, q=3, candidate_cap=100)
+        msg = str(ei.value)
+        assert "shared-vocabulary" in msg and "candidate_cap=100" in msg
+
+    def test_escalation_caps_growth_and_preserves_brute_force(self, spark):
+        ldf, rdf = self._frames(spark)
+        # q=3 exceeds the cap (previous test); succeeding here proves the
+        # escalated q brought the candidate bound UNDER the same cap —
+        # capped growth — while the result stays exactly brute force
+        out = edit_distance_join(
+            ldf,
+            rdf,
+            max_dist=2,
+            q=3,
+            candidate_cap=100,
+            escalate_q_to=6,
+        ).collect()
+        got = sorted((r.left_id, r.right_id, r.edit_dist) for r in out)
+        assert got == _brute_pairs(_SHARED, _SHARED, 2)
+
+    def test_escalation_refuses_short_strings(self, spark):
+        # escalating past the shortest string would silently lose its
+        # grams (incomplete join) — the rule must raise instead
+        rows = [(0, "abcd"), (1, "abce"), (2, "abcf"), (3, "abcg")]
+        df = spark.createDataFrame(rows, "id int, s string")
+        with pytest.raises(FuzzyJoinCandidateBlowup) as ei:
+            edit_distance_join(
+                df, df, max_dist=1, q=3, candidate_cap=1, escalate_q_to=9
+            )
+        assert "cannot escalate" in str(ei.value)
+
+    def test_uncapped_default_unchanged(self, spark):
+        ldf, rdf = self._frames(spark)
+        out = edit_distance_join(ldf, rdf, max_dist=2).collect()
+        got = sorted((r.left_id, r.right_id, r.edit_dist) for r in out)
+        assert got == _brute_pairs(_SHARED, _SHARED, 2)
+
+
+class TestMaintainedIndexFreq:
+    def test_index_freq_table_matches_on_the_fly_ranking(self, spark):
+        # maintained (gram, cnt) rows — here deliberately SPLIT across
+        # partial frames like per-batch sidecar dirs — must produce the
+        # exact result of the on-the-fly index aggregate
+        ldf = spark.createDataFrame(list(enumerate(LEFT)), "id int, s string")
+        rdf = spark.createDataFrame(list(enumerate(RIGHT)), "id int, s string")
+        idx = gram_index(rdf)
+        half1 = idx.filter(F.col("id") < 3).groupBy("gram").count()
+        half2 = idx.filter(F.col("id") >= 3).groupBy("gram").count()
+        freq = half1.unionByName(half2).withColumnRenamed("count", "cnt")
+        for k in (1, 2):
+            via_freq = edit_distance_join_indexed(
+                ldf, idx, rdf, max_dist=k, index_freq=freq
+            ).collect()
+            on_the_fly = edit_distance_join_indexed(
+                ldf, idx, rdf, max_dist=k, rank_by_index_freq=True
+            ).collect()
+            key = lambda rows: sorted(
+                (r.left_id, r.right_id, r.edit_dist) for r in rows
+            )
+            assert key(via_freq) == key(on_the_fly) == _brute(k)
 
 
 class TestQgrams:

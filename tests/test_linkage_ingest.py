@@ -15,6 +15,7 @@ from backend_big_data_spark.streaming.linkage_ingest import (
     link_batch,
     linkage_ingest_sink,
     read_master,
+    read_master_gram_freq,
     read_master_grams,
 )
 
@@ -115,6 +116,114 @@ class TestLinkageSink:
         # gram index folded in lockstep and still covers all masters
         idx_ids = {r.id for r in read_master_grams(spark, mdir).collect()}
         assert idx_ids == {r[0] for r in _master_rows(spark, mdir)}
+
+    def test_gramfreq_sidecar_matches_index_aggregate(self, spark, tmp_path):
+        """Admission-maintained per-gram counts, summed across batch
+        dirs, must equal the full index's groupBy count exactly — the
+        invariant that makes the sidecar-ranked probe bit-identical to
+        the on-the-fly aggregate's."""
+        mdir = str(tmp_path / "m")
+        _run_two_batches(spark, mdir)
+        maintained = {
+            (r.gram, r.cnt)
+            for r in read_master_gram_freq(spark, mdir)
+            .groupBy("gram")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        on_the_fly = {
+            (r.gram, r["count"])
+            for r in read_master_grams(spark, mdir).groupBy("gram").count().collect()
+        }
+        assert maintained == on_the_fly
+
+    def test_gramfreq_reader_falls_back_when_uncovered(self, spark, tmp_path):
+        import shutil
+
+        mdir = str(tmp_path / "m")
+        _run_two_batches(spark, mdir)
+        shutil.rmtree(f"{mdir}/gramfreq/batch=0")  # pre-sidecar layout
+        assert read_master_gram_freq(spark, mdir) is None
+
+    def test_links_identical_with_and_without_freq_sidecar(self, spark, tmp_path):
+        mdir = str(tmp_path / "m")
+        linkage_ingest_sink(mdir)(_df(spark, B1), 0)
+        master = read_master(spark, mdir)
+        grams = read_master_grams(spark, mdir)
+        gfreq = read_master_gram_freq(spark, mdir)
+        assert gfreq is not None
+        with_freq = sorted(
+            map(tuple, link_batch(_df(spark, B2), master, grams,
+                                  master_gram_freq=gfreq).collect())
+        )
+        without = sorted(
+            map(tuple, link_batch(_df(spark, B2), master, grams).collect())
+        )
+        assert with_freq == without
+
+    def test_compaction_folds_gramfreq_in_lockstep(self, spark, tmp_path):
+        mdir = str(tmp_path / "m")
+        sink = linkage_ingest_sink(mdir)
+        sink(_df(spark, B1), 0)
+        sink(_df(spark, [(20, "delta shipping lines")]), 1)
+        sink(_df(spark, [(21, "epsilon freight group")]), 2)
+        before = {
+            (r.gram, r.cnt)
+            for r in read_master_gram_freq(spark, mdir)
+            .groupBy("gram").agg(F.sum("cnt").alias("cnt")).collect()
+        }
+        assert compact_linkage_master(spark, mdir, keep_latest=1) == [0, 1]
+        after_df = read_master_gram_freq(spark, mdir)
+        assert after_df is not None, "folded layout must stay covered"
+        after = {
+            (r.gram, r.cnt)
+            for r in after_df.groupBy("gram").agg(F.sum("cnt").alias("cnt")).collect()
+        }
+        assert after == before
+
+    def test_freq_ranked_probe_scans_index_once(self, spark, tmp_path):
+        """The maintained-freq ranking must remove the probe's aggregate
+        over the full (id, gram) index: with ``master_gram_freq`` the
+        plan scans the index parquet exactly once (the candidate join);
+        the on-the-fly ranking scans it twice (aggregate + join)."""
+        mdir = str(tmp_path / "m")
+        linkage_ingest_sink(mdir)(_df(spark, B1), 0)
+        master = read_master(spark, mdir)
+        grams = read_master_grams(spark, mdir)
+        gfreq = read_master_gram_freq(spark, mdir)
+
+        import re
+
+        def index_scans(df):
+            # the plan truncates file paths, so index scans are told
+            # apart by column sets: the (id, gram) index surfaces as
+            # [id#,gram#,batch#] (candidate join) or pruned [gram#,batch#]
+            # (the on-the-fly frequency aggregate); the gramfreq sidecar
+            # carries cnt#, the master strings carry s#
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return sum(
+                1
+                for ln in plan.splitlines()
+                if "FileScan parquet" in ln
+                and re.search(r"gram#\d+", ln)
+                and not re.search(r"cnt#\d+|\bs#\d+", ln)
+            )
+
+        from backend_big_data_spark.operators.fuzzyjoin import (
+            edit_distance_join_indexed,
+        )
+
+        with_freq = edit_distance_join_indexed(
+            _df(spark, B2), grams, master, index_freq=gfreq
+        )
+        on_the_fly = edit_distance_join_indexed(
+            _df(spark, B2), grams, master, rank_by_index_freq=True
+        )
+        # maintained freq: the probe's ONLY contact with the full index
+        # is the single candidate-join scan — no aggregate pass over it
+        assert index_scans(with_freq) == 1
+        # on-the-fly ranking pays a second full-index scan to aggregate
+        assert index_scans(on_the_fly) == 2
 
     def test_probe_plan_no_exchange_above_index_scan(self, spark, tmp_path):
         """The maintained gram index must feed the broadcast join via a

@@ -14,6 +14,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from backend_big_data_spark.sources import fsutil
 from backend_big_data_spark.streaming.ingest_dedup import (
     ingest_dedup_sink,
@@ -262,3 +264,311 @@ def test_linkage_master_retraction(spark, tmp_path):
         for r in spark.read.parquet(f"{mdir}/links/batch=2").collect()
     ) == [(21, 2)]
     assert sorted(r.id for r in read_master(spark, mdir).collect()) == [2, 9, 20]
+
+
+def _linkage_master(spark, tmp_path):
+    from backend_big_data_spark.streaming.linkage_ingest import (
+        linkage_ingest_sink,
+    )
+
+    mdir = str(tmp_path / "m")
+    sink = linkage_ingest_sink(mdir)
+    sink(
+        spark.createDataFrame(
+            [
+                (1, "alpha consolidated mills"),
+                (2, "beta containers corp"),
+                (9, "gamma fabrication works"),
+            ],
+            "id long, s string",
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(10, "alpha consolidated millsx")], "id long, s string"
+        ),
+        1,
+    )
+    return mdir
+
+
+def _gramfreq_consistent(spark, mdir):
+    """The maintained gramfreq totals equal the gram index's aggregate."""
+    from backend_big_data_spark.streaming.linkage_ingest import (
+        read_master_gram_freq,
+        read_master_grams,
+    )
+
+    gf = read_master_gram_freq(spark, mdir)
+    assert gf is not None, "gramfreq sidecar lost coverage"
+    maintained = {
+        (r.gram, r.cnt)
+        for r in gf.groupBy("gram").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    on_the_fly = {
+        (r.gram, r["count"])
+        for r in read_master_grams(spark, mdir).groupBy("gram").count().collect()
+    }
+    assert maintained == on_the_fly
+
+
+def test_linkage_retraction_rewrites_gramfreq(spark, tmp_path):
+    from backend_big_data_spark.streaming.retraction import (
+        retract_from_linkage_master,
+    )
+
+    mdir = _linkage_master(spark, tmp_path)
+    out = retract_from_linkage_master(spark, mdir, [1])
+    assert out["gram_dirs_rewritten"] == ["batch=0"]
+    _gramfreq_consistent(spark, mdir)
+
+
+def test_linkage_crash_between_row_removal_and_sidecar_purge(spark, tmp_path):
+    """The advisor's crash window: master rows already removed (inner
+    journal cleared) but the gram/gramfreq/link purges not yet run. The
+    linkage journal must replay them — ghost gram rows largely
+    reconstruct the erased string, so they are an ERASURE violation, not
+    a tightness issue."""
+    from backend_big_data_spark.streaming.linkage_ingest import (
+        read_master_grams,
+    )
+    from backend_big_data_spark.streaming.retraction import (
+        _linkage_journal_path,
+        recover_linkage_retraction,
+        retract_ids,
+    )
+
+    mdir = _linkage_master(spark, tmp_path)
+    # simulate the crash state: journal committed, row removal done,
+    # nothing else — exactly what a kill between the two steps leaves
+    fsutil.write_text_atomic(
+        spark, _linkage_journal_path(mdir), json.dumps({"ids": [1], "q": 3})
+    )
+    retract_ids(spark, mdir, [1], id_col="id", drop_band_sidecar=False)
+    assert 1 in {r.id for r in read_master_grams(spark, mdir).collect()}, (
+        "precondition: ghost gram rows present"
+    )
+
+    recover_linkage_retraction(spark, mdir)
+
+    assert {r.id for r in read_master_grams(spark, mdir).collect()} == {2, 9}
+    _gramfreq_consistent(spark, mdir)
+    assert "batch=1" not in fsutil.list_subdirs(
+        spark, os.path.join(mdir, "links"), prefix="batch="
+    ), "link purge must replay too"
+    assert fsutil.read_text(spark, _linkage_journal_path(mdir)) is None
+    # replay is idempotent
+    recover_linkage_retraction(spark, mdir)
+    assert {r.id for r in read_master_grams(spark, mdir).collect()} == {2, 9}
+
+
+def test_linkage_sink_still_probes_after_crash_recovery(spark, tmp_path):
+    """After a recovered retraction the maintained-freq probe path keeps
+    working (coverage intact) and links stay correct."""
+    from backend_big_data_spark.streaming.linkage_ingest import (
+        linkage_ingest_sink,
+        read_master_gram_freq,
+    )
+    from backend_big_data_spark.streaming.retraction import (
+        _linkage_journal_path,
+        recover_linkage_retraction,
+        retract_ids,
+    )
+
+    mdir = _linkage_master(spark, tmp_path)
+    fsutil.write_text_atomic(
+        spark, _linkage_journal_path(mdir), json.dumps({"ids": [1], "q": 3})
+    )
+    retract_ids(spark, mdir, [1], id_col="id", drop_band_sidecar=False)
+    recover_linkage_retraction(spark, mdir)
+    assert read_master_gram_freq(spark, mdir) is not None
+    linkage_ingest_sink(mdir)(
+        spark.createDataFrame(
+            [(20, "alpha consolidated mills"), (21, "beta containers korp")],
+            "id long, s string",
+        ),
+        2,
+    )
+    assert sorted(
+        (r.dirty_id, r.master_id)
+        for r in spark.read.parquet(f"{mdir}/links/batch=2").collect()
+    ) == [(21, 2)]
+
+
+def test_retract_preserves_null_id_rows(spark, tmp_path):
+    """A NULL id can never be named by a retraction request; the rewrite
+    must keep such rows (``~isin`` alone silently drops them)."""
+    base = str(tmp_path / "c")
+    spark.createDataFrame(
+        [(1, "keep"), (None, "null-id survivor"), (2, "erase")],
+        "doc_id long, text string",
+    ).write.parquet(f"{base}/batch=0")
+    out = retract_ids(spark, base, [2])
+    assert out["rows_removed"] == 1
+    rows = sorted(
+        ((r.doc_id, r.text) for r in spark.read.parquet(f"{base}/batch=0").collect()),
+        key=str,
+    )
+    assert (None, "null-id survivor") in rows and (1, "keep") in rows
+
+
+# ---------------------------------------------------------------------------
+# embedding-corpus and image-corpus retraction (family parity)
+# ---------------------------------------------------------------------------
+
+
+def _emb_corpus(spark, tmp_path):
+    from backend_big_data_spark.streaming.semdedup_ingest import (
+        semdedup_ingest_sink,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cluster int, centroid array<double>",
+    )
+    cdir = str(tmp_path / "emb")
+    sink = semdedup_ingest_sink(cdir, cents, threshold=0.8)
+    sink(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        ),
+        0,
+    )
+    return cdir, sink
+
+
+def test_embedding_retraction_no_ghost_and_layout(spark, tmp_path):
+    """Erase vector 1, then re-ingest an exact twin: it must be ADMITTED
+    (no ghost cosine match against the erased row), and the rewritten
+    directory keeps its cluster-partitioned layout."""
+    from backend_big_data_spark.streaming.retraction import (
+        retract_from_embedding_corpus,
+    )
+    from backend_big_data_spark.streaming.semdedup_ingest import (
+        read_embedding_corpus,
+    )
+
+    cdir, sink = _emb_corpus(spark, tmp_path)
+    out = retract_from_embedding_corpus(spark, cdir, [1])
+    assert out["rows_removed"] == 1
+    assert sorted(
+        r.vec_id for r in read_embedding_corpus(spark, cdir).collect()
+    ) == [3]
+    sub = fsutil.list_subdirs(spark, f"{cdir}/batch=0", prefix="cluster=")
+    assert sub == ["cluster=1"]
+
+    sink(
+        spark.createDataFrame(
+            [(10, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+        ),
+        1,
+    )
+    got = {
+        (r.vec_id, r.cluster)
+        for r in read_embedding_corpus(spark, cdir).collect()
+    }
+    assert got == {(3, 1), (10, 0)}
+
+
+def test_embedding_retraction_crash_rolls_forward(spark, tmp_path):
+    from backend_big_data_spark.streaming.retraction import (
+        retract_from_embedding_corpus,
+    )
+    from backend_big_data_spark.streaming.semdedup_ingest import (
+        read_embedding_corpus,
+    )
+
+    cdir, _ = _emb_corpus(spark, tmp_path)
+    surviving = spark.read.parquet(f"{cdir}/batch=0").filter("vec_id != 1")
+    surviving.write.partitionBy("cluster").parquet(
+        f"{cdir}/_retracting_batch_0"
+    )
+    fsutil.write_text_atomic(
+        spark,
+        _journal_path(cdir),
+        json.dumps({"dir": "batch=0", "tmp": "_retracting_batch_0", "bands": None}),
+    )
+    # next wrapper call rolls the journal forward before its own work
+    retract_from_embedding_corpus(spark, cdir, [])
+    assert sorted(
+        r.vec_id for r in read_embedding_corpus(spark, cdir).collect()
+    ) == [3]
+
+
+def _image_corpus(spark, tmp_path):
+    import numpy as np
+
+    from backend_big_data_spark.multimodal.png import encode_png
+    from backend_big_data_spark.streaming.image_ingest import image_ingest_sink
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    b = rng.randint(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    cdir = str(tmp_path / "imgs")
+    sink = image_ingest_sink(cdir)
+    sink(
+        spark.createDataFrame(
+            [
+                (1, bytearray(encode_png(a))),
+                (3, bytearray(encode_png(b))),
+                (4, bytearray(b"garbage bytes")),  # quarantined
+            ],
+            "media_id long, payload binary",
+        ),
+        0,
+    )
+    return cdir, sink, a
+
+
+def test_image_retraction_no_ghost_and_quarantine_purge(spark, tmp_path):
+    """Erase image 1 (and quarantined id 4): rows AND maintained dhash go
+    together, the quarantine record goes too, and a re-ingested twin of
+    the erased image is ADMITTED (no ghost near-dup hit)."""
+    from backend_big_data_spark.multimodal.png import encode_png
+    from backend_big_data_spark.streaming.image_ingest import read_image_corpus
+    from backend_big_data_spark.streaming.retraction import (
+        retract_from_image_corpus,
+    )
+
+    cdir, sink, a = _image_corpus(spark, tmp_path)
+    out = retract_from_image_corpus(spark, cdir, [1, 4])
+    assert out["rows_removed"] == 1
+    assert out["quarantine_rows_removed"] == 1
+    assert sorted(
+        r.media_id for r in read_image_corpus(spark, cdir).collect()
+    ) == [3]
+    assert "batch=0" not in fsutil.list_subdirs(
+        spark, os.path.join(cdir, "quarantine"), prefix="batch="
+    )
+
+    sink(
+        spark.createDataFrame(
+            [(10, bytearray(encode_png(a)))], "media_id long, payload binary"
+        ),
+        1,
+    )
+    assert sorted(
+        r.media_id for r in read_image_corpus(spark, cdir).collect()
+    ) == [3, 10]
+
+
+def test_image_retraction_crash_rolls_forward(spark, tmp_path):
+    from backend_big_data_spark.streaming.image_ingest import read_image_corpus
+    from backend_big_data_spark.streaming.retraction import (
+        retract_from_image_corpus,
+    )
+
+    cdir, _, _ = _image_corpus(spark, tmp_path)
+    surviving = spark.read.parquet(f"{cdir}/batch=0").filter("media_id != 1")
+    surviving.write.parquet(f"{cdir}/_retracting_batch_0")
+    fsutil.write_text_atomic(
+        spark,
+        _journal_path(cdir),
+        json.dumps({"dir": "batch=0", "tmp": "_retracting_batch_0", "bands": None}),
+    )
+    retract_from_image_corpus(spark, cdir, [])
+    assert sorted(
+        r.media_id for r in read_image_corpus(spark, cdir).collect()
+    ) == [3]

@@ -143,3 +143,24 @@ def test_hard_em_zero_rounds_is_seed(spark):
     seed_pieces = {r.piece for r in piece_costs(seed_counts(wc, 4, 5)).collect()}
     em_pieces = {r.piece for r in hard_em(wc, 4, 5, 0).collect()}
     assert em_pieces == seed_pieces
+
+
+def test_viterbi_external_vocab_uncoverable_words_emit_null_rows(spark):
+    """The public contract for EXTERNALLY supplied vocabularies: a word
+    with no coverable path — even one sharing no substring with vocab at
+    all — emits a row with NULL total_cost/pieces, never a silent drop
+    (unreachable from hard_em, whose seed keeps every single char)."""
+    vocab = spark.createDataFrame(
+        [("a", 1, 100), ("b", 1, 100)], "piece string, cnt long, cost long"
+    )
+    seg = {
+        r.word: (r.pieces, r.total_cost)
+        for r in viterbi_segment(
+            # 'ab' coverable; 'axb' partial (no 'x'); 'zzz' shares nothing
+            _wc_df(spark, [("ab", 1), ("axb", 2), ("zzz", 3)]), vocab, 4
+        ).collect()
+    }
+    assert set(seg) == {"ab", "axb", "zzz"}
+    assert seg["ab"] == (["a", "b"], 200)
+    assert seg["axb"] == (None, None)
+    assert seg["zzz"] == (None, None)
