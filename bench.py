@@ -139,9 +139,13 @@ HEADLINE = [
     "doc_cdc_chunk_dups",
     "corpus_datasheet",
     # round-7: Ed-Join fuzzy record linkage (q-gram prefix filter +
-    # levenshtein verify — scales with the part table), and the
+    # levenshtein verify — scales with the part table), the one-sided
+    # probe against a pre-built gram index ranked by index frequency
+    # (the repo's slowest registered query — visible here round over
+    # round per the r07 verdict, not only in PERF.md prose), and the
     # maintained-index IVF serving probe (stored inverted lists)
     "part_fuzzy_match",
+    "part_fuzzy_match_indexed",
     "ann_ivf_maintained_topk",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
