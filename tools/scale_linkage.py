@@ -163,6 +163,53 @@ def main() -> None:
         idx.unpersist()
     batch.unpersist()
 
+    # maintained gram-frequency sidecar (round 8): the index-frequency
+    # ranking minimizes candidate volume, but its on-the-fly form pays a
+    # full-index aggregate per probe — exactly the per-batch corpus term
+    # the sidecar family exists to eliminate. Mirror the sink's at-rest
+    # state (index and freq both parquet, not cached) and probe in the
+    # PRODUCTION regime: a small arriving batch against a master grown
+    # 4x/16x. On-the-fly pays O(|index|) per probe regardless of batch
+    # size, so its wall grows with the master while the maintained
+    # variant's only index contact is the candidate scan. (Measured the
+    # other regime too: with a MASTER-SIZED batch the candidate verify
+    # dominates both variants — sf0.1 walls within noise at 65 s — so
+    # the sidecar's win is precisely the small-batch streaming case.)
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="scale_gramfreq_")
+    batch_small = _corrupt(replicate_disjoint_grams(clean0, 1)).limit(500).cache()
+    batch_small.count()
+    for factor in FACTORS:
+        master = replicate_disjoint_grams(clean0, factor).cache()
+        nm = master.count()
+        idx_path = f"{work}/idx_{factor}"
+        freq_path = f"{work}/freq_{factor}"
+        gram_index(master).write.mode("overwrite").parquet(idx_path)
+        spark.read.parquet(idx_path).groupBy("gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).write.mode("overwrite").parquet(freq_path)
+        idx = spark.read.parquet(idx_path)
+        freq = spark.read.parquet(freq_path)
+        otf = edit_distance_join_indexed(
+            batch_small, idx, master, max_dist=2, q=3, rank_by_index_freq=True
+        )
+        mnt = edit_distance_join_indexed(
+            batch_small, idx, master, max_dist=2, q=3, index_freq=freq
+        )
+        p1, p2 = otf.count(), mnt.count()
+        assert p1 == p2, (p1, p2)
+        w_otf = timed(lambda: otf.count())
+        w_mnt = timed(lambda: mnt.count())
+        print(
+            f"freq_rank[small-batch] factor={factor:>2} master={nm:>7} "
+            f"pairs={p1:>7} on_the_fly={w_otf:6.2f}s maintained={w_mnt:6.2f}s"
+        )
+        master.unpersist()
+    batch_small.unpersist()
+    shutil.rmtree(work, ignore_errors=True)
+
     for factor in FACTORS:
         edges = replicate_edges(edges0, factor).cache()
         ne = edges.count()
