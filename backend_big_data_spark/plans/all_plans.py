@@ -35,6 +35,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round7b,
     round7c,
     round7d,
+    round8,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -65,7 +66,11 @@ _FRONT = [
     "audio_near_dup_pairs",
     "video_near_dup_pairs",
     # -- (b) round-8 registrations (same-round driver slots) ----------------
-    # (names inserted here as round 8 registers them; 5 slots reserved)
+    "part_token_jaccard_match",
+    "part_token_containment_match",
+    "doc_wordpiece_merges",
+    "doc_kn_bigram_model",
+    "doc_kn_perplexity",
     # -- (c) the r03-stale block (newest external row was r03) --------------
     "brand_sizes_except_all",
     "brand_sizes_intersect_all",

@@ -121,6 +121,84 @@ def learn_bpe(
     )
 
 
+#: fixed-point scale for the WordPiece likelihood score (milli-nats,
+#: round-half-up — the repo's lm.py convention)
+WORDPIECE_SCORE_SCALE = 1000
+
+
+def _symbol_counts(words: DataFrame) -> DataFrame:
+    """(syms, n) → (sym, ucnt): per-symbol occurrence totals weighted by
+    word frequency — the denominators of the WordPiece score."""
+    return (
+        words.select("n", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("n").alias("ucnt"))
+    )
+
+
+def learn_wordpiece(
+    word_counts: DataFrame, num_merges: int = DEFAULT_NUM_MERGES
+) -> DataFrame:
+    """Learn ``num_merges`` WordPiece merges from a (word, n) table.
+
+    Same iteration skeleton as :func:`learn_bpe` (pair counts via
+    ``arrays_zip``, greedy fold merge), but the selected pair maximizes
+    the LIKELIHOOD GAIN score count(l,r) / (count(l)·count(r)) instead
+    of the raw pair count (Schuster & Nakajima 2012, "Japanese and
+    Korean voice search"; the merge rule used for BERT's vocabulary) —
+    merging what co-occurs more than its parts' frequencies predict.
+    The score is compared in fixed point,
+    ``floor(1000·(ln cnt − ln ucnt_l − ln ucnt_r) + 0.5)`` (milli-nats,
+    round-half-up), with a deterministic (score DESC, l, r) tie-break —
+    engine-portable like the unigram module's costs.
+
+    Returns (step int, left_sym, right_sym, merged string, score_fp
+    long, pair_count long) in learning order; stops early when no
+    adjacent pair remains."""
+    spark = word_counts.sparkSession
+    words = word_symbols(word_counts).localCheckpoint(eager=True)
+    out = []
+    for step in range(num_merges):
+        pc = _pair_counts(words)
+        uc = _symbol_counts(words)
+        score = F.floor(
+            (
+                F.log(F.col("cnt").cast("double"))
+                - F.log(F.col("ul").cast("double"))
+                - F.log(F.col("ur").cast("double"))
+            )
+            * WORDPIECE_SCORE_SCALE
+            + F.lit(0.5)
+        ).cast("long")
+        best = (
+            pc.join(uc.select(F.col("sym").alias("l"), F.col("ucnt").alias("ul")), "l")
+            .join(uc.select(F.col("sym").alias("r"), F.col("ucnt").alias("ur")), "r")
+            .withColumn("score_fp", score)
+            .select(
+                F.min_by(
+                    F.struct("l", "r", "cnt", "score_fp"),
+                    F.struct((-F.col("score_fp")).alias("ns"), "l", "r"),
+                ).alias("b")
+            )
+            .first()
+        )
+        if best is None or best.b is None:
+            break
+        left, right, cnt, score_fp = best.b.l, best.b.r, best.b.cnt, best.b.score_fp
+        out.append((step, left, right, left + right, score_fp, cnt))
+        nxt = words.select(
+            merge_pair(F.col("syms"), left, right).alias("syms"), "n"
+        ).localCheckpoint(eager=True)
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return spark.createDataFrame(
+        out,
+        "step int, left_sym string, right_sym string, merged string, "
+        "score_fp long, pair_count long",
+    )
+
+
 def segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Driver-side reference encoder: apply learned merges in order to
     one word (greedy left-to-right per merge) — the plain-Python twin the
@@ -151,8 +229,10 @@ def apply_bpe(
 
 __all__ = [
     "DEFAULT_NUM_MERGES",
+    "WORDPIECE_SCORE_SCALE",
     "apply_bpe",
     "learn_bpe",
+    "learn_wordpiece",
     "merge_pair",
     "segment_word",
     "word_symbols",

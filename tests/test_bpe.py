@@ -95,3 +95,91 @@ class TestLearnBpe:
         merges = [(l, r) for _, l, r, _, _ in _learn(spark, rows, 4)]
         assert segment_word("lowest", merges) == ["low", "est"]
         assert segment_word("newest", merges) == ["n", "e", "w", "est"]
+
+
+class TestWordPiece:
+    """`learn_wordpiece`: BPE's skeleton with the likelihood-gain
+    selection rule — checked against a plain-Python reference learner
+    and on a corpus crafted so WordPiece and BPE pick DIFFERENT pairs."""
+
+    @staticmethod
+    def _ref_learn(word_counts, k):
+        import math
+        from collections import Counter
+
+        words = [(list(w), n) for w, n in word_counts]
+        out = []
+        for step in range(k):
+            pairs: Counter = Counter()
+            syms: Counter = Counter()
+            for ws, n in words:
+                for a, b in zip(ws, ws[1:]):
+                    pairs[(a, b)] += n
+                for s in ws:
+                    syms[s] += n
+            if not pairs:
+                break
+            scored = {
+                (a, b): math.floor(
+                    (math.log(c) - math.log(syms[a]) - math.log(syms[b]))
+                    * 1000
+                    + 0.5
+                )
+                for (a, b), c in pairs.items()
+            }
+            best = min(scored, key=lambda p: (-scored[p], p[0], p[1]))
+            a, b = best
+            out.append((step, a, b, a + b, scored[best], pairs[best]))
+            merged = []
+            for ws, n in words:
+                acc = []
+                for s in ws:
+                    if acc and acc[-1] == a and s == b:
+                        acc[-1] = a + b
+                    else:
+                        acc.append(s)
+                merged.append((acc, n))
+            words = merged
+        return out
+
+    def test_matches_reference_learner(self, spark):
+        from backend_big_data_spark.text.bpe import learn_wordpiece
+
+        rows = [
+            ("banana", 5),
+            ("bandana", 3),
+            ("ananas", 2),
+            ("cabana", 4),
+            ("nab", 7),
+            ("zz", 1),
+        ]
+        wc = spark.createDataFrame(rows, "word string, n long")
+        got = [tuple(r) for r in learn_wordpiece(wc, num_merges=6).collect()]
+        assert got == self._ref_learn(rows, 6)
+
+    def test_selection_differs_from_bpe(self, spark):
+        """'e'+'r' is the most FREQUENT pair but both symbols are
+        everywhere; 'q'+'u' is rarer as a pair but its parts only ever
+        co-occur — WordPiece must pick (q, u) first while BPE picks the
+        raw-count winner."""
+        from backend_big_data_spark.text.bpe import learn_wordpiece
+
+        rows = [
+            ("erer", 10),   # 'er' pair count 20, e/u counts high
+            ("ere", 10),
+            ("rere", 5),
+            ("qu", 4),      # q and u appear ONLY together
+        ]
+        wc = spark.createDataFrame(rows, "word string, n long")
+        wp = [tuple(r)[1:3] for r in learn_wordpiece(wc, num_merges=1).collect()]
+        bp = [tuple(r)[1:3] for r in learn_bpe(wc, num_merges=1).collect()]
+        assert wp == [("q", "u")]
+        assert bp != wp
+
+    def test_early_exhaustion(self, spark):
+        from backend_big_data_spark.text.bpe import learn_wordpiece
+
+        wc = spark.createDataFrame([("ab", 1)], "word string, n long")
+        got = [tuple(r) for r in learn_wordpiece(wc, num_merges=5).collect()]
+        # one merge possible ('a','b'), then single symbols remain
+        assert len(got) == 1 and got[0][1:4] == ("a", "b", "ab")

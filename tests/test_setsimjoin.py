@@ -1,0 +1,151 @@
+"""Token-set similarity joins (`operators/setsimjoin.py`).
+
+Same load-bearing claim as the fuzzy join: the blocking (global-order
+prefix filter + length filter) must be RESULT-INVARIANT — output equals
+brute force. The corpus is adversarial for that: a stopword token in
+every record, heavy token skew, sets of different sizes straddling the
+length filter, and pairs exactly AT the threshold (integer
+cross-multiplication must not wobble on boundaries).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from backend_big_data_spark.operators.setsimjoin import (
+    token_containment_join,
+    token_jaccard_join,
+    ws_tokens,
+)
+
+ROWS = [
+    (0, "the red blue green gold"),
+    (1, "the red blue green plum"),      # jaccard 4/6 with 0
+    (2, "the red blue green gold"),      # exact dup of 0
+    (3, "the red blue"),                 # subset of 0 (containment)
+    (4, "the puce"),                     # shares only the stopword
+    (5, "red red red the gold blue green"),  # dup tokens; set == row 0
+    (6, "the lime aqua teal snow"),
+    (7, "lime aqua teal snow extra the words here now"),  # contains 6
+    (8, ""),                             # empty
+    (9, "the"),                          # single stopword
+]
+
+
+def _toks(s):
+    return set(t for t in s.split() if t)
+
+
+def _brute_jaccard(rows, t_num, t_den):
+    out = []
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        ta, tb = _toks(a), _toks(b)
+        if not ta or not tb:
+            continue
+        inter = len(ta & tb)
+        union = len(ta | tb)
+        if inter * t_den >= union * t_num:
+            out.append((i, j, inter, union))
+    return sorted(out)
+
+
+def _brute_containment(rows, t_num, t_den):
+    out = []
+    for (i, a) in rows:
+        for (j, b) in rows:
+            if i == j:
+                continue
+            ta, tb = _toks(a), _toks(b)
+            if not ta or not tb:
+                continue
+            inter = len(ta & tb)
+            if inter * t_den >= len(ta) * t_num:
+                out.append((i, j, inter, len(ta)))
+    return sorted(out)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, s string")
+
+
+class TestTokenJaccardJoin:
+    def test_matches_brute_force(self, spark):
+        df = _df(spark, ROWS)
+        for t_num, t_den in ((3, 5), (1, 2), (4, 5)):
+            got = sorted(
+                (r.left_id, r.right_id, r.inter_cnt, r.union_cnt)
+                for r in token_jaccard_join(df, df, t_num, t_den)
+                .where("left_id < right_id")
+                .collect()
+            )
+            assert got == _brute_jaccard(ROWS, t_num, t_den), (t_num, t_den)
+
+    def test_two_sided_r_times_s(self, spark):
+        left = _df(spark, ROWS[:5])
+        right = _df(spark, ROWS[5:])
+        got = sorted(
+            (r.left_id, r.right_id, r.inter_cnt, r.union_cnt)
+            for r in token_jaccard_join(left, right, 3, 5).collect()
+        )
+        want = sorted(
+            (i, j, len(_toks(a) & _toks(b)), len(_toks(a) | _toks(b)))
+            for i, a in ROWS[:5]
+            for j, b in ROWS[5:]
+            if _toks(a) and _toks(b)
+            and len(_toks(a) & _toks(b)) * 5 >= len(_toks(a) | _toks(b)) * 3
+        )
+        assert got == want
+
+    def test_identity_pairs_survive_self_join(self, spark):
+        df = _df(spark, ROWS)
+        got = {
+            (r.left_id, r.right_id)
+            for r in token_jaccard_join(df, df, 9, 10).collect()
+        }
+        # every non-empty set matches itself at jaccard 1
+        assert {(i, i) for i, s in ROWS if _toks(s)} <= got
+
+    def test_empty_sets_match_nothing(self, spark):
+        df = _df(spark, ROWS)
+        out = token_jaccard_join(df, df, 1, 10).collect()
+        ids = {r.left_id for r in out} | {r.right_id for r in out}
+        assert 8 not in ids and 9 in ids  # 9 has one token, 8 has none
+
+
+class TestTokenContainmentJoin:
+    def test_matches_brute_force(self, spark):
+        df = _df(spark, ROWS)
+        for t_num, t_den in ((4, 5), (3, 5), (1, 1)):
+            got = sorted(
+                (r.probe_id, r.base_id, r.inter_cnt, r.probe_sz)
+                for r in token_containment_join(df, df, t_num, t_den)
+                .where("probe_id != base_id")
+                .collect()
+            )
+            assert got == _brute_containment(ROWS, t_num, t_den), (t_num, t_den)
+
+    def test_asymmetry(self, spark):
+        """Row 3 ('the red blue') is fully inside row 0 but not vice
+        versa at t=1: containment must be directional."""
+        df = _df(spark, ROWS)
+        got = {
+            (r.probe_id, r.base_id)
+            for r in token_containment_join(df, df, 1, 1)
+            .where("probe_id != base_id")
+            .collect()
+        }
+        assert (3, 0) in got and (0, 3) not in got
+
+
+class TestWsTokens:
+    def test_distinct_and_empty_dropped(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("a  b a",), ("",), ("  ",)], "s string"
+        )
+        got = [
+            sorted(r.t)
+            for r in df.select(ws_tokens(F.col("s")).alias("t")).collect()
+        ]
+        assert got == [["a", "b"], [], []]
