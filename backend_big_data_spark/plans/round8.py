@@ -32,9 +32,16 @@ from backend_big_data_spark.sources.catalog import load_table
 # token-set similarity joins over part names
 # ---------------------------------------------------------------------------
 
+#: record string for the linkage queries: name + brand + type — the same
+#: enrichment the fuzzy-join queries use (`round7c._entities`), because
+#: the bare p_name column has only 64 distinct values (every match would
+#: be an exact-duplicate name and the output would be all quadratic
+#: duplicate mass). 1789 of 2000 records are distinct at sf0.01.
+_REC = "p_name || ' ' || p_brand || ' ' || p_type"
+
 #: DuckDB token-set expression matching `setsimjoin.ws_tokens`
 _TOKS = (
-    "list_distinct(list_filter(string_split_regex(p_name, '\\s+'),"
+    f"list_distinct(list_filter(string_split_regex({_REC}, '\\s+'),"
     " x -> x <> ''))"
 )
 
@@ -59,18 +66,26 @@ ORDER BY left_id, right_id
 
 @register("part_token_jaccard_match", oracle=_JACCARD_ORACLE)
 def part_token_jaccard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set record linkage: part-name pairs whose distinct-token
-    Jaccard is ≥ 3/5 (`operators/setsimjoin.token_jaccard_join` —
-    global rarity-ordered prefix filter + length filter + exact
-    ``array_intersect`` verify with integer cross-multiplied threshold;
-    pair dedup after the verify). The oracle is the brute-force
-    all-pairs twin with only the result-invariant length filter — the
-    blocking must be result-invariant."""
+    """Token-set record linkage: part records (name + brand + type)
+    whose distinct-token Jaccard is ≥ 3/5
+    (`operators/setsimjoin.token_jaccard_join` — global rarity-ordered
+    prefix filter + length filter + exact ``array_intersect`` verify
+    with integer cross-multiplied threshold; pair dedup after the
+    verify). The oracle is the brute-force all-pairs twin with only the
+    result-invariant length filter — the blocking must be
+    result-invariant.
+
+    Scale note: output size tracks the corpus' TRUE duplicate mass —
+    on a fixed-vocabulary synthetic corpus that mass grows
+    quadratically (every engine would emit the same pairs); production
+    ER runs this as its candidate-pair stage and feeds a cluster/argmax
+    winner step (`doc_corpus_dedup_best`'s shape) rather than
+    materializing all pairs."""
     from backend_big_data_spark.operators.setsimjoin import token_jaccard_join
 
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").cast("long").alias("id"),
-        F.col("p_name").alias("s"),
+        F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("s"),
     )
     return (
         token_jaccard_join(part, part, t_num=3, t_den=5)
@@ -108,7 +123,7 @@ def part_token_containment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").cast("long").alias("id"),
-        F.col("p_name").alias("s"),
+        F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("s"),
     )
     return (
         token_containment_join(part, part, t_num=4, t_den=5)

@@ -147,6 +147,13 @@ HEADLINE = [
     "part_fuzzy_match",
     "part_fuzzy_match_indexed",
     "ann_ivf_maintained_topk",
+    # round-8: token-set containment linkage (prefix filter + int-coded
+    # adaptive verify). part_token_jaccard_match stays off the headline
+    # for the doc_ngram_jaccard_pairs reason: on this fixed-vocabulary
+    # synthetic corpus its TRUE result is quadratic duplicate mass
+    # (916k pairs at sf0.1), so its wall measures result materialization,
+    # not operator throughput; the sf0.01 oracle gate certifies it.
+    "part_token_containment_match",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
