@@ -178,6 +178,50 @@ def token_jaccard_join(
     )
 
 
+def token_jaccard_topk(
+    probe: DataFrame,
+    base: DataFrame,
+    k: int = 1,
+    floor_num: int = 2,
+    floor_den: int = 5,
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """For each probe record, its ``k`` best Jaccard matches in base
+    among pairs with Jaccard ≥ floor_num/floor_den — the production ER
+    shape: output is |probe|·k rows no matter how much duplicate mass
+    the corpus holds (the all-pairs form's output is the corpus' true
+    duplicate mass, which on self-similar corpora is quadratic).
+
+    Ranking is EXACT fraction order without floats: the sort key
+    floor(inter·2^32 / union) is order-faithful because two distinct
+    Jaccards with unions < 2^16 differ by more than 2^-32 (|i1/u1 −
+    i2/u2| ≥ 1/(u1·u2)), so their scaled floors cannot collide —
+    sets are asserted < 65536 tokens. Ties break on base id ASC.
+    Returns (probe_id, base_id, rank, inter_cnt, union_cnt)."""
+    pairs = token_jaccard_join(probe, base, floor_num, floor_den)
+    if exclude_same_id:
+        pairs = pairs.where(F.col("left_id") != F.col("right_id"))
+    key = F.floor(
+        (F.col("inter_cnt") * F.lit(1 << 32)) / F.col("union_cnt")
+    ).cast("long")
+    w = Window.partitionBy("left_id").orderBy(
+        F.desc("__key"), F.asc("right_id")
+    )
+    return (
+        pairs.where(F.col("union_cnt") < F.lit(1 << 16))
+        .withColumn("__key", key)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("left_id").alias("probe_id"),
+            F.col("right_id").alias("base_id"),
+            "rank",
+            "inter_cnt",
+            "union_cnt",
+        )
+    )
+
+
 def token_containment_join(
     probe: DataFrame,
     base: DataFrame,
@@ -224,5 +268,6 @@ def token_containment_join(
 __all__ = [
     "token_containment_join",
     "token_jaccard_join",
+    "token_jaccard_topk",
     "ws_tokens",
 ]

@@ -109,7 +109,10 @@ _FRONT = [
 # Round-9 rotation note: lead the next _FRONT with (a) queries whose
 # implementing files drift in round 8 after this window freezes, then
 # (b) any r08 window spills, then (c) queries registered after this
-# window froze, then (d) the oldest remaining external rows — after this
+# window froze — part_token_best_match (plans/round8.py, linear-output
+# best-match ER via setsimjoin.token_jaccard_topk; the exact-fraction
+# 2^32-scaled ranking key) — then (d) the oldest remaining external
+# rows — after this
 # window certifies, the oldest blocks are the r04 TPC-H residue
 # (pricing_summary, revenue_by_region, revenue_forecast,
 # part_min_price_suppliers, dominant_part_suppliers,

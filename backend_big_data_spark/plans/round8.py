@@ -312,3 +312,51 @@ def doc_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_bucket")
     )
+
+
+_BEST_MATCH_ORACLE = f"""
+WITH t AS (
+  SELECT CAST(p_partkey AS BIGINT) AS id, {_TOKS} AS toks FROM part
+), s AS (
+  SELECT id, toks, len(toks) AS sz FROM t WHERE len(toks) > 0
+), p AS (
+  SELECT a.id AS probe_id, b.id AS base_id,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_cnt,
+         CAST(a.sz + b.sz - len(list_intersect(a.toks, b.toks)) AS BIGINT)
+           AS union_cnt
+  FROM s a JOIN s b ON a.id <> b.id
+  WHERE len(list_intersect(a.toks, b.toks)) * 5
+        >= (a.sz + b.sz - len(list_intersect(a.toks, b.toks))) * 3
+), r AS (
+  SELECT probe_id, base_id, inter_cnt, union_cnt,
+         CAST(row_number() OVER (
+           PARTITION BY probe_id
+           ORDER BY (inter_cnt * 4294967296) // union_cnt DESC, base_id
+         ) AS INTEGER) AS rank
+  FROM p WHERE union_cnt < 65536
+)
+SELECT probe_id, base_id, rank, inter_cnt, union_cnt
+FROM r WHERE rank <= 1 ORDER BY probe_id
+"""
+
+
+@register("part_token_best_match", oracle=_BEST_MATCH_ORACLE)
+def part_token_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-match entity resolution: for every part record its single
+    most-similar other record by distinct-token Jaccard (floor 3/5),
+    via `operators/setsimjoin.token_jaccard_topk` — the linear-output
+    production shape (|probe|·k rows regardless of the corpus'
+    duplicate mass; the all-pairs forms materialize that mass).
+    Ranking is exact fraction order through the 2^32-scaled integer
+    key; ties break on base id, so the winner is engine-portable."""
+    from backend_big_data_spark.operators.setsimjoin import (
+        token_jaccard_topk,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("s"),
+    )
+    return token_jaccard_topk(
+        part, part, k=1, floor_num=3, floor_den=5, exclude_same_id=True
+    ).orderBy("probe_id")

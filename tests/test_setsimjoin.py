@@ -149,3 +149,66 @@ class TestWsTokens:
             for r in df.select(ws_tokens(F.col("s")).alias("t")).collect()
         ]
         assert got == [["a", "b"], [], []]
+
+
+class TestTokenJaccardTopk:
+    def _brute_topk(self, rows, k, fn, fd):
+        from fractions import Fraction
+
+        best = {}
+        for i, a in rows:
+            cands = []
+            for j, b in rows:
+                if i == j:
+                    continue
+                ta, tb = _toks(a), _toks(b)
+                if not ta or not tb:
+                    continue
+                inter, union = len(ta & tb), len(ta | tb)
+                if inter * fd >= union * fn:
+                    cands.append((-Fraction(inter, union), j, inter, union))
+            cands.sort()
+            best[i] = [
+                (i, j, r + 1, inter, union)
+                for r, (_, j, inter, union) in enumerate(cands[:k])
+            ]
+        return sorted(p for ps in best.values() for p in ps)
+
+    def test_matches_brute_force_winners(self, spark):
+        from backend_big_data_spark.operators.setsimjoin import (
+            token_jaccard_topk,
+        )
+
+        df = _df(spark, ROWS)
+        for k in (1, 2):
+            got = sorted(
+                (r.probe_id, r.base_id, r.rank, r.inter_cnt, r.union_cnt)
+                for r in token_jaccard_topk(
+                    df, df, k=k, floor_num=1, floor_den=5, exclude_same_id=True
+                ).collect()
+            )
+            assert got == self._brute_topk(ROWS, k, 1, 5), k
+
+    def test_scaled_key_orders_exact_fractions(self, spark):
+        """3/5 vs 4/7 differ by 1/35 — the 2^32-scaled floor key must
+        rank 3/5 (0.6) above 4/7 (0.571) even though both pass a 1/2
+        floor; naive fixed-point at small scales would collide."""
+        from backend_big_data_spark.operators.setsimjoin import (
+            token_jaccard_topk,
+        )
+
+        rows = [
+            (0, "a b c d e"),
+            (1, "a b c x y"),      # inter 3, union 7 → 3/7 with 0... 
+            (2, "a b c d q"),      # inter 4, union 6 → 2/3 with 0
+            (3, "a b c d e f g"),  # inter 5, union 7 → 5/7 with 0
+        ]
+        df = _df(spark, rows)
+        got = {
+            r.probe_id: (r.base_id, r.inter_cnt, r.union_cnt)
+            for r in token_jaccard_topk(
+                df, df, k=1, floor_num=1, floor_den=5, exclude_same_id=True
+            ).collect()
+        }
+        # probe 0's best: 3 (5/7 ≈ .714) beats 2 (4/6 ≈ .667) beats 1
+        assert got[0] == (3, 5, 7)
