@@ -46,16 +46,29 @@ set of size ≥ α must hit one of the probe's first |x| − α + 1 tokens.
 
 Like the fuzzy join, the prefix filter's weak regime is a small CLOSED
 vocabulary (every token dense on both sides): candidates — and on
-self-similar corpora the TRUE result — then grow quadratically. The
-candidate bound is Σ_token nl·nr over exposed tokens, computable from
-the prefix tables before the join, if a caller wants the sizing-rule
-treatment (`fuzzyjoin.FuzzyJoinCandidateBlowup` is the precedent).
+self-similar corpora the TRUE result — then grow quadratically.
+``candidate_cap`` arms the sizing rule (the fuzzy join's discipline):
+the exact bound Σ_token nl·nr is computed from the prefix tables
+before the join and the blowup raises :class:`SetSimCandidateBlowup`
+instead of silently running quadratic.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+class SetSimCandidateBlowup(ValueError):
+    """Raised by `token_jaccard_join` when ``candidate_cap`` is set and
+    the prefix-filter candidate bound Σ_token nl·nr exceeds it — the
+    CLOSED-VOCABULARY regime (every token dense on both sides, so even
+    the rarest exposed tokens fan out quadratically; on self-similar
+    corpora the TRUE result is quadratic too). Unlike the fuzzy join's
+    q-escalation there is no result-invariant knob to turn — a longer
+    "gram" would change which sets match — so the rule can only refuse:
+    raise the threshold, block on a coarser key first, or switch to the
+    bounded-output `token_jaccard_topk` form."""
 
 
 def ws_tokens(s: Column) -> Column:
@@ -132,18 +145,44 @@ def token_jaccard_join(
     right: DataFrame,
     t_num: int = 3,
     t_den: int = 5,
+    candidate_cap: int | None = None,
 ) -> DataFrame:
     """All (left.id, right.id) pairs whose distinct-token Jaccard is
     ≥ t_num/t_den. Inputs: (id, s). Returns (left_id, right_id,
     inter_cnt, union_cnt) — integer evidence columns, no floats.
 
-    Sets with zero tokens match nothing (Jaccard undefined/0)."""
+    Sets with zero tokens match nothing (Jaccard undefined/0).
+
+    ``candidate_cap`` arms the sizing rule (the fuzzy join's
+    discipline): the exact pre-verify fan-out Σ_token nl·nr is computed
+    from the two prefix tables before the equi-join runs; above the cap
+    the join raises :class:`SetSimCandidateBlowup` naming the
+    closed-vocabulary regime instead of silently running quadratic."""
     sets = _ranked_sets(_tag(left, right)).filter(F.col("sz") > 0)
     keep = F.greatest(
         F.lit(1), (F.col("sz") - _ceil_frac(F.col("sz"), t_num, t_den) + 1)
     ).cast("int")
     lp = _prefix(sets.filter(F.col("side") == "l"), keep)
     rp = _prefix(sets.filter(F.col("side") == "r"), keep)
+    if candidate_cap is not None:
+        sets = sets.localCheckpoint(eager=True)  # one scan feeds bound + join
+        lp = _prefix(sets.filter(F.col("side") == "l"), keep)
+        rp = _prefix(sets.filter(F.col("side") == "r"), keep)
+        bound_row = (
+            lp.groupBy("tid")
+            .agg(F.count(F.lit(1)).alias("nl"))
+            .join(rp.groupBy("tid").agg(F.count(F.lit(1)).alias("nr")), "tid")
+            .agg(F.coalesce(F.sum(F.col("nl") * F.col("nr")), F.lit(0)).alias("b"))
+            .first()
+        )
+        bound = int(bound_row["b"])
+        if bound > candidate_cap:
+            raise SetSimCandidateBlowup(
+                f"closed-vocabulary token regime: prefix candidate bound "
+                f"{bound} exceeds candidate_cap={candidate_cap}; raise the "
+                f"threshold, block on a coarser key first, or use "
+                f"token_jaccard_topk (bounded output)"
+            )
     cand = (
         lp.select(
             F.col("id").alias("left_id"),
@@ -266,6 +305,7 @@ def token_containment_join(
 
 
 __all__ = [
+    "SetSimCandidateBlowup",
     "token_containment_join",
     "token_jaccard_join",
     "token_jaccard_topk",

@@ -139,13 +139,15 @@ def part_token_containment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WP_MERGES = 8
 
 
-def _wp_oracle(k: int = _WP_MERGES) -> str:
-    """Replay of `text/bpe.py::learn_wordpiece` as a k-step CTE chain —
-    the BPE oracle's state encoding (chr(31)-wrapped symbols, merge =
-    ``replace``; see `round7b._bpe_oracle`) plus per-step symbol totals
-    ``u{i}`` so the argmax ranks by the fixed-point likelihood score
+def _wp_ctes(k: int = _WP_MERGES) -> str:
+    """Shared WITH-prefix replaying `text/bpe.py::learn_wordpiece` as a
+    k-step CTE chain — the BPE oracle's state encoding (chr(31)-wrapped
+    symbols, merge = ``replace``; see `round7b._bpe_oracle`) plus
+    per-step symbol totals ``u{i}`` so the argmax ranks by the
+    fixed-point likelihood score
     floor(1000·(ln cnt − ln ucnt_l − ln ucnt_r) + 0.5) with the same
-    (score DESC, l, r) tie-break."""
+    (score DESC, l, r) tie-break. ``it{k}`` is the fully-merged
+    vocabulary, reused by the stats oracle as the encoded corpus."""
     d = "chr(31)"
     dd = f"{d}||{d}"
     parts = [
@@ -180,13 +182,17 @@ b{i} AS MATERIALIZED (SELECT p.l, p.r, p.cnt,
 it{i} AS MATERIALIZED (SELECT replace(st, {d}||b.l||{d}||{d}||b.r||{d},
                  {d}||b.l||b.r||{d}) AS st, n FROM it{i - 1}, b{i} b)"""
         )
+    return "\n".join(parts)
+
+
+def _wp_oracle(k: int = _WP_MERGES) -> str:
     steps = "\nUNION ALL\n".join(
         f"SELECT CAST({i - 1} AS INTEGER) AS step, l AS left_sym,"
         f" r AS right_sym, l || r AS merged, score_fp,"
         f" cnt AS pair_count FROM b{i}"
         for i in range(1, k + 1)
     )
-    return "\n".join(parts) + f"\nSELECT * FROM (\n{steps}\n) ORDER BY step"
+    return _wp_ctes(k) + f"\nSELECT * FROM (\n{steps}\n) ORDER BY step"
 
 
 @register("doc_wordpiece_merges", oracle=_wp_oracle())
@@ -203,6 +209,63 @@ def doc_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wc = _word_counts(spark, sf_dir)
     return learn_wordpiece(wc, num_merges=_WP_MERGES).orderBy("step")
+
+
+def _wp_stats_oracle(k: int = _WP_MERGES) -> str:
+    """WordPiece tokenization-stats oracle: same delimiter-count
+    reading of ``it{k}`` as `round7b._bpe_stats_oracle` (token count per
+    word = half the delimiter count; stripping delimiters recovers the
+    word), over the WordPiece merge chain. Assumes the corpus yields all
+    k merges (holds at every gate sf — `doc_wordpiece_merges` returns
+    exactly k rows)."""
+    return _wp_ctes(k) + f""",
+enc AS MATERIALIZED (SELECT replace(st, chr(31), '') AS word,
+     (len(st) - len(replace(st, chr(31), ''))) // 2 AS toks, n
+     FROM it{k})
+SELECT CASE WHEN len(word) <= 3 THEN '1-3' WHEN len(word) <= 6 THEN '4-6'
+            WHEN len(word) <= 9 THEN '7-9' ELSE '10+' END AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS distinct_words,
+       CAST(SUM(n) AS BIGINT) AS occurrences,
+       CAST(SUM(len(word) * n) AS BIGINT) AS chars,
+       CAST(SUM(toks * n) AS BIGINT) AS wp_tokens
+FROM enc GROUP BY 1 ORDER BY 1"""
+
+
+@register("doc_wordpiece_token_stats", oracle=_wp_stats_oracle())
+def doc_wordpiece_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece application: learn the 8-merge vocabulary, encode the
+    corpus with it (`text/bpe.py::apply_bpe` — the merge-application
+    fold is selection-rule-agnostic, so the BPE encoder applies the
+    WordPiece merge list unchanged), and report compression by
+    word-length bucket — the direct comparison row against
+    `doc_bpe_token_stats` on the same corpus."""
+    from backend_big_data_spark.plans.round7b import _word_counts
+    from backend_big_data_spark.text.bpe import apply_bpe, learn_wordpiece
+
+    wc = _word_counts(spark, sf_dir)
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in learn_wordpiece(wc, num_merges=_WP_MERGES)
+        .orderBy("step")
+        .collect()
+    ]
+    enc = apply_bpe(wc, merges)
+    bucket = (
+        F.when(F.length("word") <= 3, "1-3")
+        .when(F.length("word") <= 6, "4-6")
+        .when(F.length("word") <= 9, "7-9")
+        .otherwise("10+")
+    )
+    return (
+        enc.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("distinct_words"),
+            F.sum("n").alias("occurrences"),
+            F.sum(F.length("word") * F.col("n")).alias("chars"),
+            F.sum(F.size("syms") * F.col("n")).cast("long").alias("wp_tokens"),
+        )
+        .orderBy("len_bucket")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -212,3 +212,34 @@ class TestTokenJaccardTopk:
         }
         # probe 0's best: 3 (5/7 ≈ .714) beats 2 (4/6 ≈ .667) beats 1
         assert got[0] == (3, 5, 7)
+
+
+class TestSetSimSizingRule:
+    def test_blowup_raises_and_cap_passes(self, spark):
+        """A closed-vocabulary corpus (every record drawn from 4 tokens)
+        must trip a tight candidate cap with the regime named; a
+        generous cap runs to completion with brute-force-equal output."""
+        import pytest
+
+        from backend_big_data_spark.operators.setsimjoin import (
+            SetSimCandidateBlowup,
+        )
+
+        vocab = ["red", "blue", "green", "gold"]
+        rows = [
+            (i, f"{a} {b}")
+            for i, (a, b) in enumerate(
+                (a, b) for a in vocab for b in vocab if a != b
+            )
+        ]
+        df = _df(spark, rows)
+        with pytest.raises(SetSimCandidateBlowup) as ei:
+            token_jaccard_join(df, df, 1, 2, candidate_cap=10)
+        assert "closed-vocabulary" in str(ei.value)
+        got = sorted(
+            (r.left_id, r.right_id, r.inter_cnt, r.union_cnt)
+            for r in token_jaccard_join(df, df, 1, 2, candidate_cap=10_000)
+            .where("left_id < right_id")
+            .collect()
+        )
+        assert got == _brute_jaccard(rows, 1, 2)
