@@ -261,6 +261,101 @@ def token_jaccard_topk(
     )
 
 
+def token_index(df: DataFrame) -> DataFrame:
+    """FULL distinct-token inverted index of (id, s): one (id, token)
+    row per distinct token — the maintained sidecar the one-sided probe
+    (`token_jaccard_join_indexed`) joins against (the set-similarity
+    twin of `fuzzyjoin.gram_index`)."""
+    return df.select(
+        F.col("id"), F.explode(ws_tokens(F.col("s"))).alias("token")
+    )
+
+
+def token_jaccard_join_indexed(
+    probe: DataFrame,
+    master_index: DataFrame,
+    master_strings: DataFrame,
+    t_num: int = 3,
+    t_den: int = 5,
+    index_freq: DataFrame | None = None,
+) -> DataFrame:
+    """Jaccard join of ``probe`` (id, s) against a PRE-BUILT token
+    index (`token_index` rows (id, token)) plus its strings (id, s) —
+    the incremental/streaming variant: the master side is never
+    re-tokenized.
+
+    One-sided prefix filtering: Jaccard ≥ t implies overlap ≥
+    ceil(t·|probe|), and a probe prefix that excludes only
+    ceil(t·|probe|) − 1 tokens must, by pigeonhole, share a token with
+    any qualifying master set — against the master's FULL index, for
+    ANY probe-token ranking (ranking only tunes candidate volume). The
+    tiny prefix table is broadcast, so the index is scanned map-side —
+    no shuffle of the at-rest index.
+
+    ``index_freq``: a MAINTAINED (token, cnt) table whose summed counts
+    equal the index's per-token frequencies (the setsim sink's
+    ``tokfreq`` sidecar) — the probe then ranks its prefix by INDEX
+    frequency (candidate-volume-minimizing: an index-absent token can
+    never be the pigeonhole survivor, so spending prefix slots on rare
+    or absent tokens is free pruning) with no aggregate over the full
+    index. Without it, batch-local frequency ranking (self-contained).
+
+    Returns (probe_id, master_id, inter_cnt, union_cnt)."""
+    tok = token_index(probe)
+    if index_freq is not None:
+        ifreq = index_freq.groupBy("token").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+        ranked = tok.join(ifreq, "token", "left").select(
+            "id", "token", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    else:
+        freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        ranked = tok.join(freq, "token")
+    psets = ranked.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cnt", "token"))),
+            lambda p: p["token"],
+        ).alias("p_toks")
+    ).withColumn("p_sz", F.size("p_toks").cast("long"))
+    keep = F.greatest(
+        F.lit(1),
+        (F.col("p_sz") - _ceil_frac(F.col("p_sz"), t_num, t_den) + 1),
+    ).cast("int")
+    pp = psets.select(
+        F.col("id").alias("probe_id"),
+        "p_toks",
+        "p_sz",
+        F.explode(F.slice("p_toks", 1, keep)).alias("token"),
+    )
+    cand = F.broadcast(pp).join(
+        master_index.withColumnRenamed("id", "master_id"), "token"
+    )
+    ms = master_strings.select(
+        F.col("id").alias("master_id"),
+        ws_tokens(F.col("s")).alias("m_toks"),
+    ).withColumn("m_sz", F.size("m_toks").cast("long"))
+    inter = _inter_size(
+        F.col("p_toks"), F.col("m_toks"), F.col("p_sz"), F.col("m_sz")
+    )
+    return (
+        cand.select("probe_id", "master_id", "p_toks", "p_sz")
+        .join(ms, "master_id")
+        # length filter before the verify (same invariant as two-sided)
+        .where(
+            F.greatest("p_sz", "m_sz") * t_num
+            <= F.least("p_sz", "m_sz") * t_den
+        )
+        .withColumn("inter_cnt", inter)
+        .withColumn(
+            "union_cnt", F.col("p_sz") + F.col("m_sz") - F.col("inter_cnt")
+        )
+        .where(F.col("inter_cnt") * t_den >= F.col("union_cnt") * t_num)
+        .dropDuplicates(["probe_id", "master_id"])
+        .select("probe_id", "master_id", "inter_cnt", "union_cnt")
+    )
+
+
 def token_containment_join(
     probe: DataFrame,
     base: DataFrame,
@@ -307,7 +402,9 @@ def token_containment_join(
 __all__ = [
     "SetSimCandidateBlowup",
     "token_containment_join",
+    "token_index",
     "token_jaccard_join",
+    "token_jaccard_join_indexed",
     "token_jaccard_topk",
     "ws_tokens",
 ]

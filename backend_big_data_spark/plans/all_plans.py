@@ -111,10 +111,12 @@ _FRONT = [
 # (b) any r08 window spills, then (c) queries registered after this
 # window froze — part_token_best_match (plans/round8.py, linear-output
 # best-match ER via setsimjoin.token_jaccard_topk; the exact-fraction
-# 2^32-scaled ranking key) and doc_wordpiece_token_stats
-# (plans/round8.py, WordPiece corpus encoding stats — the comparison
-# row against doc_bpe_token_stats) — then (d) the oldest remaining
-# external rows — after this
+# 2^32-scaled ranking key), doc_wordpiece_token_stats (plans/round8.py,
+# WordPiece corpus encoding stats — the comparison row against
+# doc_bpe_token_stats), and part_token_jaccard_indexed (plans/round8.py,
+# the one-sided maintained-token-index probe the setsim_ingest streaming
+# sink runs per micro-batch; same brute-force oracle as the two-sided
+# form) — then (d) the oldest remaining external rows — after this
 # window certifies, the oldest blocks are the r04 TPC-H residue
 # (pricing_summary, revenue_by_region, revenue_forecast,
 # part_min_price_suppliers, dominant_part_suppliers,

@@ -423,3 +423,37 @@ def part_token_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_jaccard_topk(
         part, part, k=1, floor_num=3, floor_den=5, exclude_same_id=True
     ).orderBy("probe_id")
+
+
+@register("part_token_jaccard_indexed", oracle=_JACCARD_ORACLE)
+def part_token_jaccard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same token-set linkage task through the INCREMENTAL path
+    (`operators/setsimjoin.token_jaccard_join_indexed` — the probe's
+    rarest-token prefixes broadcast against a pre-built master token
+    index ranked by the index's own frequencies; the master is never
+    re-tokenized; this is the probe the streaming sink
+    `streaming/setsim_ingest.py` runs per micro-batch). Same brute-force
+    oracle as `part_token_jaccard_match`: both paths are
+    result-invariant blockings of the same join."""
+    from backend_big_data_spark.operators.setsimjoin import (
+        token_index,
+        token_jaccard_join_indexed,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("s"),
+    )
+    idx = token_index(part)
+    freq = idx.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        token_jaccard_join_indexed(part, idx, part, 3, 5, index_freq=freq)
+        .where(F.col("probe_id") < F.col("master_id"))
+        .select(
+            F.col("probe_id").alias("left_id"),
+            F.col("master_id").alias("right_id"),
+            "inter_cnt",
+            "union_cnt",
+        )
+        .orderBy("left_id", "right_id")
+    )

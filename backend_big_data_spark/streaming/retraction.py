@@ -260,26 +260,34 @@ def _linkage_journal_path(master_dir: str) -> str:
     return os.path.join(master_dir, "_retract_linkage_journal.json")
 
 
-def _purge_linkage_sidecars(
-    spark: SparkSession, master_dir: str, ids: list, q: int
+def _purge_index_sidecars(
+    spark: SparkSession,
+    master_dir: str,
+    ids: list,
+    index_name: str,
+    freq_name: str,
+    key_col: str,
+    rebuild,
 ) -> list[str]:
-    """Rewrite every gram/gramfreq sidecar directory still naming a
-    retracted id, from its (already rewritten) master directory —
-    UNCONDITIONAL: affected dirs are detected by probing the gram
+    """Rewrite every inverted-index/frequency sidecar directory still
+    naming a retracted id, from its (already rewritten) master directory
+    — UNCONDITIONAL: affected dirs are detected by probing the index
     sidecars for the ids themselves, never inferred from a prior step's
     return value, so the purge is idempotent and replayable after any
-    crash. Per directory the gramfreq rewrite runs FIRST: ghost (id,
-    gram) rows are the durable marker that a directory's sidecars are
-    not yet purged, so the marker must be destroyed last."""
-    from backend_big_data_spark.operators.fuzzyjoin import gram_index
+    crash. Per directory the frequency rewrite runs FIRST: ghost (id,
+    key) index rows are the durable marker that a directory's sidecars
+    are not yet purged, so the marker must be destroyed last.
 
-    grams_base = os.path.join(master_dir, "grams")
-    names = sorted(fsutil.list_subdirs(spark, grams_base, prefix="batch="))
+    ``rebuild(master_df) -> (id, key_col) index frame``; the frequency
+    sidecar is its per-``key_col`` count. Shared by the linkage master
+    (grams/gramfreq) and the setsim master (tokens/tokfreq)."""
+    index_base = os.path.join(master_dir, index_name)
+    names = sorted(fsutil.list_subdirs(spark, index_base, prefix="batch="))
     if not names or not ids:
         return []
     lits = [F.lit(i) for i in ids]
-    probe = spark.read.option("basePath", grams_base).parquet(
-        *[os.path.join(grams_base, n) for n in names]
+    probe = spark.read.option("basePath", index_base).parquet(
+        *[os.path.join(index_base, n) for n in names]
     )
     hit = sorted(
         f"batch={r['batch']}"
@@ -290,22 +298,40 @@ def _purge_linkage_sidecars(
     )
     for name in hit:
         master_path = os.path.join(master_dir, name)
-        freq_rel = os.path.join("gramfreq", name)
-        grams_rel = os.path.join("grams", name)
+        freq_rel = os.path.join(freq_name, name)
+        index_rel = os.path.join(index_name, name)
         if fsutil.exists(spark, master_path):
-            fresh = gram_index(spark.read.parquet(master_path), q=q)
+            fresh = rebuild(spark.read.parquet(master_path))
             if fsutil.exists(spark, os.path.join(master_dir, freq_rel)):
                 _journaled_replace(
                     spark,
                     master_dir,
                     freq_rel,
-                    fresh.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")),
+                    fresh.groupBy(key_col).agg(
+                        F.count(F.lit(1)).alias("cnt")
+                    ),
                 )
-            _journaled_replace(spark, master_dir, grams_rel, fresh)
+            _journaled_replace(spark, master_dir, index_rel, fresh)
         else:
             fsutil.delete(spark, os.path.join(master_dir, freq_rel))
-            fsutil.delete(spark, os.path.join(master_dir, grams_rel))
+            fsutil.delete(spark, os.path.join(master_dir, index_rel))
     return hit
+
+
+def _purge_linkage_sidecars(
+    spark: SparkSession, master_dir: str, ids: list, q: int
+) -> list[str]:
+    from backend_big_data_spark.operators.fuzzyjoin import gram_index
+
+    return _purge_index_sidecars(
+        spark,
+        master_dir,
+        ids,
+        index_name="grams",
+        freq_name="gramfreq",
+        key_col="gram",
+        rebuild=lambda df: gram_index(df, q=q),
+    )
 
 
 def _purge_linkage_links(spark: SparkSession, master_dir: str, ids: list) -> int:
@@ -375,12 +401,81 @@ def retract_from_linkage_master(
     return out
 
 
+def _setsim_journal_path(master_dir: str) -> str:
+    return os.path.join(master_dir, "_retract_setsim_journal.json")
+
+
+def _purge_setsim_sidecars(
+    spark: SparkSession, master_dir: str, ids: list
+) -> list[str]:
+    from backend_big_data_spark.operators.setsimjoin import token_index
+
+    return _purge_index_sidecars(
+        spark,
+        master_dir,
+        ids,
+        index_name="tokens",
+        freq_name="tokfreq",
+        key_col="token",
+        rebuild=token_index,
+    )
+
+
+def recover_setsim_retraction(spark: SparkSession, master_dir: str) -> None:
+    """Roll a crashed `retract_from_setsim_master` forward (idempotent;
+    called on entry) — the setsim twin of
+    :func:`recover_linkage_retraction`: the journal records the erasure
+    request before any mutation and clears only after the token-sidecar
+    and link purges complete (the token index reconstructs the erased
+    record's word set, so its purge is part of the erasure
+    guarantee)."""
+    raw = fsutil.read_text(spark, _setsim_journal_path(master_dir))
+    if raw is None:
+        return
+    meta = json.loads(raw)
+    retract_ids(
+        spark, master_dir, meta["ids"], id_col="id", drop_band_sidecar=False
+    )
+    _purge_setsim_sidecars(spark, master_dir, meta["ids"])
+    _purge_linkage_links(spark, master_dir, meta["ids"])
+    fsutil.delete(spark, _setsim_journal_path(master_dir), recursive=False)
+
+
+def retract_from_setsim_master(
+    spark: SparkSession, master_dir: str, ids: list
+) -> dict:
+    """Erase entities from a set-similarity linkage master
+    (`streaming/setsim_ingest.py` layout): journaled row removal, every
+    token-index and token-frequency sidecar directory still naming an
+    erased id REWRITTEN from its surviving master rows, and link rows
+    naming the erased master ids purged — the same erasure journal
+    protocol as :func:`retract_from_linkage_master` (see its docstring
+    for the crash-window argument)."""
+    recover_setsim_retraction(spark, master_dir)
+    fsutil.write_text_atomic(
+        spark,
+        _setsim_journal_path(master_dir),
+        json.dumps({"ids": list(ids)}),
+    )
+    out = retract_ids(
+        spark, master_dir, ids, id_col="id", drop_band_sidecar=False
+    )
+    out["token_dirs_rewritten"] = _purge_setsim_sidecars(
+        spark, master_dir, ids
+    )
+    out["link_rows_removed"] = _purge_linkage_links(spark, master_dir, ids)
+    fsutil.delete(spark, _setsim_journal_path(master_dir), recursive=False)
+    return out
+
+
 __all__ = [
     "recover_linkage_retraction",
     "recover_retraction",
+    "recover_setsim_retraction",
     "retract_from_embedding_corpus",
     "retract_from_image_corpus",
     "retract_from_ingest_corpus",
     "retract_from_linkage_master",
+    "retract_from_setsim_master",
     "retract_ids",
 ]
