@@ -122,6 +122,48 @@ def main() -> None:
         )
         df.unpersist()
 
+    # streaming-sink probe regime: a FIXED small arriving batch against
+    # a master grown 1x/4x/16x, index + tokfreq at rest in parquet (the
+    # setsim_ingest sink's real state) — the per-batch-cost claim: the
+    # probe's wall should track the batch, not the master (broadcast
+    # prefix, map-side index scan, candidate-bounded verify).
+    import shutil
+    import tempfile
+
+    from backend_big_data_spark.operators.setsimjoin import (
+        token_index,
+        token_jaccard_join_indexed,
+    )
+
+    work = tempfile.mkdtemp(prefix="scale_setsim_")
+    batch = replicate_disjoint(base, 1).limit(500).cache()
+    batch.count()
+    for factor in FACTORS:
+        master = replicate_disjoint(base, factor).cache()
+        nm = master.count()
+        ip, fp = f"{work}/idx_{factor}", f"{work}/freq_{factor}"
+        token_index(master).write.mode("overwrite").parquet(ip)
+        spark.read.parquet(ip).groupBy("token").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).write.mode("overwrite").parquet(fp)
+        out = token_jaccard_join_indexed(
+            batch,
+            spark.read.parquet(ip),
+            master,
+            3,
+            5,
+            index_freq=spark.read.parquet(fp),
+        )
+        pairs = out.count()
+        wall = timed(lambda: out.count())
+        print(
+            f"setsim_probe[maintained] factor={factor:>2} master={nm:>7} "
+            f"pairs={pairs:>7} wall={wall:6.2f}s"
+        )
+        master.unpersist()
+    batch.unpersist()
+    shutil.rmtree(work, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
