@@ -238,3 +238,47 @@ def test_cdc_chunks_resynchronize_property(spark, tmp_path_factory, n_tokens, in
     out = QUERIES["doc_cdc_chunk_dups"](spark, d).collect()[0]
     assert out.dup_chunk_tokens >= expect_dup
     assert out.total_tokens == 2 * n_tokens + 1
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["red", "blue", "gold", "plum", "teal", "gray", "the", "x"]
+            ),
+            min_size=0,
+            max_size=6,
+        ).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    t=st.sampled_from([(1, 2), (3, 5), (2, 3)]),
+)
+@_settings
+def test_token_jaccard_join_equals_brute_force(spark, texts, t):
+    """Property form of the set-sim result-invariance claim: on random
+    small-vocab corpora (heavy skew, empty strings, duplicate tokens)
+    the prefix-filtered join equals brute-force Jaccard at every
+    threshold — blocking must never change the answer."""
+    from backend_big_data_spark.operators.setsimjoin import (
+        token_jaccard_join,
+    )
+
+    t_num, t_den = t
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = sorted(
+        (r.left_id, r.right_id, r.inter_cnt, r.union_cnt)
+        for r in token_jaccard_join(df, df, t_num, t_den)
+        .where("left_id < right_id")
+        .collect()
+    )
+    want = []
+    for (i, a), (j, b) in __import__("itertools").combinations(rows, 2):
+        ta, tb = set(a.split()) - {""}, set(b.split()) - {""}
+        if not ta or not tb:
+            continue
+        inter, union = len(ta & tb), len(ta | tb)
+        if inter * t_den >= union * t_num:
+            want.append((i, j, inter, union))
+    assert got == sorted(want)
