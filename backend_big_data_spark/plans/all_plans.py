@@ -42,93 +42,85 @@ from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 #: Names pinned to the front of the registry, in order. Everything not named
 #: here follows in its original registration order.
 #:
-#: Round-8 window (executing the round-7 rotation note exactly): lead with
-#: (a) the 13 round-7 post-window registrations — their first driver rows
-#: (fuzzy-join pair, PageRank, communities + modularity, BPE pair, unigram
-#: pair, fertility eval, maintained-IVF probe, audio/video near-dup twins),
-#: then (b) round-8's own registrations (each new query this round gets a
-#: same-round driver slot reserved up front, per the r07 rotation advice),
-#: then (c) the 18-query r03-stale block (newest external row was r03),
-#: then (d) the r04 photo block in the remaining slots — 50 slots total.
+#: From round 9 on, the window is GENERATED, not hand-maintained:
+#: ``python tools/gen_query_index.py --rotation 50`` reads every
+#: CORRECTNESS_r*.json, computes each query's newest fully-green external
+#: driver row, and emits never-checked queries first (registration order)
+#: then everything else oldest-row-first. The round-9 window below is that
+#: output with two adjustments the tool can't know: (a) queries whose
+#: implementing files DRIFTED this round are promoted (the setsim pair —
+#: `operators/setsimjoin.py` was rewritten to distribute the token-id
+#: assignment, so their r08 rows certify the old code), and (b) queries
+#: REGISTERED this round get same-round slots appended up front.
 _FRONT = [
-    # -- (a) round-7 post-window registrations (first driver rows) ----------
-    "part_fuzzy_match",
-    "part_fuzzy_match_indexed",
-    "supplier_pagerank",
-    "supplier_communities",
-    "community_modularity",
-    "doc_bpe_merges",
-    "doc_bpe_token_stats",
-    "doc_unigram_vocab",
-    "doc_unigram_token_stats",
-    "tokenizer_fertility_eval",
-    "ann_ivf_maintained_topk",
-    "audio_near_dup_pairs",
-    "video_near_dup_pairs",
-    # -- (b) round-8 registrations (same-round driver slots) ----------------
+    # -- (a) round-8 post-window registrations (first driver rows) ----------
+    "doc_wordpiece_token_stats",
+    "part_token_best_match",
+    "part_token_jaccard_indexed",
+    # -- (b) round-9 drift: operators/setsimjoin.py rewritten ----------------
     "part_token_jaccard_match",
     "part_token_containment_match",
-    "doc_wordpiece_merges",
-    "doc_kn_bigram_model",
-    "doc_kn_perplexity",
-    # -- (c) the r03-stale block (newest external row was r03) --------------
-    "brand_sizes_except_all",
-    "brand_sizes_intersect_all",
-    "doc_chunks",
-    "doc_deterministic_shuffle_head",
-    "doc_hash_sample_10pct",
-    "doc_split_counts",
-    "events_daily_pivot",
-    "events_hourly_by_type",
-    "events_minmax_scaled",
-    "events_search_page",
-    "events_user_count_sketch",
-    "nation_actor_counts_outer",
-    "order_value_quantiles",
-    "orders_cube",
-    "orders_trailing_revenue",
-    "priority_measures_unpivot",
-    "priority_status_sets",
-    "supplier_revenue_by_nation",
-    # -- (d) the r04 photo block (photo files unchanged since d4) -----------
-    "photo_count_by_year",
-    "photo_count_by_hour_taken",
-    "photo_accuracy_distribution",
-    "photo_pro_distribution",
-    "photo_pro_distribution_users",
-    "photo_top_tags",
-    "photo_engagement_by_year",
-    "photo_time_to_post",
-    "photo_views_quartiles",
-    "photo_first_post_cohorts",
-    "photo_top_owners",
-    "photo_owner_profiles",
-    "photo_brand_top_models",
-    "photo_search",
+    # -- (c) round-9 registrations (same-round driver slots; uncommented as
+    #        each lands — _reorder() asserts every _FRONT name is registered)
+    # "part_token_best_match_stream",
+    # "doc_kn3_trigram_model",
+    # "doc_kn3_perplexity",
+    # -- (d) generated: oldest external rows first (r04 block, then r05) ----
+    "pricing_summary",
+    "revenue_by_region",
+    "revenue_forecast",
+    "part_min_price_suppliers",
+    "dominant_part_suppliers",
+    "customer_spend_deciles",
+    "ann_ivf_topk",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_sq8_topk",
+    "ann_ivf_sq8_topk",
+    "embedding_random_projection",
+    "doc_repetition_mix",
+    "q4_order_priority",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q16_parts_supplier_counts",
+    "q22_sales_opportunity",
+    "kmeans_embedding_clusters",
+    "doc_token_itemsets",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q12_shipping_tiers",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "doc_segment_dedup",
+    "doc_blocklist_filter",
+    "doc_snapshot_diff",
+    "events_funnel_conversion",
+    "doc_corpus_dedup_best",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "doc_prefix_join_pairs",
+    "doc_cleaning_pipeline_funnel",
+    "doc_dsir_weights",
+    "doc_pii_redacted",
+    "doc_bigram_perplexity",
+    "doc_unimax_mix",
+    "embedding_hard_negatives",
+    "doc_dsir_resampled",
+    "doc_bm25_search",
+    "doc_hybrid_search",
+    "doc_similar_to_query",
+    "embedding_training_triplets",
+    "doc_removal_audit",
+    "events_retention_cohorts",
+    "customer_rfm_segments",
+    "events_stickiness_daily",
 ]
-# Round-9 rotation note: lead the next _FRONT with (a) queries whose
-# implementing files drift in round 8 after this window freezes, then
-# (b) any r08 window spills, then (c) queries registered after this
-# window froze — part_token_best_match (plans/round8.py, linear-output
-# best-match ER via setsimjoin.token_jaccard_topk; the exact-fraction
-# 2^32-scaled ranking key), doc_wordpiece_token_stats (plans/round8.py,
-# WordPiece corpus encoding stats — the comparison row against
-# doc_bpe_token_stats), and part_token_jaccard_indexed (plans/round8.py,
-# the one-sided maintained-token-index probe the setsim_ingest streaming
-# sink runs per micro-batch; same brute-force oracle as the two-sided
-# form) — then (d) the oldest remaining external rows — after this
-# window certifies, the oldest blocks are the r04 TPC-H residue
-# (pricing_summary, revenue_by_region, revenue_forecast,
-# part_min_price_suppliers, dominant_part_suppliers,
-# customer_spend_deciles, q4/q8/q13/q16/q22) and the r04 dedup family
-# (doc_exact_dedup, doc_ngram_jaccard_pairs, doc_ngram_jaccard_capped,
-# doc_minhash_lsh_pairs, doc_simhash, doc_winnowing,
-# doc_lsh_verified_dedup, doc_contamination, doc_corpus_deduped,
-# doc_dup_clusters, doc_corpus_deduped_cc, doc_incremental_dedup,
-# doc_incremental_dedup_full, doc_contamination_bloom, doc_token_itemsets,
-# ann_* r04 rows, events_user_sessions, events_daily_gapfilled,
-# embedding_random_projection, doc_repetition_mix,
-# kmeans_embedding_clusters) — fill 50 slots oldest-first.
+# Round-10 rotation note: regenerate with
+# ``python tools/gen_query_index.py --rotation 50`` once CORRECTNESS_r09
+# lands; promote any queries whose implementing files drift in round 9
+# after this window freezes, and append round-10 registrations up front.
+# The tool's QUERIES.md now carries a per-query "newest row / age" column
+# so staleness is auditable without reading the JSON files.
 
 
 def _reorder() -> None:
