@@ -179,8 +179,12 @@ def edit_distance_join(
         )
         bound = int(bound_row["b"])
         if bound > candidate_cap:
+            min_len = (
+                tagged.agg(F.min(F.length("s"))).first()[0]
+                if escalate_q_to is not None
+                else None
+            )
             if escalate_q_to is not None and q < escalate_q_to:
-                min_len = tagged.agg(F.min(F.length("s"))).first()[0]
                 if min_len is not None and min_len >= q + 1:
                     return edit_distance_join(
                         left,
@@ -195,8 +199,7 @@ def edit_distance_join(
                 f"bound {bound} exceeds candidate_cap={candidate_cap}"
                 + (
                     f" and q cannot escalate past {q} (escalate_q_to="
-                    f"{escalate_q_to}, min string length "
-                    f"{tagged.agg(F.min(F.length('s'))).first()[0]})"
+                    f"{escalate_q_to}, min string length {min_len})"
                     if escalate_q_to is not None
                     else " (no escalate_q_to given)"
                 )

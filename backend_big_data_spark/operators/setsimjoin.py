@@ -17,12 +17,15 @@ Why it scales — no all-pairs stage, and every filter is algebraic:
    order (count ASC, token ASC) — rarest first, so hot "stopword"
    tokens are never join keys (the same skew-robustness argument as the
    fuzzy join's gram prefix). The order is then DENSIFIED to integer
-   token ids (`row_number` over the vocabulary — injective, so integer
-   arrays carry the exact set semantics), because the verify below
-   runs tens of candidate intersections per emitted pair and long
-   comparisons beat string hashing ~2× end-to-end (measured at sf0.1:
-   97 s → 50 s from int coding alone). The id assignment is a
-   VOCABULARY-sized sort, not a corpus operation.
+   token ids (injective, so integer arrays carry the exact set
+   semantics), because the verify below runs tens of candidate
+   intersections per emitted pair and long comparisons beat string
+   hashing ~2× end-to-end (measured at sf0.1: 97 s → 50 s from int
+   coding alone). The id assignment is a VOCABULARY-sized DISTRIBUTED
+   ranking (`_dense_ids`: range-partition on the sort key, rank within
+   partitions, add prefix-summed partition offsets) — never a global
+   single-partition window, which would cap the operator at whatever
+   vocabulary one task can sort (the 10⁸–10⁹-token web-corpus regime).
 2. Jaccard ≥ t implies overlap ≥ ceil(t·|x|) on EACH side (since the
    union is at least either set), so a set only exposes its
    |x| − ceil(t·|x|) + 1 rarest tokens; two qualifying sets must share
@@ -87,24 +90,66 @@ def _ceil_frac(x: Column, num: int, den: int) -> Column:
     )
 
 
+def _dense_ids(freq: DataFrame) -> DataFrame:
+    """(token, tid): ids dense in (cnt ASC, token ASC) order — rank 1 is
+    the rarest token — assigned WITHOUT a global single-partition sort.
+
+    The naive ``row_number().over(Window.orderBy(...))`` moves the whole
+    vocabulary through ONE task (Spark's "No Partition Defined" hazard):
+    fine for part names, a hard ceiling for token-set ER over web text
+    where the vocabulary is 10⁸–10⁹ tokens. Instead, the classic
+    distributed dense-ranking shape:
+
+    1. ``repartitionByRange(cnt, token)`` range-partitions the vocabulary
+       on the sort key — partition p's keys all precede partition p+1's,
+       and the range partitioner balances ROW COUNTS via sampling, so the
+       hapax bucket (typically half the vocabulary, all cnt=1) spreads
+       over many partitions instead of landing on one.
+    2. ``localCheckpoint(eager=True)`` pins the partitioning so the two
+       reads below (sizes, ranks) cannot re-sample different bounds —
+       and materializes the (vocabulary-sized, not corpus-sized) frame so
+       the offsets job doesn't re-tokenize the corpus.
+    3. Per-partition row counts — ONE row per shuffle partition, bounded
+       by cluster config, not by data — prefix-sum on the driver into
+       partition offsets (the same bounded-collect class as the sizing
+       rule's ``.first()``).
+    4. ``row_number`` PARTITIONED by partition id + broadcast offset =
+       the global rank, each partition sorting only its own range.
+
+    Ids only need to be order-faithful and injective for the prefix
+    filter, and this assignment equals the old global ranking exactly
+    (asserted in tests/test_setsimjoin.py::TestDenseIds)."""
+    part = freq.repartitionByRange(
+        F.col("cnt"), F.col("token")
+    ).localCheckpoint(eager=True)
+    tagged = part.withColumn("pid", F.spark_partition_id())
+    sizes = tagged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    offsets, acc = [], 0
+    for row in sorted(sizes, key=lambda r: r["pid"]):
+        offsets.append((row["pid"], acc))
+        acc += row["n"]
+    off = freq.sparkSession.createDataFrame(offsets, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("cnt", "token")
+    return (
+        tagged.withColumn("lr", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(off), "pid")
+        .select("token", (F.col("off") + F.col("lr")).alias("tid"))
+    )
+
+
 def _ranked_sets(tagged: DataFrame) -> DataFrame:
     """(side, id, toks array<long>, sz): token-id arrays ascending in
     the global (count ASC, token ASC) rarity order shared by both sides
     — ascending id IS rarest-first, so the prefix is a ``slice``. One
     token scan feeds the frequency table; the id assignment
-    (``row_number`` over the vocabulary) is injective, so integer-array
-    intersections equal token-set intersections exactly."""
+    (`_dense_ids` — distributed, no single-partition vocabulary sort) is
+    injective, so integer-array intersections equal token-set
+    intersections exactly."""
     tok = tagged.select(
         "side", "id", F.explode(ws_tokens(F.col("s"))).alias("token")
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    coded = freq.select(
-        "token",
-        F.row_number()
-        .over(Window.orderBy("cnt", "token"))
-        .cast("long")
-        .alias("tid"),
-    )
+    coded = _dense_ids(freq)
     return (
         tok.join(coded, "token")
         .groupBy("side", "id")
@@ -159,15 +204,14 @@ def token_jaccard_join(
     the join raises :class:`SetSimCandidateBlowup` naming the
     closed-vocabulary regime instead of silently running quadratic."""
     sets = _ranked_sets(_tag(left, right)).filter(F.col("sz") > 0)
+    if candidate_cap is not None:
+        sets = sets.localCheckpoint(eager=True)  # one scan feeds bound + join
     keep = F.greatest(
         F.lit(1), (F.col("sz") - _ceil_frac(F.col("sz"), t_num, t_den) + 1)
     ).cast("int")
     lp = _prefix(sets.filter(F.col("side") == "l"), keep)
     rp = _prefix(sets.filter(F.col("side") == "r"), keep)
     if candidate_cap is not None:
-        sets = sets.localCheckpoint(eager=True)  # one scan feeds bound + join
-        lp = _prefix(sets.filter(F.col("side") == "l"), keep)
-        rp = _prefix(sets.filter(F.col("side") == "r"), keep)
         bound_row = (
             lp.groupBy("tid")
             .agg(F.count(F.lit(1)).alias("nl"))
@@ -217,6 +261,36 @@ def token_jaccard_join(
     )
 
 
+def _topk_rank_key() -> Column:
+    """The top-k ranking key over (inter_cnt, union_cnt): floor(inter ·
+    2^32 / union), guarded — a union at or above 2^16 tokens RAISES at
+    execution (``raise_error`` inside the expression: no driver-side
+    pre-scan job, no silent match loss) because the key is only
+    collision-free below 2^16 (see `token_jaccard_topk`)."""
+    return (
+        F.when(
+            F.col("union_cnt") < F.lit(1 << 16),
+            F.floor(
+                (F.col("inter_cnt") * F.lit(1 << 32)) / F.col("union_cnt")
+            ),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("token_jaccard_topk: pair with union of "),
+                    F.col("union_cnt"),
+                    F.lit(
+                        " tokens (>= 65536) — the exact-fraction ranking"
+                        " key is only collision-free below 2^16; split"
+                        " oversized sets or use token_jaccard_join"
+                    ),
+                )
+            )
+        )
+        .cast("long")
+    )
+
+
 def token_jaccard_topk(
     probe: DataFrame,
     base: DataFrame,
@@ -234,21 +308,20 @@ def token_jaccard_topk(
     Ranking is EXACT fraction order without floats: the sort key
     floor(inter·2^32 / union) is order-faithful because two distinct
     Jaccards with unions < 2^16 differ by more than 2^-32 (|i1/u1 −
-    i2/u2| ≥ 1/(u1·u2)), so their scaled floors cannot collide —
-    sets are asserted < 65536 tokens. Ties break on base id ASC.
-    Returns (probe_id, base_id, rank, inter_cnt, union_cnt)."""
+    i2/u2| ≥ 1/(u1·u2)), so their scaled floors cannot collide. A pair
+    whose union reaches 2^16 tokens RAISES (``raise_error`` inside the
+    key expression — no driver-side pre-scan job, and no silent match
+    loss): split oversized sets or use `token_jaccard_join`. Ties break
+    on base id ASC. Returns (probe_id, base_id, rank, inter_cnt,
+    union_cnt)."""
     pairs = token_jaccard_join(probe, base, floor_num, floor_den)
     if exclude_same_id:
         pairs = pairs.where(F.col("left_id") != F.col("right_id"))
-    key = F.floor(
-        (F.col("inter_cnt") * F.lit(1 << 32)) / F.col("union_cnt")
-    ).cast("long")
     w = Window.partitionBy("left_id").orderBy(
         F.desc("__key"), F.asc("right_id")
     )
     return (
-        pairs.where(F.col("union_cnt") < F.lit(1 << 16))
-        .withColumn("__key", key)
+        pairs.withColumn("__key", _topk_rank_key())
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select(
@@ -281,8 +354,14 @@ def token_jaccard_join_indexed(
 ) -> DataFrame:
     """Jaccard join of ``probe`` (id, s) against a PRE-BUILT token
     index (`token_index` rows (id, token)) plus its strings (id, s) —
-    the incremental/streaming variant: the master side is never
-    re-tokenized.
+    the incremental/streaming variant. The maintained index serves
+    CANDIDATE GENERATION (the expensive, shuffle-bearing stage: no
+    per-probe re-tokenize/re-rank of the master to find who to compare);
+    the exact VERIFY then re-derives the candidate masters' token arrays
+    from ``master_strings`` in one map-side pass (tokenize is per-row
+    codegen; the join keys on master_id and AQE broadcasts whichever
+    side is small, so the at-rest master is scanned, not shuffled, in
+    the common batch≪master regime).
 
     One-sided prefix filtering: Jaccard ≥ t implies overlap ≥
     ceil(t·|probe|), and a probe prefix that excludes only
@@ -361,6 +440,7 @@ def token_containment_join(
     base: DataFrame,
     t_num: int = 4,
     t_den: int = 5,
+    candidate_cap: int | None = None,
 ) -> DataFrame:
     """All (probe.id, base.id) pairs with |probe ∩ base| ≥ t·|probe|
     (asymmetric containment — the probe's tokens are mostly inside the
@@ -368,8 +448,17 @@ def token_containment_join(
     base_id, inter_cnt, probe_sz).
 
     Only the probe side prefix-filters; the base side joins through its
-    full token table (complete by pigeonhole — see module docstring)."""
+    full token table (complete by pigeonhole — see module docstring).
+
+    ``candidate_cap`` arms the sizing rule: the exact pre-verify
+    fan-out Σ_token n_prefix·n_base is computed from the probe prefix
+    and base token tables before the equi-join; above the cap the join
+    raises :class:`SetSimCandidateBlowup` instead of silently running
+    quadratic (the containment bound is naturally larger than the
+    Jaccard form's — the base side exposes ALL its tokens)."""
     sets = _ranked_sets(_tag(probe, base))
+    if candidate_cap is not None:
+        sets = sets.localCheckpoint(eager=True)  # one scan: bound + join
     ps = sets.filter((F.col("side") == "l") & (F.col("sz") > 0))
     bs = sets.filter((F.col("side") == "r") & (F.col("sz") > 0))
     keep = F.greatest(
@@ -387,6 +476,25 @@ def token_containment_join(
         F.col("sz").alias("b_sz"),
         F.explode("toks").alias("tid"),
     )
+    if candidate_cap is not None:
+        bound_row = (
+            pp.groupBy("tid")
+            .agg(F.count(F.lit(1)).alias("np"))
+            .join(bt.groupBy("tid").agg(F.count(F.lit(1)).alias("nb")), "tid")
+            .agg(
+                F.coalesce(F.sum(F.col("np") * F.col("nb")), F.lit(0)).alias(
+                    "b"
+                )
+            )
+            .first()
+        )
+        bound = int(bound_row["b"])
+        if bound > candidate_cap:
+            raise SetSimCandidateBlowup(
+                f"closed-vocabulary token regime: containment candidate "
+                f"bound {bound} exceeds candidate_cap={candidate_cap}; "
+                f"raise the threshold or block on a coarser key first"
+            )
     inter = _inter_size(
         F.col("p_toks"), F.col("b_toks"), F.col("probe_sz"), F.col("b_sz")
     )

@@ -36,6 +36,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round7c,
     round7d,
     round8,
+    round9,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -62,9 +63,9 @@ _FRONT = [
     "part_token_containment_match",
     # -- (c) round-9 registrations (same-round driver slots; uncommented as
     #        each lands — _reorder() asserts every _FRONT name is registered)
-    # "part_token_best_match_stream",
-    # "doc_kn3_trigram_model",
-    # "doc_kn3_perplexity",
+    "part_token_best_match_stream",
+    "doc_kn3_trigram_model",
+    "doc_kn3_perplexity",
     # -- (d) generated: oldest external rows first (r04 block, then r05) ----
     "pricing_summary",
     "revenue_by_region",

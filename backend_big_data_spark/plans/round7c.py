@@ -32,6 +32,14 @@ from backend_big_data_spark.sources.catalog import load_table
 
 _FUZZY_K = 2
 
+#: Sizing-rule cap ARMED in the registered two-sided fuzzy join — ~4× the
+#: measured sf0.1 prefix candidate bound (50.8M; sf0.01 is 508k), so every
+#: gate scale passes while a shared-vocabulary adversarial corpus refuses
+#: BEFORE the candidate join runs. (The indexed twin probes a maintained
+#: one-sided index — its production caller is the streaming sink, whose
+#: per-batch probe is batch-sized by construction.)
+FUZZY_CANDIDATE_CAP = 200_000_000
+
 _FUZZY_ORACLE = """
 WITH e AS (
   SELECT p_partkey AS id, p_name || '|' || p_brand || '|' || p_type AS ent
@@ -86,13 +94,21 @@ def part_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the master part table at edit distance ≤ 2 via the Ed-Join
     prefix-filter plan (`operators/fuzzyjoin.edit_distance_join` — q-gram
     explode, global rarity order, k·q+1-rarest-gram candidate join,
-    exact levenshtein verify; no all-pairs stage anywhere)."""
+    exact levenshtein verify; no all-pairs stage anywhere). The
+    registered form ARMS the sizing rule (`FUZZY_CANDIDATE_CAP` — ~4×
+    the measured 50.8M sf0.1 prefix bound): a corpus whose candidate
+    bound leaves the gate regime refuses with
+    `FuzzyJoinCandidateBlowup` instead of running quadratic
+    (tests/test_fuzzyjoin.py::TestRegisteredCapRefusesAdversarial)."""
     from backend_big_data_spark.operators.fuzzyjoin import edit_distance_join
 
     clean = _entities(spark, sf_dir)
     dirty = _corrupt(clean)
     return (
-        edit_distance_join(dirty, clean, max_dist=_FUZZY_K, q=3)
+        edit_distance_join(
+            dirty, clean, max_dist=_FUZZY_K, q=3,
+            candidate_cap=FUZZY_CANDIDATE_CAP,
+        )
         .select(
             F.col("left_id").alias("dirty_id"),
             F.col("right_id").alias("clean_id"),

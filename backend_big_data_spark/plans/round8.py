@@ -45,6 +45,18 @@ _TOKS = (
     " x -> x <> ''))"
 )
 
+#: Sizing-rule caps ARMED in the registered all-pairs linkage queries —
+#: the production discipline demonstrated, not just documented: the exact
+#: prefix candidate bound is computed BEFORE the join and the query
+#: refuses (SetSimCandidateBlowup) rather than run quadratic. Values are
+#: ~4× the measured sf0.1 bounds (Jaccard 52.1M, containment 16.0M — the
+#: fixed-vocabulary synthetic corpus grows its bound ~quadratically in
+#: sf), so every gate scale passes while the closed-vocabulary
+#: adversarial corpus trips (tests/test_setsimjoin.py::
+#: TestRegisteredCapsRefuseAdversarial).
+JACCARD_CANDIDATE_CAP = 200_000_000
+CONTAINMENT_CANDIDATE_CAP = 64_000_000
+
 _JACCARD_ORACLE = f"""
 WITH t AS (
   SELECT CAST(p_partkey AS BIGINT) AS id, {_TOKS} AS toks FROM part
@@ -80,7 +92,9 @@ def part_token_jaccard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically (every engine would emit the same pairs); production
     ER runs this as its candidate-pair stage and feeds a cluster/argmax
     winner step (`doc_corpus_dedup_best`'s shape) rather than
-    materializing all pairs."""
+    materializing all pairs — and the registered form ARMS the sizing
+    rule (`JACCARD_CANDIDATE_CAP`), so a corpus whose candidate bound
+    leaves the gate regime refuses instead of running quadratic."""
     from backend_big_data_spark.operators.setsimjoin import token_jaccard_join
 
     part = load_table(spark, sf_dir, "part").select(
@@ -88,7 +102,10 @@ def part_token_jaccard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("s"),
     )
     return (
-        token_jaccard_join(part, part, t_num=3, t_den=5)
+        token_jaccard_join(
+            part, part, t_num=3, t_den=5,
+            candidate_cap=JACCARD_CANDIDATE_CAP,
+        )
         .where(F.col("left_id") < F.col("right_id"))
         .orderBy("left_id", "right_id")
     )
@@ -116,7 +133,8 @@ def part_token_containment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/setsimjoin.token_containment_join` — probe-side prefix
     filter only, base joins through its full token table; complete by
     pigeonhole). The "my record is mostly inside yours" direction that
-    Jaccard's symmetric union denominator misses."""
+    Jaccard's symmetric union denominator misses. The registered form
+    ARMS the sizing rule (`CONTAINMENT_CANDIDATE_CAP`)."""
     from backend_big_data_spark.operators.setsimjoin import (
         token_containment_join,
     )
@@ -126,7 +144,10 @@ def part_token_containment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("s"),
     )
     return (
-        token_containment_join(part, part, t_num=4, t_den=5)
+        token_containment_join(
+            part, part, t_num=4, t_den=5,
+            candidate_cap=CONTAINMENT_CANDIDATE_CAP,
+        )
         .where(F.col("probe_id") != F.col("base_id"))
         .orderBy("probe_id", "base_id")
     )

@@ -1,0 +1,236 @@
+"""Round-9 additions: streaming best-match entity resolution and
+Kneser-Ney trigram LM.
+
+- `streaming/setsim_ingest.py` gained ``link_mode="topk"`` — the
+  production ER link contract (each batch record emits its k best
+  master matches deterministically, ≤ |batch|·k rows per batch no
+  matter how much duplicate mass the master holds). The registered
+  query drives the SINK itself — masters admitted from one feed, a
+  probe batch linked in top-k mode — against a pure-SQL twin of the
+  whole admit→link pipeline.
+- `text/kneser_ney.py` gained the trigram order with recursive
+  lower-order interpolation (the standard pipeline readout); same
+  exact-BIGINT-fraction discipline as the bigram model (D = 3/4 at
+  every order), so the model table and the perplexity readout hash
+  exactly against DuckDB.
+
+Reference scope note: the reference engine (CiccioRomeo/backend-big-data)
+has none of these; they belong to the additive training-data-pipeline
+capability set.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.plans.registry import register
+from backend_big_data_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# streaming best-match (top-k) entity resolution
+# ---------------------------------------------------------------------------
+
+_REC = "p_name || ' ' || p_brand || ' ' || p_type"
+_TOKS_OF = (
+    "list_distinct(list_filter(string_split_regex({col}, '\\s+'),"
+    " x -> x <> ''))"
+)
+
+_STREAM_BEST_ORACLE = f"""
+WITH raw AS (
+  SELECT CAST(p_partkey AS BIGINT) AS id, {_REC} AS s FROM part
+), m0 AS (  -- batch-0 admission: empty master, exact dups resolve to min id
+  SELECT min(id) AS id, s FROM raw WHERE id % 2 = 0 GROUP BY s
+), ms AS (
+  SELECT id, toks, len(toks) AS sz
+  FROM (SELECT id, {_TOKS_OF.format(col='s')} AS toks FROM m0)
+  WHERE len(toks) > 0
+), ps AS (
+  SELECT id, toks, len(toks) AS sz
+  FROM (
+    SELECT id, {_TOKS_OF.format(col='s')} AS toks
+    FROM raw WHERE id % 2 = 1
+  )
+  WHERE len(toks) > 0
+), p AS (
+  SELECT a.id AS dirty_id, b.id AS master_id,
+         CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_cnt,
+         CAST(a.sz + b.sz - len(list_intersect(a.toks, b.toks)) AS BIGINT)
+           AS union_cnt
+  FROM ps a JOIN ms b ON TRUE
+  WHERE len(list_intersect(a.toks, b.toks)) * 5
+        >= (a.sz + b.sz - len(list_intersect(a.toks, b.toks))) * 3
+), r AS (
+  SELECT dirty_id, master_id, inter_cnt, union_cnt,
+         CAST(row_number() OVER (
+           PARTITION BY dirty_id
+           ORDER BY (inter_cnt * 4294967296) // union_cnt DESC, master_id
+         ) AS INTEGER) AS rank
+  FROM p
+)
+SELECT dirty_id, master_id, rank, inter_cnt, union_cnt
+FROM r WHERE rank <= 1 ORDER BY dirty_id, master_id
+"""
+
+
+@register("part_token_best_match_stream", oracle=_STREAM_BEST_ORACLE)
+def part_token_best_match_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming best-match entity resolution, end to end through the
+    SINK (`streaming/setsim_ingest.setsim_ingest_sink` with
+    ``link_mode="topk"``): batch 0 admits the even-partkey records as
+    master entities (exact dups resolve to the min id — the sink's
+    admission rule), batch 1 links every odd-partkey record to its
+    single best master at Jaccard ≥ 3/5 via the maintained token index
+    + tokfreq sidecar, emitting the deterministic winner (exact-fraction
+    2^32-scaled key, master-id tie-break — the
+    `setsimjoin.token_jaccard_topk` contract at |batch|·k output). The
+    oracle is a pure-SQL twin of the whole admit→link pipeline, so the
+    gate certifies the SINK semantics, not just the operator's.
+
+    The sink runs against a throwaway master dir (per-invocation temp
+    path; content — and therefore the result hash — is
+    path-independent)."""
+    from backend_big_data_spark.streaming.setsim_ingest import (
+        setsim_ingest_sink,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("s"),
+    )
+    mdir = tempfile.mkdtemp(prefix="setsim_topk_stream_")
+    sink = setsim_ingest_sink(mdir, t_num=3, t_den=5, link_mode="topk", k=1)
+    sink(part.where(F.col("id") % 2 == 0), 0)
+    sink(part.where(F.col("id") % 2 == 1), 1)
+    return spark.read.parquet(os.path.join(mdir, "links", "batch=1")).orderBy(
+        "dirty_id", "master_id"
+    )
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser-Ney trigram LM (recursive lower-order interpolation)
+# ---------------------------------------------------------------------------
+
+_KN3_CTES = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{2,}') AS t
+  FROM documents
+), occ0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> {'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]})) AS s
+  FROM toks WHERE len(t) >= 3
+), occ AS (
+  SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.w3 AS w3 FROM occ0
+), c123 AS (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+  FROM occ GROUP BY 1, 2, 3
+), ctx3 AS (
+  SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12dot,
+         CAST(COUNT(*) AS BIGINT) AS n3lam
+  FROM c123 GROUP BY 1, 2
+), c23p AS (
+  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS c23p FROM c123 GROUP BY 1, 2
+), ctx2 AS (
+  SELECT w2, CAST(SUM(c23p) AS BIGINT) AS c2pdot,
+         CAST(COUNT(*) AS BIGINT) AS n2lam
+  FROM c23p GROUP BY 1
+), u3 AS (
+  SELECT w3, CAST(COUNT(*) AS BIGINT) AS u3 FROM c23p GROUP BY 1
+), ut AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS utot FROM c23p
+), model AS (
+  SELECT c123.w1, c123.w2, c123.w3, c123.c123,
+         CAST(greatest(4 * c123.c123 - 3, 0)
+                * (4 * ctx2.c2pdot * ut.utot)
+              + 3 * ctx3.n3lam
+                * (greatest(4 * c23p.c23p - 3, 0) * ut.utot
+                   + 3 * ctx2.n2lam * u3.u3)
+           AS BIGINT) AS kn_num,
+         CAST(4 * ctx3.c12dot * 4 * ctx2.c2pdot * ut.utot AS BIGINT)
+           AS kn_den
+  FROM c123
+  JOIN c23p USING (w2, w3)
+  JOIN ctx3 USING (w1, w2)
+  JOIN ctx2 USING (w2)
+  JOIN u3 USING (w3)
+  CROSS JOIN ut
+)"""
+
+_KN3_MODEL_ORACLE = (
+    _KN3_CTES
+    + """
+SELECT w1, w2, w3, c123, kn_num, kn_den
+FROM model ORDER BY c123 DESC, w1, w2, w3 LIMIT 25
+"""
+)
+
+
+@register("doc_kn3_trigram_model", oracle=_KN3_MODEL_ORACLE)
+def doc_kn3_trigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM model over the document corpus
+    (`text/kneser_ney.py::kn_trigram_model` — recursive lower-order
+    interpolation, continuation counts at every order, D = 3/4, the
+    whole recursion folded into one exact BIGINT fraction per trigram).
+    Output: the 25 most frequent trigrams with raw count and KN
+    numerator/denominator — integer columns end to end, exact hash."""
+    from backend_big_data_spark.text.kneser_ney import kn_trigram_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        kn_trigram_model(docs)
+        .orderBy(F.desc("c123"), "w1", "w2", "w3")
+        .limit(25)
+    )
+
+
+_KN3_NLL_ORACLE = (
+    _KN3_CTES
+    + """
+, scored AS (
+  SELECT o.doc_id, CAST(COUNT(*) AS INTEGER) AS n_trigrams,
+         -SUM(CAST(floor((ln(m.kn_num) - ln(m.kn_den)) * 10000 + 0.5)
+                   AS BIGINT)) AS nll_fp
+  FROM occ o
+  JOIN model m ON o.w1 = m.w1 AND o.w2 = m.w2 AND o.w3 = m.w3
+  GROUP BY 1
+)
+SELECT CASE WHEN n_trigrams <= 20 THEN 'a:1-20'
+            WHEN n_trigrams <= 60 THEN 'b:21-60'
+            ELSE 'c:61+' END AS size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_trigrams) AS BIGINT) AS total_trigrams,
+       CAST(SUM(nll_fp) AS BIGINT) AS total_nll_fp
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+)
+
+
+@register("doc_kn3_perplexity", oracle=_KN3_NLL_ORACLE)
+def doc_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus perplexity audit under the KN trigram model
+    (`text/kneser_ney.py::kn3_doc_nll` — self-trained, so every scored
+    trigram has a model row): per-document fixed-point NLL summed into
+    document-size buckets. The readout that decides perplexity-filter
+    thresholds, at trigram order (compare `doc_kn_perplexity`)."""
+    from backend_big_data_spark.text.kneser_ney import kn3_doc_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = kn3_doc_nll(docs)
+    bucket = (
+        F.when(F.col("n_trigrams") <= 20, "a:1-20")
+        .when(F.col("n_trigrams") <= 60, "b:21-60")
+        .otherwise("c:61+")
+    )
+    return (
+        scored.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_trigrams").cast("long").alias("total_trigrams"),
+            F.sum("nll_fp").alias("total_nll_fp"),
+        )
+        .orderBy("size_bucket")
+    )

@@ -235,27 +235,33 @@ def compact_linkage_master(
     spark: SparkSession, master_dir: str, keep_latest: int = 1
 ) -> list[int]:
     """Fold the commit-stable prefix of the master and its gram index
-    (links stay per-batch — they are RESULTS, not probe state)."""
+    (links stay per-batch — they are RESULTS, not probe state).
+
+    Sidecar folds run UNCONDITIONALLY (not gated on the master fold
+    doing work this call): a crash between the master fold and the
+    sidecar folds leaves the sidecars lagging, and the next call's
+    master fold may be a no-op — the sidecars must still catch up or
+    the misalignment persists forever. Aligned state → metadata-cost
+    no-ops."""
     from backend_big_data_spark.streaming.maintenance import _fold
 
     folded = _fold(spark, master_dir, "batch", keep_latest)
-    if folded:
-        grams_dir = os.path.join(master_dir, "grams")
-        if fsutil.list_subdirs(spark, grams_dir, prefix="batch="):
-            _fold(spark, grams_dir, "batch", keep_latest)
-        gramfreq_dir = os.path.join(master_dir, "gramfreq")
-        if fsutil.list_subdirs(spark, gramfreq_dir, prefix="batch="):
-            # keyed sum keeps the folded sidecar one row per gram; the
-            # reader sums anyway, so this is tightness, not correctness
-            _fold(
-                spark,
-                gramfreq_dir,
-                "batch",
-                keep_latest,
-                reducer=lambda df: df.groupBy("gram").agg(
-                    F.sum("cnt").alias("cnt")
-                ),
-            )
+    grams_dir = os.path.join(master_dir, "grams")
+    if fsutil.list_subdirs(spark, grams_dir, prefix="batch="):
+        _fold(spark, grams_dir, "batch", keep_latest)
+    gramfreq_dir = os.path.join(master_dir, "gramfreq")
+    if fsutil.list_subdirs(spark, gramfreq_dir, prefix="batch="):
+        # keyed sum keeps the folded sidecar one row per gram; the
+        # reader sums anyway, so this is tightness, not correctness
+        _fold(
+            spark,
+            gramfreq_dir,
+            "batch",
+            keep_latest,
+            reducer=lambda df: df.groupBy("gram").agg(
+                F.sum("cnt").alias("cnt")
+            ),
+        )
     return folded
 
 

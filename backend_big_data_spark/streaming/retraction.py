@@ -302,19 +302,28 @@ def _purge_index_sidecars(
         index_rel = os.path.join(index_name, name)
         if fsutil.exists(spark, master_path):
             fresh = rebuild(spark.read.parquet(master_path))
-            if fsutil.exists(spark, os.path.join(master_dir, freq_rel)):
-                _journaled_replace(
-                    spark,
-                    master_dir,
-                    freq_rel,
-                    fresh.groupBy(key_col).agg(
-                        F.count(F.lit(1)).alias("cnt")
-                    ),
-                )
-            _journaled_replace(spark, master_dir, index_rel, fresh)
         else:
-            fsutil.delete(spark, os.path.join(master_dir, freq_rel))
-            fsutil.delete(spark, os.path.join(master_dir, index_rel))
+            # Master dir absent for this batch id: its rows were folded
+            # into an older master dir and the sidecar folds never ran (a
+            # compaction crash between the master fold and the sidecar
+            # folds — the compactors re-align this on their next run, but
+            # a retraction may arrive first). The sidecar dir still holds
+            # LIVE index rows of every OTHER entity admitted in that
+            # batch, so deleting the dir would silently lose their future
+            # links. Rewrite in place instead: keep everything but the
+            # retracted ids (NULL ids survive — isin is NULL-poisoning),
+            # recount the frequency sidecar from the kept rows.
+            fresh = spark.read.parquet(
+                os.path.join(index_base, name)
+            ).filter(F.col("id").isNull() | ~F.col("id").isin(lits))
+        if fsutil.exists(spark, os.path.join(master_dir, freq_rel)):
+            _journaled_replace(
+                spark,
+                master_dir,
+                freq_rel,
+                fresh.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt")),
+            )
+        _journaled_replace(spark, master_dir, index_rel, fresh)
     return hit
 
 

@@ -11,9 +11,11 @@ entity table at ``master_dir``:
    τ = t_num/t_den via the one-sided prefix probe
    (`operators/setsimjoin.token_jaccard_join_indexed`): the batch's
    rarest-token prefixes are broadcast against the master's MAINTAINED
-   token index — master strings are never re-tokenized, and the prefix
-   ranks by the MAINTAINED per-token counts (``tokfreq`` sidecar), so
-   no probe ever aggregates the full index (the linkage sink's gramfreq
+   token index — candidate generation never re-tokenizes or re-ranks
+   the master (the exact verify re-derives the candidates' token arrays
+   from master strings in one map-side pass), and the prefix ranks by
+   the MAINTAINED per-token counts (``tokfreq`` sidecar), so no probe
+   ever aggregates the full index (the linkage sink's gramfreq
    discipline). Links land in ``links/batch=N``.
 2. ADMIT: records that matched nothing become new master entities
    (after within-batch exact dedup on the string — min id survives,
@@ -126,11 +128,37 @@ def setsim_link_batch(
 
 
 def setsim_ingest_sink(
-    master_dir: str, t_num: int = DEFAULT_T_NUM, t_den: int = DEFAULT_T_DEN
+    master_dir: str,
+    t_num: int = DEFAULT_T_NUM,
+    t_den: int = DEFAULT_T_DEN,
+    link_mode: str = "all",
+    k: int = 1,
 ):
     """``foreachBatch`` function maintaining the master table, its token
     index, its token-frequency sidecar, and the per-batch link results
-    under ``master_dir``."""
+    under ``master_dir``.
+
+    ``link_mode`` selects the recorded-link contract:
+
+    * ``"all"`` (default) — every (batch record, master) pair within τ,
+      the candidate-pair shape (rows: dirty_id, master_id, inter_cnt,
+      union_cnt).
+    * ``"topk"`` — production entity resolution's best-match contract: a
+      batch record linking to MANY masters emits only its ``k`` best
+      matches, deterministically (exact-fraction Jaccard order via the
+      `setsimjoin._topk_rank_key` 2^32-scaled integer key, ties on
+      master id ASC — identical semantics to
+      `setsimjoin.token_jaccard_topk`). Output is ≤ |batch|·k rows per
+      batch no matter how much duplicate mass the master holds (rows:
+      dirty_id, master_id, rank, inter_cnt, union_cnt).
+
+    ADMISSION is identical in both modes (a record is novel iff it
+    matched nothing at τ — top-k only prunes which links are RECORDED),
+    so the maintained master/index/tokfreq state is mode-independent:
+    stream≡batch equivalence holds per mode, and switching modes between
+    batches never forks the master."""
+    if link_mode not in ("all", "topk"):
+        raise ValueError(f"link_mode must be 'all' or 'topk', got {link_mode!r}")
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -143,6 +171,25 @@ def setsim_ingest_sink(
         links = setsim_link_batch(
             b, master, toks, t_num=t_num, t_den=t_den, master_token_freq=tfreq
         ).persist()
+        out_links = links
+        if link_mode == "topk":
+            from pyspark.sql import Window
+
+            from backend_big_data_spark.operators.setsimjoin import (
+                _topk_rank_key,
+            )
+
+            w = Window.partitionBy("dirty_id").orderBy(
+                F.desc("__key"), F.asc("master_id")
+            )
+            out_links = (
+                links.withColumn("__key", _topk_rank_key())
+                .withColumn("rank", F.row_number().over(w).cast("int"))
+                .where(F.col("rank") <= k)
+                .select(
+                    "dirty_id", "master_id", "rank", "inter_cnt", "union_cnt"
+                )
+            )
         novel = (
             b.join(
                 links.select(F.col("dirty_id").alias("id")).distinct(),
@@ -154,7 +201,7 @@ def setsim_ingest_sink(
             .select("id", "s")
         )
         bdir = f"batch={batch_id}"
-        links.write.mode("overwrite").parquet(
+        out_links.write.mode("overwrite").parquet(
             os.path.join(master_dir, "links", bdir)
         )
         novel.write.mode("overwrite").parquet(os.path.join(master_dir, bdir))
@@ -179,12 +226,17 @@ def setsim_ingest_stream(
     checkpoint: str,
     t_num: int = DEFAULT_T_NUM,
     t_den: int = DEFAULT_T_DEN,
+    link_mode: str = "all",
+    k: int = 1,
 ):
     """Attach the set-similarity linkage sink to a dirty-record stream.
     Returns the started StreamingQuery (caller awaits/stops)."""
     return (
         dirty_stream.writeStream.foreachBatch(
-            setsim_ingest_sink(master_dir, t_num=t_num, t_den=t_den)
+            setsim_ingest_sink(
+                master_dir, t_num=t_num, t_den=t_den,
+                link_mode=link_mode, k=k,
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
@@ -198,25 +250,33 @@ def compact_setsim_master(
     """Fold the commit-stable prefix of the master, its token index,
     and its token-frequency sidecar (keyed sum keeps the folded sidecar
     one row per token; links stay per-batch — results, not probe
-    state)."""
+    state).
+
+    The sidecar folds run UNCONDITIONALLY, not gated on the master fold
+    having done work this call: a crash between the master fold and the
+    sidecar folds leaves the sidecars lagging the master, and on the
+    next call the master fold may find nothing left to do — the
+    sidecars must still catch up or the misalignment persists forever
+    (and `retraction._purge_index_sidecars` then sees index dirs with
+    no master dir). When everything is aligned the extra calls are
+    metadata-cost no-ops."""
     from backend_big_data_spark.streaming.maintenance import _fold
 
     folded = _fold(spark, master_dir, "batch", keep_latest)
-    if folded:
-        tokens_dir = os.path.join(master_dir, "tokens")
-        if fsutil.list_subdirs(spark, tokens_dir, prefix="batch="):
-            _fold(spark, tokens_dir, "batch", keep_latest)
-        tokfreq_dir = os.path.join(master_dir, "tokfreq")
-        if fsutil.list_subdirs(spark, tokfreq_dir, prefix="batch="):
-            _fold(
-                spark,
-                tokfreq_dir,
-                "batch",
-                keep_latest,
-                reducer=lambda df: df.groupBy("token").agg(
-                    F.sum("cnt").alias("cnt")
-                ),
-            )
+    tokens_dir = os.path.join(master_dir, "tokens")
+    if fsutil.list_subdirs(spark, tokens_dir, prefix="batch="):
+        _fold(spark, tokens_dir, "batch", keep_latest)
+    tokfreq_dir = os.path.join(master_dir, "tokfreq")
+    if fsutil.list_subdirs(spark, tokfreq_dir, prefix="batch="):
+        _fold(
+            spark,
+            tokfreq_dir,
+            "batch",
+            keep_latest,
+            reducer=lambda df: df.groupBy("token").agg(
+                F.sum("cnt").alias("cnt")
+            ),
+        )
     return folded
 
 

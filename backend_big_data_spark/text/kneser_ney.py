@@ -128,4 +128,164 @@ def kn_doc_nll(
     )
 
 
-__all__ = ["D_DEN", "D_NUM", "kn_bigram_model", "kn_doc_nll"]
+def doc_trigram_occurrences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2, w3) — one row per trigram OCCURRENCE (multiplicity
+    kept; the LM scores every position). Same tokenizer as
+    `text/lm.py::doc_bigram_occurrences` (lowercased ``[a-z]{2,}``
+    runs), so the trigram and bigram models read the same token
+    stream."""
+    from backend_big_data_spark.text.lm import _tokens
+
+    toks = _tokens(F.col(text_col))
+    triples = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+                F.element_at(toks, i + 3).alias("w3"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+    return df.select(F.col(id_col), F.explode(triples).alias("t")).select(
+        id_col, "t.w1", "t.w2", "t.w3"
+    )
+
+
+def kn_trigram_model(
+    model_df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(w1, w2, w3, c123, kn_num, kn_den): interpolated Kneser-Ney
+    TRIGRAM probabilities with recursive lower-order interpolation
+    (Chen & Goodman 1999's recommended form), as exact BIGINT fractions.
+
+    The recursion, with D = 3/4 at every order and lower orders built
+    from CONTINUATION counts (the defining KN move — at order n−1 a
+    token's weight is how many distinct order-n contexts it continues,
+    not how often it occurs):
+
+      P3(w3|w1w2) = max(c123 − D, 0)/c12•  +  D·N1+(w1w2·)/c12• · P2
+      P2(w3|w2)   = max(c'23 − D, 0)/c'2•  +  D·N1+(w2·)/c'2•  · P1
+      P1(w3)      = N1+(·w3) / N1+(··)
+
+    where c123 are trigram occurrence counts, c12• their per-context
+    sums, N1+(w1w2·) the distinct-continuation counts; c'23 =
+    N1+(·w2w3) is the MODIFIED bigram count (distinct w1 preceding the
+    bigram), c'2• its per-w2 sum, N1+(w2·) the distinct w3 after w2;
+    and the unigram level counts distinct (w2,w3) bigram TYPES: N1+(·w3)
+    = |{w2 : (w2,w3) observed}|, N1+(··) their total. Everything derives
+    from ONE trigram-type table via four hash aggregates — the same
+    inverted, never-quadratic shape as the bigram model.
+
+    Exact fraction (U = N1+(··)):
+
+      p2_num = max(4·c'23 − 3, 0)·U + 3·N1+(w2·)·N1+(·w3)
+      p2_den = 4·c'2•·U
+      kn_num = max(4·c123 − 3, 0)·p2_den + 3·N1+(w1w2·)·p2_num
+      kn_den = 4·c12•·p2_den
+
+    Overflow bound: kn_den ≤ 16·c12•·c'2•·U fits int64 while
+    c12•·c'2•·U < 2^59 — at web scale train on a sample (the module
+    docstring's standard shape) or reduce the fraction; the gate
+    corpora are orders of magnitude inside the bound."""
+    occ = doc_trigram_occurrences(model_df, text_col, id_col)
+    c123 = occ.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    # highest order: context totals + distinct continuations
+    ctx3 = c123.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12dot"),
+        F.count(F.lit(1)).alias("n3lam"),  # N1+(w1w2 ·)
+    )
+    # modified bigram counts: c'(w2w3) = N1+(· w2w3) over trigram types
+    c23p = c123.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c23p"))
+    ctx2 = c23p.groupBy("w2").agg(
+        F.sum("c23p").alias("c2pdot"),  # N1+(· w2 ·)
+        F.count(F.lit(1)).alias("n2lam"),  # N1+(w2 ·)
+    )
+    # unigram continuation counts over the (w2,w3) bigram types
+    u3 = c23p.groupBy("w3").agg(F.count(F.lit(1)).alias("u3"))  # N1+(· w3)
+    utot = c23p.agg(F.count(F.lit(1)).alias("utot"))  # N1+(· ·)
+    disc3 = F.greatest(
+        F.col("c123") * D_DEN - F.lit(D_NUM), F.lit(0).cast("long")
+    )
+    disc2 = F.greatest(
+        F.col("c23p") * D_DEN - F.lit(D_NUM), F.lit(0).cast("long")
+    )
+    p2_num = disc2 * F.col("utot") + F.lit(D_NUM) * F.col("n2lam") * F.col(
+        "u3"
+    )
+    p2_den = F.lit(D_DEN) * F.col("c2pdot") * F.col("utot")
+    return (
+        c123.join(c23p, ["w2", "w3"])
+        .join(ctx3, ["w1", "w2"])
+        .join(ctx2, "w2")
+        .join(u3, "w3")
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "c123",
+            (
+                disc3 * p2_den + F.lit(D_NUM) * F.col("n3lam") * p2_num
+            ).alias("kn_num"),
+            (F.lit(D_DEN) * F.col("c12dot") * p2_den).alias("kn_den"),
+        )
+    )
+
+
+def kn3_doc_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document NLL under the KN trigram model: (id, n_trigrams int,
+    nll_fp long) — the trigram twin of `kn_doc_nll` (same fixed-point
+    quantization, same NULL-poisoning OOV contract for external models;
+    docs with fewer than three tokens emit no row)."""
+    model = kn_trigram_model(
+        model_df if model_df is not None else df, text_col, id_col
+    )
+    logp_fp = F.floor(
+        (
+            F.log(F.col("kn_num").cast("double"))
+            - F.log(F.col("kn_den").cast("double"))
+        )
+        * LOGP_SCALE
+        + F.lit(0.5)
+    ).cast("long")
+    occ = doc_trigram_occurrences(df, text_col, id_col)
+    return (
+        occ.join(
+            model.withColumn("logp_fp", logp_fp), ["w1", "w2", "w3"], "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_trigrams"),
+            (-F.sum("logp_fp")).alias("__nll"),
+            F.sum(
+                F.when(F.col("logp_fp").isNull(), 1).otherwise(0)
+            ).alias("__oov"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            F.when(F.col("__oov") == 0, F.col("__nll")).alias("nll_fp"),
+        )
+    )
+
+
+__all__ = [
+    "D_DEN",
+    "D_NUM",
+    "doc_trigram_occurrences",
+    "kn3_doc_nll",
+    "kn_bigram_model",
+    "kn_doc_nll",
+    "kn_trigram_model",
+]

@@ -154,6 +154,13 @@ HEADLINE = [
     # (916k pairs at sf0.1), so its wall measures result materialization,
     # not operator throughput; the sf0.01 oracle gate certifies it.
     "part_token_containment_match",
+    # round-9: best-match streaming ER through the sink (|batch|·k output
+    # contract — throughput of the maintained-index probe + top-k rank),
+    # and the KN trigram model + perplexity readout (four hash aggregates
+    # feeding a five-way keyed join; nothing quadratic, nothing collects)
+    "part_token_best_match_stream",
+    "doc_kn3_trigram_model",
+    "doc_kn3_perplexity",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

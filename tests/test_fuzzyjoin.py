@@ -172,6 +172,28 @@ class TestSizingRule:
         assert got == _brute_pairs(_SHARED, _SHARED, 2)
 
 
+class TestRegisteredCapRefusesAdversarial:
+    def test_registered_cap_trips_on_shared_vocab_corpus(self, spark):
+        """The cap ARMED in the registered `part_fuzzy_match`
+        (plans/round7c.FUZZY_CANDIDATE_CAP) must refuse a
+        shared-vocabulary corpus whose exact prefix bound exceeds it —
+        6.5k identical strings expose 6 grams each, bound 6·6500² ≈
+        2.5e8 > 2.0e8, tripped by one gram-count aggregate, never the
+        quadratic join."""
+        from pyspark.sql import functions as F
+
+        from backend_big_data_spark.plans.round7c import FUZZY_CANDIDATE_CAP
+
+        df = spark.range(6_500).select(
+            F.col("id"), F.lit("abcdefgh").alias("s")
+        )
+        with pytest.raises(FuzzyJoinCandidateBlowup) as ei:
+            edit_distance_join(
+                df, df, max_dist=2, q=3, candidate_cap=FUZZY_CANDIDATE_CAP
+            )
+        assert "shared-vocabulary" in str(ei.value)
+
+
 class TestMaintainedIndexFreq:
     def test_index_freq_table_matches_on_the_fly_ranking(self, spark):
         # maintained (gram, cnt) rows — here deliberately SPLIT across

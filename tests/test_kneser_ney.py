@@ -152,3 +152,133 @@ def test_external_model_oov_poisons_to_null(spark):
     got = {r.doc_id: r.nll_fp for r in kn_doc_nll(score, model_df=train).collect()}
     assert got[10] is not None
     assert got[11] is None
+
+
+# ---------------------------------------------------------------------------
+# trigram order (recursive lower-order interpolation)
+# ---------------------------------------------------------------------------
+
+
+def _ref3(rows):
+    """Exact-Fraction reference for the interpolated KN trigram recursion
+    (continuation counts at every lower order)."""
+    toks = {i: re.findall("[a-z]{2,}", t.lower()) for i, t in rows}
+    tri = Counter()
+    for t in toks.values():
+        for a, b, c in zip(t, t[1:], t[2:]):
+            tri[(a, b, c)] += 1
+    ctx3_c, ctx3_n, c23p = Counter(), Counter(), Counter()
+    for (a, b, c), n in tri.items():
+        ctx3_c[(a, b)] += n
+        ctx3_n[(a, b)] += 1
+        c23p[(b, c)] += 1
+    ctx2_c, ctx2_n, u3 = Counter(), Counter(), Counter()
+    for (b, c), n in c23p.items():
+        ctx2_c[b] += n
+        ctx2_n[b] += 1
+        u3[c] += 1
+    utot = len(c23p)
+    D = Fraction(D_NUM, D_DEN)
+
+    def p1(c):
+        return Fraction(u3[c], utot)
+
+    def p2(b, c):
+        seen = max(c23p[(b, c)] - D, 0) if (b, c) in c23p else Fraction(0)
+        return seen / ctx2_c[b] + D * ctx2_n[b] / ctx2_c[b] * p1(c)
+
+    def p3(a, b, c):
+        seen = max(tri[(a, b, c)] - D, 0) if (a, b, c) in tri else Fraction(0)
+        return (
+            seen / ctx3_c[(a, b)]
+            + D * ctx3_n[(a, b)] / ctx3_c[(a, b)] * p2(b, c)
+        )
+
+    model = {k: (n, p3(*k)) for k, n in tri.items()}
+    return model, toks, p2, p3
+
+
+def _spark_model3(spark):
+    from backend_big_data_spark.text.kneser_ney import kn_trigram_model
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    return {
+        (r.w1, r.w2, r.w3): (r.c123, Fraction(r.kn_num, r.kn_den))
+        for r in kn_trigram_model(df).collect()
+    }
+
+
+def test_trigram_model_matches_exact_reference(spark):
+    got = _spark_model3(spark)
+    want, _, _, _ = _ref3(CORPUS)
+    assert got == want and got
+
+
+def test_trigram_normalization_sums_to_one_per_context(spark):
+    """Order-3 identity: for every seen context (w1, w2),
+    Σ_w3 P3(w3|w1 w2) over the WHOLE vocabulary equals 1 exactly —
+    unseen trigrams contribute through the recursive backoff chain
+    (D·λ3·P2, itself backing off through D·λ2·P1). Any discount or
+    continuation-count slip at ANY of the three orders breaks this."""
+    got = _spark_model3(spark)
+    want, toks, p2, p3 = _ref3(CORPUS)
+    vocab = {w for t in toks.values() for w in t}
+    contexts = {(a, b) for (a, b, _) in got}
+    for a, b in contexts:
+        total = Fraction(0)
+        for c in vocab:
+            if (a, b, c) in got:
+                total += got[(a, b, c)][1]
+            else:
+                total += p3(a, b, c)
+        assert total == 1, ((a, b), total)
+
+
+def test_trigram_doc_nll_fixed_point_matches_reference(spark):
+    from backend_big_data_spark.text.kneser_ney import kn3_doc_nll
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_trigrams, r.nll_fp) for r in kn3_doc_nll(df).collect()
+    }
+    model, toks, _, _ = _ref3(CORPUS)
+    for i, t in toks.items():
+        fps = []
+        for k in zip(t, t[1:], t[2:]):
+            p = model[k][1]
+            fps.append(
+                math.floor(
+                    (math.log(p.numerator) - math.log(p.denominator)) * 10_000
+                    + 0.5
+                )
+            )
+        assert got[i] == (len(fps), -sum(fps)), i
+
+
+def test_trigram_external_model_oov_poisons_to_null(spark):
+    from backend_big_data_spark.text.kneser_ney import kn3_doc_nll
+
+    train = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    score = spark.createDataFrame(
+        [
+            (10, "san francisco san francisco san"),
+            (11, "totally unseen words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.nll_fp
+        for r in kn3_doc_nll(score, model_df=train).collect()
+    }
+    assert got[10] is not None
+    assert got[11] is None
+
+
+def test_trigram_short_docs_emit_no_row(spark):
+    from backend_big_data_spark.text.kneser_ney import kn3_doc_nll
+
+    df = spark.createDataFrame(
+        CORPUS + [(99, "two words")], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in kn3_doc_nll(df).collect()}
+    assert 99 not in got and {1, 2, 3} <= got

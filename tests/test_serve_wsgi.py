@@ -152,3 +152,65 @@ def test_accept_encoding_q_value_parsing():
     assert _negotiates_gzip("identity;q=0, *;q=0.1")
     assert not _negotiates_gzip("*;q=0")
     assert not _negotiates_gzip("deflate, identity")
+
+
+class TestSearchPhotosPaginationContract:
+    """`/searchPhotos` through the FULL WSGI layer must honor the same
+    pagination property the oracle-gated `events_search_page` certifies
+    for `operators/windows.paginate` (B6 fix): pages are bounded by
+    page_size, keyed-ordered, disjoint, complete in sequence, and empty
+    past the end — asserted on a corpus big enough to span pages."""
+
+    @pytest.fixture(scope="class")
+    def many_app(self, spark):
+        from backend_big_data_spark.photo.schema import (
+            PHOTO_SCHEMA_RAW,
+            ingest,
+        )
+        from tests.test_photo_domain import _photo
+
+        rows = [
+            _photo(f"p{i:03d}", views=i, title="sunset over the forum")
+            for i in range(25)
+        ]
+        df = ingest(spark.createDataFrame(rows, PHOTO_SCHEMA_RAW))
+        return create_app(df)
+
+    def test_page_bounds_disjoint_complete_ordered(self, many_app):
+        pages = []
+        for page in (1, 2, 3):
+            status, payload = _call(
+                many_app,
+                "/searchPhotos",
+                qs=f"page={page}&page_size=10",
+                body={"keyword": "sunset"},
+            )
+            assert status == "200 OK"
+            assert len(payload) <= 10, page  # bounded result per page
+            pages.append([r["url"] for r in payload])
+        assert [len(p) for p in pages] == [10, 10, 5]
+        flat = [u for p in pages for u in p]
+        # disjoint + complete + keyed order (the route paginates by url)
+        assert flat == sorted(
+            f"https://farm9.staticflickr.com/srv/p{i:03d}_s.jpg"
+            for i in range(25)
+        )
+        # past the end: empty, still 200 (not an error envelope)
+        status, payload = _call(
+            many_app,
+            "/searchPhotos",
+            qs="page=4&page_size=10",
+            body={"keyword": "sunset"},
+        )
+        assert status == "200 OK" and payload == []
+
+    def test_filter_applies_before_pagination(self, many_app):
+        """A keyword that matches nothing must yield an empty first page
+        (the filter runs before the window, not on the page)."""
+        status, payload = _call(
+            many_app,
+            "/searchPhotos",
+            qs="page=1&page_size=10",
+            body={"keyword": "nomatch-keyword"},
+        )
+        assert status == "200 OK" and payload == []

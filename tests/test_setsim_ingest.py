@@ -322,3 +322,175 @@ class TestSetsimRetraction:
         # idempotent
         recover_setsim_retraction(spark, mdir)
         assert {r.id for r in read_master_tokens(spark, mdir).collect()} == {2, 3}
+
+
+class TestCompactionCrashMisalignment:
+    """A compaction crash BETWEEN the master fold and the sidecar folds
+    leaves index dirs whose master dir no longer exists. Two guarantees
+    cover it: (a) a retraction arriving in that state rewrites the
+    orphaned sidecar dir in place — other entities' live index rows
+    survive (deleting the dir would silently lose their future links) —
+    and (b) the next compaction re-aligns the sidecars even though the
+    master fold itself finds nothing to do."""
+
+    C0 = [
+        (1, "alpha consolidated mills north"),
+        (2, "beta containers corp south"),
+    ]
+    C1 = [
+        (11, "gamma fabrication works west"),
+        (12, "delta precision tools south"),
+    ]
+    C2 = [(21, "epsilon motors north")]
+
+    def _build_misaligned(self, spark, tmp_path):
+        from backend_big_data_spark.streaming.maintenance import _fold
+
+        mdir = str(tmp_path / "m")
+        sink = setsim_ingest_sink(mdir)
+        sink(_df(spark, self.C0), 0)
+        sink(_df(spark, self.C1), 1)
+        sink(_df(spark, self.C2), 2)
+        # simulate the crash: master folds {0,1}->0, sidecars untouched
+        assert _fold(spark, mdir, "batch", 1) == [0, 1]
+        master_dirs = set(fsutil.list_subdirs(spark, mdir, prefix="batch="))
+        token_dirs = set(
+            fsutil.list_subdirs(spark, f"{mdir}/tokens", prefix="batch=")
+        )
+        assert master_dirs == {"batch=0", "batch=2"}
+        assert token_dirs == {"batch=0", "batch=1", "batch=2"}
+        return mdir
+
+    def test_retraction_preserves_other_entities_in_orphan_dir(
+        self, spark, tmp_path
+    ):
+        from backend_big_data_spark.streaming.retraction import (
+            retract_from_setsim_master,
+        )
+
+        mdir = self._build_misaligned(spark, tmp_path)
+        out = retract_from_setsim_master(spark, mdir, [11])
+        assert out["rows_removed"] == 1
+        # entity 12 was admitted in the same (now master-less) batch dir:
+        # its index rows must survive the purge of 11
+        assert {r.id for r in read_master_tokens(spark, mdir).collect()} == {
+            1,
+            2,
+            12,
+            21,
+        }
+        # tokfreq recounted consistently with the rewritten index
+        maintained = {
+            (r.token, r.cnt)
+            for r in read_master_token_freq(spark, mdir)
+            .groupBy("token")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        on_the_fly = {
+            (r.token, r["count"])
+            for r in read_master_tokens(spark, mdir)
+            .groupBy("token")
+            .count()
+            .collect()
+        }
+        assert maintained == on_the_fly
+        # the erased entity's tokens are GONE (erasure guarantee)...
+        assert "gamma" not in {t for t, _ in maintained}
+        # ...and a future batch still links to the surviving entity 12
+        # through the maintained index (the old delete-the-dir behavior
+        # lost exactly this link)
+        sink = setsim_ingest_sink(mdir)
+        sink(_df(spark, [(30, self.C1[1][1])]), 3)
+        assert _links(spark, mdir, 3) == [(30, 12, 4, 4)]
+
+    def test_next_compaction_realigns_sidecars(self, spark, tmp_path):
+        from backend_big_data_spark.streaming.setsim_ingest import (
+            compact_setsim_master,
+        )
+
+        mdir = self._build_misaligned(spark, tmp_path)
+        # master fold finds nothing to do ({0,2} with keep_latest=1), but
+        # the sidecar folds must still catch up
+        assert compact_setsim_master(spark, mdir, keep_latest=1) == []
+        for sub in ("tokens", "tokfreq"):
+            assert set(
+                fsutil.list_subdirs(spark, f"{mdir}/{sub}", prefix="batch=")
+            ) == {"batch=0", "batch=2"}, sub
+        # and the probe state still resolves every admitted entity
+        sink = setsim_ingest_sink(mdir)
+        sink(_df(spark, [(31, self.C1[0][1])]), 3)
+        assert _links(spark, mdir, 3) == [(31, 11, 4, 4)]
+
+
+class TestTopkLinkMode:
+    def test_topk_links_are_deterministic_winners(self, spark, tmp_path):
+        """topk mode must emit, per batch record, exactly its best-match
+        rows in `token_jaccard_topk` order (exact-fraction key, master-id
+        tie-break), while ADMISSION stays identical to all-pairs mode."""
+        mdir = str(tmp_path / "m")
+        sink = setsim_ingest_sink(mdir, link_mode="topk", k=1)
+        sink(_df(spark, B1), 0)
+        sink(_df(spark, B2), 1)
+        # record 10 matches masters 1 (J=4/4) and 3 (J=3/5): top-1 is 1
+        got = sorted(
+            (r.dirty_id, r.master_id, r.rank, r.inter_cnt, r.union_cnt)
+            for r in spark.read.parquet(f"{mdir}/links/batch=1").collect()
+        )
+        assert got == [(10, 1, 1, 4, 4), (12, 2, 1, 3, 5)]
+        # admission is mode-independent: same master as all-pairs mode
+        adir = str(tmp_path / "a")
+        _run_two_batches(spark, adir)
+        assert _master_rows(spark, mdir) == _master_rows(spark, adir)
+
+    def test_k2_emits_ranked_runners_up(self, spark, tmp_path):
+        mdir = str(tmp_path / "m")
+        sink = setsim_ingest_sink(mdir, link_mode="topk", k=2)
+        sink(_df(spark, B1), 0)
+        sink(_df(spark, B2), 1)
+        got = sorted(
+            (r.dirty_id, r.master_id, r.rank)
+            for r in spark.read.parquet(f"{mdir}/links/batch=1").collect()
+        )
+        assert got == [(10, 1, 1), (10, 3, 2), (12, 2, 1)]
+
+    def test_bad_mode_raises(self, spark, tmp_path):
+        import pytest
+
+        with pytest.raises(ValueError, match="link_mode"):
+            setsim_ingest_sink(str(tmp_path / "m"), link_mode="best")
+
+    def test_stream_matches_sequential_batches_topk(self, spark, tmp_path):
+        from backend_big_data_spark.streaming.setsim_ingest import (
+            setsim_ingest_stream,
+        )
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        _df(spark, B1).coalesce(1).write.parquet(str(in_dir / "b1"))
+        _df(spark, B2).coalesce(1).write.parquet(str(in_dir / "b2"))
+        sdir = str(tmp_path / "stream_master")
+        stream = (
+            spark.readStream.schema("id long, s string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        q = setsim_ingest_stream(
+            stream, sdir, checkpoint=str(tmp_path / "ck"), link_mode="topk"
+        )
+        q.awaitTermination(120)
+
+        tdir = str(tmp_path / "twin_master")
+        tsink = setsim_ingest_sink(tdir, link_mode="topk")
+        tsink(_df(spark, B1), 0)
+        tsink(_df(spark, B2), 1)
+        assert _master_rows(spark, sdir) == _master_rows(spark, tdir)
+        stream_links = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{sdir}/links/batch=1").collect()
+        )
+        twin_links = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{tdir}/links/batch=1").collect()
+        )
+        assert stream_links == twin_links and stream_links

@@ -214,6 +214,166 @@ class TestTokenJaccardTopk:
         assert got[0] == (3, 5, 7)
 
 
+class TestDenseIds:
+    def test_equals_global_ranking_across_partitions(self, spark):
+        """`_dense_ids` (range-partition + per-partition rank + offsets)
+        must assign EXACTLY the ids the old single-partition global
+        window assigned: dense 1..|V| in (cnt ASC, token ASC) order.
+        240 tokens with heavily duplicated counts (the hapax-skew shape)
+        across 8 shuffle partitions exercises the offset arithmetic."""
+        import random
+
+        from backend_big_data_spark.operators.setsimjoin import _dense_ids
+
+        rng = random.Random(907)
+        vocab = [(f"tok{i:04d}", rng.choice([1, 1, 1, 2, 3, 7])) for i in range(240)]
+        rng.shuffle(vocab)
+        freq = spark.createDataFrame(vocab, "token string, cnt long")
+        got = {
+            r.token: r.tid for r in _dense_ids(freq).collect()
+        }
+        want = {
+            tok: i + 1
+            for i, (cnt, tok) in enumerate(
+                sorted((c, t) for t, c in vocab)
+            )
+        }
+        assert got == want
+
+    def test_empty_vocabulary(self, spark):
+        from backend_big_data_spark.operators.setsimjoin import _dense_ids
+
+        freq = spark.createDataFrame([], "token string, cnt long")
+        assert _dense_ids(freq).collect() == []
+
+    def test_no_partitionless_window_in_plan(self, spark):
+        """The scale guarantee itself: no setsim plan may contain a
+        WindowExec with an empty partition spec (the one-task global
+        sort hazard). Every window must be partitioned — `_dense_ids`'s
+        by the range-partition id, the top-k ranking's by probe id."""
+        from backend_big_data_spark.operators.setsimjoin import (
+            _dense_ids,
+            token_containment_join,
+            token_jaccard_join,
+            token_jaccard_topk,
+        )
+
+        def window_specs(df):
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            return [
+                line
+                for line in plan.splitlines()
+                if "Window" in line.split("[")[0]
+            ]
+
+        def assert_all_partitioned(specs):
+            # partitioned window spec prints as
+            #   Window [funcs], [partition cols], [order cols]
+            # partition-less drops the middle bracket group; every
+            # window here must carry a pid or probe-id partition.
+            for s in specs:
+                assert "pid#" in s or "left_id#" in s, s
+
+        freq = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "token string, cnt long"
+        )
+        specs = window_specs(_dense_ids(freq))
+        assert specs and all("pid#" in s for s in specs), specs
+
+        df = _df(spark, ROWS)
+        assert_all_partitioned(window_specs(token_jaccard_join(df, df, 3, 5)))
+        assert_all_partitioned(
+            window_specs(token_containment_join(df, df, 4, 5))
+        )
+        topk_specs = window_specs(
+            token_jaccard_topk(df, df, k=1, floor_num=1, floor_den=5)
+        )
+        assert any("left_id#" in s for s in topk_specs)
+        assert_all_partitioned(topk_specs)
+
+
+class TestTopkOversizeRaises:
+    def test_union_at_2_16_raises_not_drops(self, spark):
+        """A pair whose union reaches 2^16 tokens must RAISE (the
+        ranking key is only collision-free below 2^16) rather than
+        silently vanish from the ranking. Tested on the production key
+        EXPRESSION (`_topk_rank_key` — the exact column
+        `token_jaccard_topk` ranks by) over a synthetic pairs frame: an
+        end-to-end trigger needs ≥32k-token sets, whose prefix explode
+        materializes gigabytes before the guard is ever evaluated."""
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+        from backend_big_data_spark.operators.setsimjoin import (
+            _topk_rank_key,
+        )
+
+        ok = spark.createDataFrame(
+            [(3, 5), (65535, 65535)], "inter_cnt long, union_cnt long"
+        )
+        got = sorted(
+            r.k for r in ok.select(_topk_rank_key().alias("k")).collect()
+        )
+        assert got == [(3 * (1 << 32)) // 5, 1 << 32]
+
+        bad = spark.createDataFrame(
+            [(3, 5), (40000, 65536)], "inter_cnt long, union_cnt long"
+        )
+        with pytest.raises(
+            (Py4JJavaError, PySparkRuntimeError, SparkRuntimeException),
+            match="token_jaccard_topk",
+        ):
+            bad.select(_topk_rank_key().alias("k")).collect()
+
+
+class TestRegisteredCapsRefuseAdversarial:
+    """The caps ARMED in the registered queries (plans/round8.py) must
+    refuse a closed-vocabulary corpus whose exact candidate bound
+    exceeds them — with the bound computed BEFORE the candidate join, so
+    the refusal costs one vocabulary-sized aggregate, never the
+    quadratic join itself."""
+
+    def test_jaccard_cap(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from backend_big_data_spark.operators.setsimjoin import (
+            SetSimCandidateBlowup,
+            token_jaccard_join,
+        )
+        from backend_big_data_spark.plans.round8 import JACCARD_CANDIDATE_CAP
+
+        # 16k single-token records: every prefix is that token, so the
+        # bound is 16000² = 2.56e8 > 2.0e8 — tripped by 16k rows, not by
+        # materializing 2.56e8 candidates.
+        df = spark.range(16_000).select(
+            F.col("id"), F.lit("red").alias("s")
+        )
+        with pytest.raises(SetSimCandidateBlowup):
+            token_jaccard_join(
+                df, df, 3, 5, candidate_cap=JACCARD_CANDIDATE_CAP
+            )
+
+    def test_containment_cap(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from backend_big_data_spark.operators.setsimjoin import (
+            SetSimCandidateBlowup,
+            token_containment_join,
+        )
+        from backend_big_data_spark.plans.round8 import (
+            CONTAINMENT_CANDIDATE_CAP,
+        )
+
+        df = spark.range(9_000).select(F.col("id"), F.lit("red").alias("s"))
+        with pytest.raises(SetSimCandidateBlowup):
+            token_containment_join(
+                df, df, 4, 5, candidate_cap=CONTAINMENT_CANDIDATE_CAP
+            )
+
+
 class TestSetSimSizingRule:
     def test_blowup_raises_and_cap_passes(self, spark):
         """A closed-vocabulary corpus (every record drawn from 4 tokens)
