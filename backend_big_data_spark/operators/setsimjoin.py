@@ -22,10 +22,11 @@ Why it scales — no all-pairs stage, and every filter is algebraic:
    intersections per emitted pair and long comparisons beat string
    hashing ~2× end-to-end (measured at sf0.1: 97 s → 50 s from int
    coding alone). The id assignment is a VOCABULARY-sized DISTRIBUTED
-   ranking (`_dense_ids`: range-partition on the sort key, rank within
-   partitions, add prefix-summed partition offsets) — never a global
-   single-partition window, which would cap the operator at whatever
-   vocabulary one task can sort (the 10⁸–10⁹-token web-corpus regime).
+   ranking (`_dense_ids`: range-partition on the sort key, sort within
+   partitions, monotonic ids — one shuffle, fully lazy) — never a
+   global single-partition window, which would cap the operator at
+   whatever vocabulary one task can sort (the 10⁸–10⁹-token web-corpus
+   regime).
 2. Jaccard ≥ t implies overlap ≥ ceil(t·|x|) on EACH side (since the
    union is at least either set), so a set only exposes its
    |x| − ceil(t·|x|) + 1 rarest tokens; two qualifying sets must share
@@ -91,49 +92,40 @@ def _ceil_frac(x: Column, num: int, den: int) -> Column:
 
 
 def _dense_ids(freq: DataFrame) -> DataFrame:
-    """(token, tid): ids dense in (cnt ASC, token ASC) order — rank 1 is
-    the rarest token — assigned WITHOUT a global single-partition sort.
+    """(token, tid): integer token ids ORDER-FAITHFUL in (cnt ASC, token
+    ASC) — smaller tid ⇔ rarer token — assigned WITHOUT a global
+    single-partition sort.
 
     The naive ``row_number().over(Window.orderBy(...))`` moves the whole
     vocabulary through ONE task (Spark's "No Partition Defined" hazard):
     fine for part names, a hard ceiling for token-set ER over web text
-    where the vocabulary is 10⁸–10⁹ tokens. Instead, the classic
-    distributed dense-ranking shape:
+    where the vocabulary is 10⁸–10⁹ tokens. The join semantics need ids
+    that are only order-faithful and INJECTIVE — not dense — so the
+    one-pass distributed shape suffices:
 
     1. ``repartitionByRange(cnt, token)`` range-partitions the vocabulary
        on the sort key — partition p's keys all precede partition p+1's,
        and the range partitioner balances ROW COUNTS via sampling, so the
        hapax bucket (typically half the vocabulary, all cnt=1) spreads
        over many partitions instead of landing on one.
-    2. ``localCheckpoint(eager=True)`` pins the partitioning so the two
-       reads below (sizes, ranks) cannot re-sample different bounds —
-       and materializes the (vocabulary-sized, not corpus-sized) frame so
-       the offsets job doesn't re-tokenize the corpus.
-    3. Per-partition row counts — ONE row per shuffle partition, bounded
-       by cluster config, not by data — prefix-sum on the driver into
-       partition offsets (the same bounded-collect class as the sizing
-       rule's ``.first()``).
-    4. ``row_number`` PARTITIONED by partition id + broadcast offset =
-       the global rank, each partition sorting only its own range.
+    2. ``sortWithinPartitions`` orders each partition's own range — the
+       per-task sort is |V|/numPartitions, bounded by config, not data.
+    3. ``monotonically_increasing_id`` (partition_id·2³³ + row-number)
+       is then globally ascending in (cnt, token) order: ascending within
+       each sorted partition, and partition ids follow the range order.
+       Non-dense (gaps between partitions) — harmless, the arrays carry
+       ids only for ORDER (prefix = rarest) and EQUALITY (intersection).
 
-    Ids only need to be order-faithful and injective for the prefix
-    filter, and this assignment equals the old global ranking exactly
-    (asserted in tests/test_setsimjoin.py::TestDenseIds)."""
-    part = freq.repartitionByRange(
-        F.col("cnt"), F.col("token")
-    ).localCheckpoint(eager=True)
-    tagged = part.withColumn("pid", F.spark_partition_id())
-    sizes = tagged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    offsets, acc = [], 0
-    for row in sorted(sizes, key=lambda r: r["pid"]):
-        offsets.append((row["pid"], acc))
-        acc += row["n"]
-    off = freq.sparkSession.createDataFrame(offsets, "pid int, off long")
-    w = Window.partitionBy("pid").orderBy("cnt", "token")
+    No checkpoint, no driver collect, no window — one shuffle of the
+    vocabulary, fully lazy (measured: the two-pass dense-rank variant
+    spent 2.7 s of fixed jobs at build time; this is one 2.4 s stage
+    inside the query itself at a 1M-token vocabulary, PERF.md round 9).
+    Order-faithfulness + injectivity asserted in
+    tests/test_setsimjoin.py::TestDenseIds."""
     return (
-        tagged.withColumn("lr", F.row_number().over(w).cast("long"))
-        .join(F.broadcast(off), "pid")
-        .select("token", (F.col("off") + F.col("lr")).alias("tid"))
+        freq.repartitionByRange(F.col("cnt"), F.col("token"))
+        .sortWithinPartitions("cnt", "token")
+        .select("token", F.monotonically_increasing_id().alias("tid"))
     )
 
 
