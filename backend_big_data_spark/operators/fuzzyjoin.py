@@ -246,10 +246,19 @@ def edit_distance_join_indexed(
     q: int = 3,
     rank_by_index_freq: bool = False,
     index_freq: DataFrame | None = None,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Fuzzy join ``left`` (id, s) against a PRE-BUILT gram index
     (`gram_index` rows (id, gram)) plus its strings (id, s) — the
     incremental/streaming variant: the right side is never re-shingled.
+
+    ``broadcast_probe`` (default True — the streaming-sink regime, where
+    ``left`` is one micro-batch): hint the probe's prefix and string
+    frames broadcast so the at-rest index/master is scanned map-side
+    with no shuffle. Set False when the probe is MASTER-sized (e.g. the
+    registered full-corpus re-link queries): a corpus-sized broadcast
+    is an executor-memory ceiling, and AQE picks the join side from
+    runtime sizes instead. Results are invariant either way.
 
     One-sided prefix filtering: any k·q+1 DISTINCT grams of a left
     string serve as its prefix — k edits destroy at most k·q gram
@@ -314,8 +323,9 @@ def edit_distance_join_indexed(
     else:
         freq = lg.groupBy("gram").agg(F.count("*").alias("cnt"))
         lp = _prefix_grams(lg, freq, prefix_len).withColumnRenamed("id", "left_id")
+    hint = F.broadcast if broadcast_probe else (lambda df: df)
     cand = (
-        F.broadcast(lp)
+        hint(lp)
         .join(right_index.withColumnRenamed("id", "right_id"), "gram")
         .select("left_id", "right_id")
     )
@@ -323,7 +333,7 @@ def edit_distance_join_indexed(
     rs = right_strings.select(
         F.col("id").alias("right_id"), F.col("s").alias("right_s")
     )
-    return _verify_pairs(cand, F.broadcast(ls), rs, max_dist)
+    return _verify_pairs(cand, hint(ls), rs, max_dist)
 
 
 __all__ = [

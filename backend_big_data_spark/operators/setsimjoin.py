@@ -343,10 +343,19 @@ def token_jaccard_join_indexed(
     t_num: int = 3,
     t_den: int = 5,
     index_freq: DataFrame | None = None,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Jaccard join of ``probe`` (id, s) against a PRE-BUILT token
     index (`token_index` rows (id, token)) plus its strings (id, s) —
-    the incremental/streaming variant. The maintained index serves
+    the incremental/streaming variant.
+
+    ``broadcast_probe`` (default True — the streaming-sink regime,
+    where ``probe`` is one micro-batch): hint the probe's prefix table
+    broadcast so the at-rest index is scanned map-side with no shuffle.
+    Set False when the probe is MASTER-sized (the registered
+    full-corpus re-link query): a corpus-sized broadcast is an
+    executor-memory ceiling; AQE then picks the join side from runtime
+    sizes. Results are invariant either way. The maintained index serves
     CANDIDATE GENERATION (the expensive, shuffle-bearing stage: no
     per-probe re-tokenize/re-rank of the master to find who to compare);
     the exact VERIFY then re-derives the candidate masters' token arrays
@@ -399,7 +408,7 @@ def token_jaccard_join_indexed(
         "p_sz",
         F.explode(F.slice("p_toks", 1, keep)).alias("token"),
     )
-    cand = F.broadcast(pp).join(
+    cand = (F.broadcast(pp) if broadcast_probe else pp).join(
         master_index.withColumnRenamed("id", "master_id"), "token"
     )
     ms = master_strings.select(

@@ -66,6 +66,8 @@ _FRONT = [
     "part_token_best_match_stream",
     "doc_kn3_trigram_model",
     "doc_kn3_perplexity",
+    "doc_kn_incremental_model",
+    "doc_kn3_incremental_model",
     # -- (d) generated: oldest external rows first (r04 block, then r05) ----
     "pricing_summary",
     "revenue_by_region",

@@ -150,6 +150,14 @@ def part_fuzzy_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would semi-join-prune the strings to candidate ids first and
     # accept the shuffle.
     return (
+        # broadcast_probe stays True even though THIS probe is
+        # master-sized: the fuzzy prefix is only k·q+1 = 7 grams per
+        # record (140k rows at sf0.1), and the A/B at sf0.1 reads
+        # 6-14 s with the broadcast vs 26-30 s without (the unhinted
+        # join shuffles the 8M-row gram index instead) — PERF.md r09.
+        # Past broadcast range (10⁸+ probe records), callers pass
+        # broadcast_probe=False; the setsim twin defaults there because
+        # ITS prefix is nearly the whole token table.
         edit_distance_join_indexed(
             dirty, index, F.broadcast(clean), max_dist=_FUZZY_K, q=3,
             rank_by_index_freq=True,

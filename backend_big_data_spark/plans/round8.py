@@ -468,7 +468,13 @@ def part_token_jaccard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = token_index(part)
     freq = idx.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        token_jaccard_join_indexed(part, idx, part, 3, 5, index_freq=freq)
+        # broadcast_probe=False: THIS query's probe is the full corpus —
+        # a corpus-sized prefix broadcast is the one shape the indexed
+        # probe must never take at scale (the sink's batch-sized probes
+        # keep the default broadcast)
+        token_jaccard_join_indexed(
+            part, idx, part, 3, 5, index_freq=freq, broadcast_probe=False
+        )
         .where(F.col("probe_id") < F.col("master_id"))
         .select(
             F.col("probe_id").alias("left_id"),

@@ -234,3 +234,84 @@ def doc_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental LM training from maintained count sidecars
+# ---------------------------------------------------------------------------
+
+
+def _kn_incremental_oracle() -> str:
+    # the SAME SQL twin as the full-retrain doc_kn_bigram_model: counts
+    # are additive, so the incrementally-maintained model must hash-match
+    # the full retrain exactly — that equality IS the capability claimed
+    from backend_big_data_spark.plans.round8 import _KN_MODEL_ORACLE
+
+    return _KN_MODEL_ORACLE
+
+
+@register("doc_kn_incremental_model", oracle=_kn_incremental_oracle())
+def doc_kn_incremental_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KN bigram training end to end through the LM-count
+    sink (`streaming/lm_ingest.py`): the document corpus arrives as two
+    micro-batches (split on doc_id parity), each batch appending its
+    bigram counts as a maintained sidecar; the model then builds from
+    the SUMMED sidecars
+    (`text/kneser_ney.kn_bigram_model_from_counts`) without touching a
+    single document. The oracle is doc_kn_bigram_model's full-retrain
+    SQL twin — n-gram counts are additive, so incremental training must
+    equal the full retrain bit for bit, and this row certifies exactly
+    that equality. Same top-25 readout as the full-retrain query."""
+    import tempfile
+
+    from backend_big_data_spark.streaming.lm_ingest import (
+        lm_ingest_sink,
+        read_lm_bigram_counts,
+    )
+    from backend_big_data_spark.text.kneser_ney import (
+        kn_bigram_model_from_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cdir = tempfile.mkdtemp(prefix="lm_ingest_inc_")
+    sink = lm_ingest_sink(cdir)
+    sink(docs.where(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+    counts = read_lm_bigram_counts(spark, cdir)
+    return (
+        kn_bigram_model_from_counts(counts)
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(25)
+    )
+
+
+@register("doc_kn3_incremental_model", oracle=_KN3_MODEL_ORACLE)
+def doc_kn3_incremental_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trigram twin of `doc_kn_incremental_model`: KN trigram model
+    built from the LM sink's maintained per-batch trigram-count sidecars
+    (`text/kneser_ney.kn_trigram_model_from_counts`) — every lower order
+    of the KN recursion is a continuation count over the count TABLE, so
+    the maintained counts determine the whole model. Shares
+    `doc_kn3_trigram_model`'s full-retrain SQL twin: the hash equality
+    certifies incremental ≡ retrain at order 3."""
+    import tempfile
+
+    from backend_big_data_spark.streaming.lm_ingest import (
+        lm_ingest_sink,
+        read_lm_trigram_counts,
+    )
+    from backend_big_data_spark.text.kneser_ney import (
+        kn_trigram_model_from_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cdir = tempfile.mkdtemp(prefix="lm_ingest_inc3_")
+    sink = lm_ingest_sink(cdir)
+    sink(docs.where(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+    counts = read_lm_trigram_counts(spark, cdir)
+    return (
+        kn_trigram_model_from_counts(counts)
+        .orderBy(F.desc("c123"), "w1", "w2", "w3")
+        .limit(25)
+    )

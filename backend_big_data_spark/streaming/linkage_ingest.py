@@ -174,10 +174,24 @@ def admit_novel(batch: DataFrame, links: DataFrame) -> DataFrame:
 
 
 def linkage_ingest_sink(
-    master_dir: str, max_dist: int = DEFAULT_MAX_DIST, q: int = DEFAULT_Q
+    master_dir: str,
+    max_dist: int = DEFAULT_MAX_DIST,
+    q: int = DEFAULT_Q,
+    link_mode: str = "all",
+    k: int = 1,
 ):
     """``foreachBatch`` function maintaining the master table, its gram
-    index, and the per-batch link results under ``master_dir``."""
+    index, and the per-batch link results under ``master_dir``.
+
+    ``link_mode="topk"`` is the best-match contract (the setsim sink's
+    — `setsim_ingest.setsim_ingest_sink`): each batch record emits its
+    ``k`` CLOSEST masters (edit distance ASC, master id ASC — integer
+    keys, deterministic winner), ≤ |batch|·k rows per batch no matter
+    how dense the master's near-dup mass. ADMISSION is identical in
+    both modes (novel ⇔ no master within ``max_dist``), so the
+    maintained master/index/gramfreq state never forks across modes."""
+    if link_mode not in ("all", "topk"):
+        raise ValueError(f"link_mode must be 'all' or 'topk', got {link_mode!r}")
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -189,8 +203,20 @@ def linkage_ingest_sink(
             b, master, grams, max_dist=max_dist, q=q, master_gram_freq=gfreq
         ).persist()
         novel = admit_novel(b, links)
+        out_links = links
+        if link_mode == "topk":
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("dirty_id").orderBy(
+                F.asc("edit_dist"), F.asc("master_id")
+            )
+            out_links = (
+                links.withColumn("rank", F.row_number().over(w).cast("int"))
+                .where(F.col("rank") <= k)
+                .select("dirty_id", "master_id", "rank", "edit_dist")
+            )
         bdir = f"batch={batch_id}"
-        links.write.mode("overwrite").parquet(
+        out_links.write.mode("overwrite").parquet(
             os.path.join(master_dir, "links", bdir)
         )
         novel.write.mode("overwrite").parquet(os.path.join(master_dir, bdir))
@@ -218,12 +244,16 @@ def linkage_ingest_stream(
     master_dir: str,
     checkpoint: str,
     max_dist: int = DEFAULT_MAX_DIST,
+    link_mode: str = "all",
+    k: int = 1,
 ):
     """Attach the linkage sink to a dirty-record stream. Returns the
     started StreamingQuery (caller awaits/stops)."""
     return (
         dirty_stream.writeStream.foreachBatch(
-            linkage_ingest_sink(master_dir, max_dist=max_dist)
+            linkage_ingest_sink(
+                master_dir, max_dist=max_dist, link_mode=link_mode, k=k
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -58,6 +58,19 @@ def kn_bigram_model(
     occ = doc_bigram_occurrences(model_df, text_col, id_col)
     pair = occ.withColumn("w2", F.split(F.col("bigram"), " ")[1])
     c12 = pair.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    return kn_bigram_model_from_counts(c12)
+
+
+def kn_bigram_model_from_counts(c12: DataFrame) -> DataFrame:
+    """`kn_bigram_model` from a PRE-AGGREGATED bigram count table
+    (w1, w2, c12) — the incremental-training entry point: bigram counts
+    are additive across document batches, so a maintained counts sidecar
+    (`streaming/lm_ingest.py`) summed by key feeds this and yields the
+    model a full retrain would (equivalence oracle-certified by
+    `doc_kn_incremental_model` sharing `doc_kn_bigram_model`'s SQL
+    twin). Everything KN needs beyond the counts (context totals,
+    distinct-continuation counts) derives from the count TABLE, never
+    the corpus."""
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"),
         F.count(F.lit(1)).alias("n1plus_fw"),  # N1+(w1 ·)
@@ -195,6 +208,15 @@ def kn_trigram_model(
     corpora are orders of magnitude inside the bound."""
     occ = doc_trigram_occurrences(model_df, text_col, id_col)
     c123 = occ.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    return kn_trigram_model_from_counts(c123)
+
+
+def kn_trigram_model_from_counts(c123: DataFrame) -> DataFrame:
+    """`kn_trigram_model` from a PRE-AGGREGATED trigram count table
+    (w1, w2, w3, c123) — the incremental entry point (see
+    `kn_bigram_model_from_counts`); every lower order of the recursion
+    is a continuation count over the trigram TYPES, so the count table
+    alone determines the whole model."""
     # highest order: context totals + distinct continuations
     ctx3 = c123.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12dot"),
@@ -286,6 +308,8 @@ __all__ = [
     "doc_trigram_occurrences",
     "kn3_doc_nll",
     "kn_bigram_model",
+    "kn_bigram_model_from_counts",
     "kn_doc_nll",
     "kn_trigram_model",
+    "kn_trigram_model_from_counts",
 ]

@@ -263,3 +263,43 @@ class TestLinkageSink:
                     if re.search(r"Join|Union", txt):
                         break
                     ind = indent(lines[j])
+
+
+class TestLinkageTopkLinkMode:
+    def test_topk_links_are_deterministic_closest(self, spark, tmp_path):
+        """topk mode emits each batch record's k CLOSEST masters
+        (edit_dist ASC, master_id ASC) while ADMISSION stays identical
+        to all-pairs mode — the setsim sink's best-match contract on
+        the edit-distance family."""
+        mdir = str(tmp_path / "m")
+        sink = linkage_ingest_sink(mdir, link_mode="topk", k=1)
+        sink(_df(spark, B1), 0)
+        sink(_df(spark, B2), 1)
+        # record 10 is ed 1 from master 1 and ed 2 from master 3: top-1
+        # is master 1 only
+        got = sorted(
+            (r.dirty_id, r.master_id, r.rank, r.edit_dist)
+            for r in spark.read.parquet(f"{mdir}/links/batch=1").collect()
+        )
+        assert got == [(10, 1, 1, 1), (12, 2, 1, 1)]
+        # admission is mode-independent
+        adir = str(tmp_path / "a")
+        _run_two_batches(spark, adir)
+        assert _master_rows(spark, mdir) == _master_rows(spark, adir)
+
+    def test_k2_emits_ranked_runners_up(self, spark, tmp_path):
+        mdir = str(tmp_path / "m")
+        sink = linkage_ingest_sink(mdir, link_mode="topk", k=2)
+        sink(_df(spark, B1), 0)
+        sink(_df(spark, B2), 1)
+        got = sorted(
+            (r.dirty_id, r.master_id, r.rank)
+            for r in spark.read.parquet(f"{mdir}/links/batch=1").collect()
+        )
+        assert got == [(10, 1, 1), (10, 3, 2), (12, 2, 1)]
+
+    def test_bad_mode_raises(self, spark, tmp_path):
+        import pytest
+
+        with pytest.raises(ValueError, match="link_mode"):
+            linkage_ingest_sink(str(tmp_path / "m"), link_mode="nearest")
