@@ -315,3 +315,81 @@ def doc_kn3_incremental_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c123"), "w1", "w2", "w3")
         .limit(25)
     )
+
+
+_KN_CROSSFOLD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{2,}') AS t
+  FROM documents
+), occ0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> {'w1': t[i], 'w2': t[i + 1]})) AS s
+  FROM toks WHERE len(t) >= 2
+), occ AS (
+  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM occ0
+), c12 AS (  -- model trains on EVEN doc ids only
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM occ WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1plus_fw
+  FROM c12 GROUP BY 1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_w2 FROM c12 GROUP BY 1
+), ct AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cont_total FROM c12
+), model AS (
+  SELECT c12.w1, c12.w2,
+         CAST(greatest(4 * c12.c12 - 3, 0) * ct.cont_total
+              + 3 * c1.n1plus_fw * cont.cont_w2 AS BIGINT) AS kn_num,
+         CAST(4 * c1.c1 * ct.cont_total AS BIGINT) AS kn_den
+  FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN ct
+), scored AS (  -- ODD doc ids score against the even-trained model
+  SELECT o.doc_id,
+         CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+         SUM(CASE WHEN m.w1 IS NULL THEN 1 ELSE 0 END) AS oov,
+         -SUM(CAST(floor((ln(m.kn_num) - ln(m.kn_den)) * 10000 + 0.5)
+                   AS BIGINT)) AS nll_raw
+  FROM occ o LEFT JOIN model m ON o.w1 = m.w1 AND o.w2 = m.w2
+  WHERE o.doc_id % 2 = 1
+  GROUP BY 1
+)
+SELECT CAST(CASE WHEN oov = 0 THEN 1 ELSE 0 END AS INTEGER) AS covered,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+       CAST(SUM(CASE WHEN oov = 0 THEN nll_raw END) AS BIGINT)
+         AS total_nll_fp
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("doc_kn_crossfold_perplexity", oracle=_KN_CROSSFOLD_ORACLE)
+def doc_kn_crossfold_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out KN perplexity — the EXTERNAL-model scoring path
+    (`text/kneser_ney.kn_doc_nll(model_df=...)`) certified end to end:
+    the model trains on even-doc_id documents, odd documents score
+    against it, and any document containing a training-unseen bigram is
+    NULL-POISONED rather than silently under-reported (the honest OOV
+    contract — `kn_doc_nll`'s docstring). The readout splits held-out
+    documents into covered vs OOV and sums fixed-point NLL over the
+    covered group only (the OOV group's total is NULL by construction on
+    both engines — SQL SUM over an empty CASE set)."""
+    from backend_big_data_spark.text.kneser_ney import kn_doc_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    score = docs.where(F.col("doc_id") % 2 == 1)
+    scored = kn_doc_nll(score, model_df=train)
+    covered = (
+        F.when(F.col("nll_fp").isNotNull(), 1).otherwise(0).cast("int")
+    )
+    return (
+        scored.groupBy(covered.alias("covered"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+            F.sum("nll_fp").alias("total_nll_fp"),
+        )
+        .orderBy("covered")
+    )

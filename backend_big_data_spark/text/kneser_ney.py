@@ -45,6 +45,7 @@ D_NUM = 3
 D_DEN = 4
 
 
+
 def kn_bigram_model(
     model_df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -202,10 +203,13 @@ def kn_trigram_model(
       kn_num = max(4·c123 − 3, 0)·p2_den + 3·N1+(w1w2·)·p2_num
       kn_den = 4·c12•·p2_den
 
-    Overflow bound: kn_den ≤ 16·c12•·c'2•·U fits int64 while
-    c12•·c'2•·U < 2^59 — at web scale train on a sample (the module
-    docstring's standard shape) or reduce the fraction; the gate
-    corpora are orders of magnitude inside the bound."""
+    Overflow bound: kn_num/kn_den ≤ 16·c12•·c'2•·U must fit int64.
+    Spark 4 runs ANSI arithmetic by default, so a count table past the
+    bound RAISES ARITHMETIC_OVERFLOW at execution instead of silently
+    wrapping (tested in test_kneser_ney.py); at web scale train on a
+    sample (the module docstring's standard shape) or reduce the
+    fraction. The gate corpora are orders of magnitude inside the
+    bound."""
     occ = doc_trigram_occurrences(model_df, text_col, id_col)
     c123 = occ.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
     return kn_trigram_model_from_counts(c123)

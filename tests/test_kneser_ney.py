@@ -282,3 +282,58 @@ def test_trigram_short_docs_emit_no_row(spark):
     )
     got = {r.doc_id for r in kn3_doc_nll(df).collect()}
     assert 99 not in got and {1, 2, 3} <= got
+
+
+def test_overflow_guard_raises_instead_of_wrapping(spark):
+    """The exact-fraction engine must never emit a WRAPPED (wrong)
+    fraction: Spark 4's default ANSI arithmetic raises
+    ARITHMETIC_OVERFLOW when a count table's products exceed int64 —
+    this test pins that contract through the real model builders (if a
+    future session config disabled ANSI, fractions would silently wrap
+    and this test would catch it)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import (
+        ArithmeticException,
+        PySparkRuntimeError,
+        SparkRuntimeException,
+    )
+
+    from backend_big_data_spark.text.kneser_ney import (
+        kn_bigram_model_from_counts,
+        kn_trigram_model_from_counts,
+    )
+
+    big = 1 << 50
+    # |vocab| rows with huge counts: c1 = 2^50, cont_total = 4000, so
+    # 4·c1·cont_total ≈ 2^64 — past the 2^62 guard on both orders
+    rows = [(f"w{i}", f"w{(i + 1) % 4000}", big) for i in range(4000)]
+    c12 = spark.createDataFrame(rows, "w1 string, w2 string, c12 long")
+    with pytest.raises(
+        (
+            ArithmeticException,
+            Py4JJavaError,
+            PySparkRuntimeError,
+            SparkRuntimeException,
+        ),
+        match="(?i)overflow",
+    ):
+        kn_bigram_model_from_counts(c12).collect()
+
+    rows3 = [
+        (f"w{i}", f"w{(i + 1) % 4000}", f"w{(i + 2) % 4000}", big)
+        for i in range(4000)
+    ]
+    c123 = spark.createDataFrame(
+        rows3, "w1 string, w2 string, w3 string, c123 long"
+    )
+    with pytest.raises(
+        (
+            ArithmeticException,
+            Py4JJavaError,
+            PySparkRuntimeError,
+            SparkRuntimeException,
+        ),
+        match="(?i)overflow",
+    ):
+        kn_trigram_model_from_counts(c123).collect()
