@@ -393,3 +393,118 @@ def doc_kn_crossfold_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("covered")
     )
+
+
+_CCNET_BUCKETS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{2,}') AS t
+  FROM documents
+), occ0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> {'w1': t[i], 'w2': t[i + 1]})) AS s
+  FROM toks WHERE len(t) >= 2
+), occ AS (
+  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM occ0
+), c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM occ GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1plus_fw
+  FROM c12 GROUP BY 1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_w2 FROM c12 GROUP BY 1
+), ct AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cont_total FROM c12
+), model AS (
+  SELECT c12.w1, c12.w2,
+         CAST(greatest(4 * c12.c12 - 3, 0) * ct.cont_total
+              + 3 * c1.n1plus_fw * cont.cont_w2 AS BIGINT) AS kn_num,
+         CAST(4 * c1.c1 * ct.cont_total AS BIGINT) AS kn_den
+  FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN ct
+), scored AS (
+  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         -SUM(CAST(floor((ln(m.kn_num) - ln(m.kn_den)) * 10000 + 0.5)
+                   AS BIGINT)) AS nll_fp
+  FROM occ o JOIN model m ON o.w1 = m.w1 AND o.w2 = m.w2
+  GROUP BY 1
+), binned AS (
+  SELECT doc_id, n_bigrams, nll_fp,
+         nll_fp // (n_bigrams * 100) AS bin
+  FROM scored
+), hist AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS bn FROM binned GROUP BY 1
+), cum AS (
+  SELECT bin, SUM(bn) OVER (ORDER BY bin) AS cum,
+         (SELECT SUM(bn) FROM hist) AS tot
+  FROM hist
+), th AS (
+  SELECT MIN(CASE WHEN cum * 3 >= tot THEN bin END) AS t1,
+         MIN(CASE WHEN cum * 3 >= tot * 2 THEN bin END) AS t2
+  FROM cum
+)
+SELECT CASE WHEN bin <= t1 THEN 'a:head'
+            WHEN bin <= t2 THEN 'b:middle'
+            ELSE 'c:tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+       CAST(SUM(nll_fp) AS BIGINT) AS total_nll_fp
+FROM binned CROSS JOIN th
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("doc_ccnet_ppl_buckets", oracle=_CCNET_BUCKETS_ORACLE)
+def doc_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet perplexity filter's readout (Wenzek et al. 2020: split
+    the corpus into head/middle/tail by LM perplexity and keep
+    head+middle) at the document level under the interpolated KN bigram
+    model — WITHOUT a corpus sort: per-document fixed-point NLL-per-
+    bigram quantizes into integer bins (`div`, exact on both engines,
+    nested-floor identity), the bounded bin HISTOGRAM carries the only
+    ordered window (the doc_quality_calibration discipline — a global
+    rank over documents would be the B6 one-task hazard), and the two
+    cumulative thresholds t1/t2 (first bins covering ≥1/3 and ≥2/3 of
+    documents) bucket every document by comparison. Ties inside a
+    threshold bin all land on the keep side — deterministic, and the
+    honest behavior for a threshold filter."""
+    from pyspark.sql import Window
+
+    from backend_big_data_spark.text.kneser_ney import kn_doc_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = kn_doc_nll(docs).select(
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "nll_fp",
+        F.expr("nll_fp div (n_bigrams * 100)").alias("bin"),
+    )
+    hist = scored.groupBy("bin").agg(F.count(F.lit(1)).alias("bn"))
+    # partition-less window over the BIN HISTOGRAM only: ≤ a few hundred
+    # rows regardless of corpus size (bounded by the nll range / 0.01 nat)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("bn").over(w)).crossJoin(
+        F.broadcast(hist.agg(F.sum("bn").alias("tot")))
+    )
+    th = cum.agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("tot"), F.col("bin"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("tot") * 2, F.col("bin"))
+        ).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("bin") <= F.col("t1"), "a:head")
+        .when(F.col("bin") <= F.col("t2"), "b:middle")
+        .otherwise("c:tail")
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            F.sum("nll_fp").alias("total_nll_fp"),
+        )
+        .orderBy("bucket")
+    )

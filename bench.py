@@ -165,6 +165,7 @@ HEADLINE = [
     # batch-sized production regime directly).
     "doc_kn3_trigram_model",
     "doc_kn3_perplexity",
+    "doc_ccnet_ppl_buckets",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
