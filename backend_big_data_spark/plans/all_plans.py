@@ -70,6 +70,7 @@ _FRONT = [
     "doc_kn3_incremental_model",
     "doc_kn_crossfold_perplexity",
     "doc_ccnet_ppl_buckets",
+    "doc_kn_stream_scored",
     # -- (d) generated: oldest external rows first (r04 block, then r05) ----
     "pricing_summary",
     "revenue_by_region",

@@ -508,3 +508,76 @@ def doc_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_KN_STREAM_SCORED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{2,}') AS t
+  FROM documents
+), occ0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> {'w1': t[i], 'w2': t[i + 1]})) AS s
+  FROM toks WHERE len(t) >= 2
+), occ AS (
+  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM occ0
+), c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM occ WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1plus_fw
+  FROM c12 GROUP BY 1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_w2 FROM c12 GROUP BY 1
+), ct AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cont_total FROM c12
+), model AS (
+  SELECT c12.w1, c12.w2,
+         CAST(greatest(4 * c12.c12 - 3, 0) * ct.cont_total
+              + 3 * c1.n1plus_fw * cont.cont_w2 AS BIGINT) AS kn_num,
+         CAST(4 * c1.c1 * ct.cont_total AS BIGINT) AS kn_den
+  FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN ct
+), scored AS (
+  SELECT o.doc_id,
+         CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+         SUM(CASE WHEN m.w1 IS NULL THEN 1 ELSE 0 END) AS oov,
+         -SUM(CAST(floor((ln(m.kn_num) - ln(m.kn_den)) * 10000 + 0.5)
+                   AS BIGINT)) AS nll_raw
+  FROM occ o LEFT JOIN model m ON o.w1 = m.w1 AND o.w2 = m.w2
+  WHERE o.doc_id % 2 = 1
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       CAST(CASE WHEN oov = 0 THEN nll_raw END AS BIGINT) AS nll_fp
+FROM scored ORDER BY doc_id
+"""
+
+
+@register("doc_kn_stream_scored", oracle=_KN_STREAM_SCORED_ORACLE)
+def doc_kn_stream_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-at-arrival — the streaming form of the CCNet perplexity
+    filter, end to end through the LM sink
+    (`streaming/lm_ingest.lm_ingest_sink(score_batches=True)`): batch 0
+    admits the even-doc_id documents and maintains their count sidecars;
+    batch 1's documents are then scored AGAINST THE CORPUS-SO-FAR KN
+    model (built from the maintained counts via
+    `kn_bigram_model_from_counts` + `kn_doc_nll_from_model` — no retrain
+    scan) as they arrive, into ``ppl/batch=1``. Output: the per-document
+    fixed-point NLLs, with model-unseen bigrams NULL-poisoning their
+    document (the honest OOV signal a downstream threshold routes). The
+    oracle is a pure-SQL twin of train-on-even/score-odd — so this row
+    certifies that incremental score-at-arrival EQUALS scoring against a
+    full retrain."""
+    import tempfile
+
+    from backend_big_data_spark.streaming.lm_ingest import lm_ingest_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cdir = tempfile.mkdtemp(prefix="lm_ingest_scored_")
+    sink = lm_ingest_sink(cdir, score_batches=True)
+    sink(docs.where(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+    return spark.read.parquet(os.path.join(cdir, "ppl", "batch=1")).orderBy(
+        "doc_id"
+    )

@@ -104,9 +104,20 @@ def read_lm_trigram_counts(
     return raw.groupBy("w1", "w2", "w3").agg(F.sum("c123").alias("c123"))
 
 
-def lm_ingest_sink(corpus_dir: str):
+def lm_ingest_sink(corpus_dir: str, score_batches: bool = False):
     """``foreachBatch`` function maintaining the corpus of record and
-    its bigram/trigram count sidecars under ``corpus_dir``."""
+    its bigram/trigram count sidecars under ``corpus_dir``.
+
+    ``score_batches``: additionally score every arriving document
+    against the CORPUS-SO-FAR KN bigram model (built from the maintained
+    count sidecars, ``exclude_batch`` for replay safety — never a
+    retrain scan) into ``ppl/batch=N`` rows (doc_id, n_bigrams, nll_fp;
+    NULL nll_fp = the document contains a model-unseen bigram, the
+    honest OOV signal) — the streaming form of the CCNet perplexity
+    filter: score-at-arrival, threshold downstream. Batch 0 scores
+    against an empty model (every doc OOV) so the sidecar covers every
+    batch uniformly. Scoring is read-only w.r.t. the maintained state;
+    replay rewrites identical rows."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -115,6 +126,33 @@ def lm_ingest_sink(corpus_dir: str):
             os.path.join(corpus_dir, bdir)
         )
         docs = spark.read.parquet(os.path.join(corpus_dir, bdir))
+        if score_batches:
+            from backend_big_data_spark.text.kneser_ney import (
+                kn_bigram_model_from_counts,
+                kn_doc_nll_from_model,
+            )
+
+            counts = read_lm_bigram_counts(
+                spark, corpus_dir, exclude_batch=batch_id
+            )
+            if counts is None:
+                scored = (
+                    doc_bigram_occurrences(docs)
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"))
+                    .select(
+                        "doc_id",
+                        "n_bigrams",
+                        F.lit(None).cast("long").alias("nll_fp"),
+                    )
+                )
+            else:
+                scored = kn_doc_nll_from_model(
+                    docs, kn_bigram_model_from_counts(counts)
+                )
+            scored.write.mode("overwrite").parquet(
+                os.path.join(corpus_dir, "ppl", bdir)
+            )
         _batch_bigram_counts(docs).write.mode("overwrite").parquet(
             os.path.join(corpus_dir, "bigrams", bdir)
         )
@@ -270,7 +308,23 @@ def recover_lm_retraction(spark: SparkSession, corpus_dir: str) -> None:
         drop_band_sidecar=False,
     )
     _recount_sidecars(spark, corpus_dir, meta["dirs"])
+    _purge_ppl_rows(spark, corpus_dir, meta["ids"])
     fsutil.delete(spark, _lm_journal_path(corpus_dir), recursive=False)
+
+
+def _purge_ppl_rows(spark: SparkSession, corpus_dir: str, ids: list) -> int:
+    """Per-document score rows (``ppl/batch=N``) are derived personal
+    data keyed by doc id — erasure removes them like the linkage
+    masters' link rows."""
+    from backend_big_data_spark.streaming.retraction import retract_ids
+
+    ppl_base = os.path.join(corpus_dir, "ppl")
+    if not fsutil.exists(spark, ppl_base):
+        return 0
+    out = retract_ids(
+        spark, ppl_base, ids, id_col="doc_id", drop_band_sidecar=False
+    )
+    return out["rows_removed"]
 
 
 def retract_from_lm_corpus(
@@ -297,6 +351,7 @@ def retract_from_lm_corpus(
         spark, corpus_dir, doc_ids, id_col="doc_id", drop_band_sidecar=False
     )
     out["count_dirs_rebuilt"] = _recount_sidecars(spark, corpus_dir, dirs)
+    out["ppl_rows_removed"] = _purge_ppl_rows(spark, corpus_dir, doc_ids)
     fsutil.delete(spark, _lm_journal_path(corpus_dir), recursive=False)
     return out
 

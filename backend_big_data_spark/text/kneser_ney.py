@@ -116,6 +116,21 @@ def kn_doc_nll(
     through a backstop model. Docs with fewer than two tokens emit no
     row (they have no bigram to score)."""
     model = kn_bigram_model(model_df if model_df is not None else df, text_col, id_col)
+    return kn_doc_nll_from_model(df, model, text_col, id_col)
+
+
+def kn_doc_nll_from_model(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`kn_doc_nll` against a PREBUILT model frame (w1, w2, kn_num,
+    kn_den) — the incremental-scoring entry point: the LM sink
+    (`streaming/lm_ingest.py`) feeds it the model derived from the
+    maintained count sidecars, so each arriving batch scores against
+    the corpus-so-far LM without a retrain scan. Same OOV NULL-poisoning
+    contract as `kn_doc_nll`."""
     logp_fp = F.floor(
         (F.log(F.col("kn_num").cast("double")) - F.log(F.col("kn_den").cast("double")))
         * LOGP_SCALE
@@ -314,6 +329,7 @@ __all__ = [
     "kn_bigram_model",
     "kn_bigram_model_from_counts",
     "kn_doc_nll",
+    "kn_doc_nll_from_model",
     "kn_trigram_model",
     "kn_trigram_model_from_counts",
 ]

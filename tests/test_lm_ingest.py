@@ -261,3 +261,65 @@ class TestErasure:
         retract_from_lm_corpus(spark, cdir, [2, 3])
         ids = {r.doc_id for r in read_lm_docs(spark, cdir).collect()}
         assert ids == {1, 4}
+
+
+class TestScoreAtArrival:
+    def test_batch_scored_against_corpus_so_far(self, spark, tmp_path):
+        """ppl/batch=1 must equal external-model scoring of batch 1
+        against a model trained on batch 0 — incremental
+        score-at-arrival ≡ score-against-full-retrain."""
+        from backend_big_data_spark.text.kneser_ney import kn_doc_nll
+
+        cdir = str(tmp_path / "c")
+        sink = lm_ingest_sink(cdir, score_batches=True)
+        sink(_df(spark, B1), 0)
+        sink(_df(spark, B2), 1)
+        got = sorted(
+            (r.doc_id, r.n_bigrams, r.nll_fp)
+            for r in spark.read.parquet(f"{cdir}/ppl/batch=1").collect()
+        )
+        want = sorted(
+            (r.doc_id, r.n_bigrams, r.nll_fp)
+            for r in kn_doc_nll(
+                _df(spark, B2), model_df=_df(spark, B1)
+            ).collect()
+        )
+        assert got == want and got
+        # doc 4 has bigrams unseen in B1 → OOV-poisoned
+        assert dict((d, n) for d, _, n in got)[4] is None
+        # batch 0 scored against the empty model: every doc OOV, with
+        # its true bigram count carried
+        b0 = {
+            r.doc_id: (r.n_bigrams, r.nll_fp)
+            for r in spark.read.parquet(f"{cdir}/ppl/batch=0").collect()
+        }
+        assert set(b0) == {1, 2} and all(v[1] is None for v in b0.values())
+
+    def test_replay_rewrites_identical_scores(self, spark, tmp_path):
+        cdir = str(tmp_path / "c")
+        sink = lm_ingest_sink(cdir, score_batches=True)
+        sink(_df(spark, B1), 0)
+        sink(_df(spark, B2), 1)
+        before = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{cdir}/ppl/batch=1").collect()
+        )
+        sink(_df(spark, B2), 1)  # at-least-once retry
+        after = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{cdir}/ppl/batch=1").collect()
+        )
+        assert before == after
+
+    def test_erasure_purges_score_rows(self, spark, tmp_path):
+        cdir = str(tmp_path / "c")
+        sink = lm_ingest_sink(cdir, score_batches=True)
+        sink(_df(spark, B1), 0)
+        sink(_df(spark, B2), 1)
+        out = retract_from_lm_corpus(spark, cdir, [4])
+        assert out["ppl_rows_removed"] == 1
+        ids = {
+            r.doc_id
+            for r in spark.read.parquet(f"{cdir}/ppl/batch=1").collect()
+        }
+        assert 4 not in ids and 3 in ids
