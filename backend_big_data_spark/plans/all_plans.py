@@ -71,6 +71,7 @@ _FRONT = [
     "doc_kn_crossfold_perplexity",
     "doc_ccnet_ppl_buckets",
     "doc_kn_stream_scored",
+    "part_fuzzy_best_match_stream",
     # -- (d) generated: oldest external rows first (r04 block, then r05) ----
     "pricing_summary",
     "revenue_by_region",

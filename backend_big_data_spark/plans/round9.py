@@ -581,3 +581,66 @@ def doc_kn_stream_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(cdir, "ppl", "batch=1")).orderBy(
         "doc_id"
     )
+
+
+_FUZZY_BEST_STREAM_ORACLE = """
+WITH e AS (
+  SELECT CAST(p_partkey AS BIGINT) AS id,
+         p_name || '|' || p_brand || '|' || p_type AS ent
+  FROM part
+), m AS (  -- batch-0 admission: exact dups resolve to the min id
+  SELECT min(id) AS id, ent FROM e GROUP BY ent
+),
+d0 AS (SELECT id, ent, 1 + (id % len(ent)) AS pos1 FROM e),
+d1 AS (SELECT id,
+       substr(ent, 1, pos1 - 1) || substr(ent, pos1 + 1, 100000) AS e2
+       FROM d0),
+d2 AS (SELECT id, e2, 1 + ((id * 7) % len(e2)) AS pos2 FROM d1),
+dirty AS (SELECT id,
+          substr(e2, 1, pos2 - 1) || 'q' || substr(e2, pos2 + 1, 100000)
+          AS ds FROM d2),
+p AS (
+  SELECT d.id AS dirty_id, m.id AS master_id,
+         CAST(levenshtein(d.ds, m.ent) AS INTEGER) AS edit_dist
+  FROM dirty d JOIN m ON abs(len(d.ds) - len(m.ent)) <= 2
+  WHERE levenshtein(d.ds, m.ent) <= 2
+), r AS (
+  SELECT dirty_id, master_id, edit_dist,
+         CAST(row_number() OVER (
+           PARTITION BY dirty_id ORDER BY edit_dist, master_id
+         ) AS INTEGER) AS rank
+  FROM p
+)
+SELECT dirty_id, master_id, rank, edit_dist
+FROM r WHERE rank <= 1 ORDER BY dirty_id, master_id
+"""
+
+
+@register("part_fuzzy_best_match_stream", oracle=_FUZZY_BEST_STREAM_ORACLE)
+def part_fuzzy_best_match_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming best-match entity resolution on the EDIT-DISTANCE
+    family, end to end through the sink
+    (`streaming/linkage_ingest.linkage_ingest_sink` with
+    ``link_mode="topk"`` — the `part_token_best_match_stream`
+    certificate's fuzzy twin): batch 0 admits the clean part entities
+    (exact dups resolve to the min id), batch 1 links every
+    deterministically corrupted record to its single CLOSEST master at
+    edit distance ≤ 2 via the maintained gram index + gramfreq sidecar
+    (edit_dist ASC, master-id tie-break — deterministic winner). The
+    oracle replays the whole admit→corrupt→link→rank pipeline in SQL."""
+    import tempfile
+
+    from backend_big_data_spark.plans.round7c import _corrupt, _entities
+    from backend_big_data_spark.streaming.linkage_ingest import (
+        linkage_ingest_sink,
+    )
+
+    clean = _entities(spark, sf_dir)
+    dirty = _corrupt(clean)
+    mdir = tempfile.mkdtemp(prefix="linkage_topk_stream_")
+    sink = linkage_ingest_sink(mdir, max_dist=2, q=3, link_mode="topk", k=1)
+    sink(clean, 0)
+    sink(dirty, 1)
+    return spark.read.parquet(os.path.join(mdir, "links", "batch=1")).orderBy(
+        "dirty_id", "master_id"
+    )
