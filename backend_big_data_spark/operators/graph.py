@@ -289,3 +289,64 @@ def triangle_counts(
         .agg(F.count("*").alias("n_triangles"))
     )
     return per_vertex
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 32,
+) -> DataFrame:
+    """The k-core of the undirected graph: the maximal subgraph in which
+    every node has degree >= k (Seidman 1983) — the standard "dense
+    kernel" extraction before community/influence analysis, and the graph
+    family's counterpart of the dedup cluster spectrum.
+
+    Distributed batch peeling (the textbook parallel algorithm): each
+    round drops every node whose CURRENT degree is below k and the edges
+    it carries; deletions cascade, and the fixed point IS the k-core —
+    order-independent, so no tie-breaks are needed anywhere. Per round:
+    one keyed degree aggregate plus two semi-joins (all shuffles keyed on
+    a vertex), lineage truncated per round. The edge count is the
+    convergence certificate (strictly decreasing until the fixed point);
+    a fixed round budget with a raise on non-convergence keeps the
+    result exact rather than silently partial — a SQL engine replays the
+    peel as a k-step CTE chain (extra rounds past the fixed point are
+    no-ops, so a generous static budget replays a converged peel).
+
+    Returns ``(node, core_deg)`` — every node of the k-core with its
+    degree INSIDE the core. Empty when the core is empty.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = sym.localCheckpoint()
+    n_edges = sym.count()
+
+    for _ in range(max_iter):
+        keep = (
+            sym.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("a")
+        )
+        pruned = sym.join(keep, "a", "left_semi").join(
+            keep.select(F.col("a").alias("b")), "b", "left_semi"
+        )
+        pruned = pruned.localCheckpoint()
+        n_new = pruned.count()
+        if n_new == n_edges:
+            break
+        sym, n_edges = pruned, n_new
+    else:
+        raise RuntimeError(
+            f"k_core did not reach a fixed point in {max_iter} rounds "
+            f"({n_edges} edges remain) — raise max_iter"
+        )
+    return sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("int").alias("core_deg")
+    )

@@ -37,6 +37,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round7d,
     round8,
     round9,
+    round9b,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -72,6 +73,10 @@ _FRONT = [
     "doc_ccnet_ppl_buckets",
     "doc_kn_stream_scored",
     "part_fuzzy_best_match_stream",
+    "embedding_margin_pairs",
+    "embedding_margin_pairs_lsh",
+    "embedding_trunc_recall",
+    "supply_graph_kcore",
     # -- (d) generated: oldest external rows first (r04 block, then r05) ----
     "pricing_summary",
     "revenue_by_region",

@@ -1,0 +1,251 @@
+"""Round-9b additions: margin-based pair mining and truncation recall.
+
+- ``similarity/mining.py`` — margin-based kNN pair mining (the
+  Artetxe-Schwenk / CCMatrix parallel-pair recipe): ratio-margin scores,
+  mutual best matches, exact all-pairs baseline with an armed sizing cap,
+  and a sign-LSH candidate path whose bucketing replays bit-for-bit in SQL
+  via the md5-derived plane family (same contract as ann_lsh_topk).
+- truncated-dimension recall@k — the Matryoshka-style eval run before
+  shipping prefix-truncated embeddings to a cheaper ANN tier.
+
+Reference scope note: the reference engine (CiccioRomeo/backend-big-data)
+has none of these; they extend the additive ANN/curation capability set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.plans.registry import register
+from backend_big_data_spark.similarity.mining import (
+    margin_knn_pairs,
+    margin_knn_pairs_lsh,
+    truncated_recall_eval,
+)
+from backend_big_data_spark.sources.catalog import load_table
+
+# Shared oracle fragments -----------------------------------------------------
+
+_SIDES = """
+a AS (
+  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av
+  FROM embeddings WHERE label < 5
+), b AS (
+  SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS bv
+  FROM embeddings WHERE label >= 5
+)"""
+
+# Margin core over a candidate-pair CTE named `p(a_id, b_id, sim)`; k = 4,
+# mutual best matches, threshold on round(margin, 9).
+_MARGIN_TAIL = """
+r AS (
+  SELECT a_id, b_id, sim,
+         row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn_a,
+         row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rn_b
+  FROM p
+), d AS (
+  SELECT a_id, b_id, sim,
+         AVG(CASE WHEN rn_a <= 4 THEN sim END) OVER (PARTITION BY a_id) AS da,
+         AVG(CASE WHEN rn_b <= 4 THEN sim END) OVER (PARTITION BY b_id) AS db
+  FROM r
+), m AS (
+  SELECT a_id, b_id, sim, sim / ((da + db) / 2) AS margin,
+         ROUND(sim / ((da + db) / 2), 9) AS mkey
+  FROM d
+), best AS (
+  SELECT a_id, b_id, sim, margin, mkey,
+         row_number() OVER (PARTITION BY a_id ORDER BY mkey DESC, b_id) AS ba,
+         row_number() OVER (PARTITION BY b_id ORDER BY mkey DESC, a_id) AS bb
+  FROM m
+)
+SELECT a_id, b_id, ROUND(sim, 6) AS cosine_sim, ROUND(margin, 6) AS margin
+FROM best
+WHERE ba = 1 AND bb = 1 AND mkey >= {threshold}
+ORDER BY a_id
+"""
+
+
+@register(
+    "embedding_margin_pairs",
+    oracle="WITH "
+    + _SIDES
+    + """,
+p AS (
+  SELECT a_id, b_id, list_cosine_similarity(av, bv) AS sim FROM a, b
+), """
+    + _MARGIN_TAIL.format(threshold="1.0"),
+)
+def embedding_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact margin-based pair mining between the label<5 and label>=5
+    halves of the embedding corpus (two 'languages'): ratio margin over
+    top-4 neighborhoods, mutual best matches with margin >= 1. The armed
+    ``pair_cap`` (4e6, ~4x the sf0.1 pair count) demonstrates the sizing
+    rule: at corpus scale the call REFUSES the quadratic regime instead of
+    launching it — `embedding_margin_pairs_lsh` is the scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return margin_knn_pairs(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        k=4,
+        threshold=1.0,
+        mutual=True,
+        pair_cap=4_000_000,
+    )
+
+
+@register(
+    "embedding_margin_pairs_lsh",
+    oracle="WITH "
+    + _SIDES
+    + """,
+planes AS (
+  SELECT t, b,
+         list_transform(generate_series(1, 64), i ->
+           ((CAST(concat('0x', substr(md5(concat(t, ':', b, ':', i - 1)), 1, 15)) AS BIGINT)
+             % 2000001) - 1000000) / 1000000.0) AS pv
+  FROM generate_series(0, 5) g1(t), generate_series(0, 5) g2(b)
+), ka AS (
+  SELECT a_id,
+         concat(t, ':', string_agg(
+           CASE WHEN list_inner_product(av, pv) > 0 THEN '1' ELSE '0' END,
+           '' ORDER BY b)) AS bucket
+  FROM a, planes GROUP BY a_id, t
+), kb AS (
+  SELECT b_id,
+         concat(t, ':', string_agg(
+           CASE WHEN list_inner_product(bv, pv) > 0 THEN '1' ELSE '0' END,
+           '' ORDER BY b)) AS bucket
+  FROM b, planes GROUP BY b_id, t
+), cand AS (
+  SELECT DISTINCT ka.a_id, kb.b_id FROM ka JOIN kb USING (bucket)
+), p AS (
+  SELECT cand.a_id, cand.b_id, list_cosine_similarity(a.av, b.bv) AS sim
+  FROM cand JOIN a USING (a_id) JOIN b USING (b_id)
+), """
+    + _MARGIN_TAIL.format(threshold="1.0"),
+)
+def embedding_margin_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin pair mining over sign-LSH candidates — the 100 TB shape
+    (neither side broadcast; pair frame is candidate-sized; margins over
+    each vector's candidate shortlist, the CCMatrix approximation). The
+    md5-derived plane family makes bucketing — hence the full mine —
+    SQL-replayable, so this scale path is itself oracle-gated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return margin_knn_pairs_lsh(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        k=4,
+        threshold=1.0,
+        mutual=True,
+        num_bits=6,
+        num_tables=6,
+        dim=64,
+        plane_source="md5",
+    )
+
+
+@register(
+    "embedding_trunc_recall",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 20
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id) AS rnk
+    FROM q, vecs c WHERE c.vec_id != q.query_id
+  ) WHERE rnk <= 10
+), arms AS (SELECT UNNEST([16, 32]) AS dim), trunc AS (
+  SELECT dim, query_id, neighbor_id FROM (
+    SELECT arms.dim, q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY arms.dim, q.query_id
+             ORDER BY list_cosine_similarity(q.qv[1:arms.dim], c.v[1:arms.dim]) DESC,
+                      c.vec_id) AS rnk
+    FROM arms, q, vecs c WHERE c.vec_id != q.query_id
+  ) WHERE rnk <= 10
+)
+SELECT t.query_id, CAST(arms.dim AS INTEGER) AS dim,
+       CAST(COUNT(tr.neighbor_id) AS INTEGER) AS hits,
+       ROUND(COUNT(tr.neighbor_id) / 10.0, 6) AS recall
+FROM truth t
+CROSS JOIN arms
+LEFT JOIN trunc tr
+  ON tr.dim = arms.dim AND tr.query_id = t.query_id
+ AND tr.neighbor_id = t.neighbor_id
+GROUP BY t.query_id, arms.dim
+ORDER BY t.query_id, arms.dim
+""",
+)
+def embedding_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval: recall@10 of prefix-16 and prefix-32
+    cosine retrieval against the full 64-dim ground truth, per query
+    (20 bounded eval queries, broadcast; corpus streams map-side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return truncated_recall_eval(
+        emb, emb.filter(F.col("vec_id") < 20), k=10, dims=(16, 32)
+    )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 32) -> str:
+    """Static CTE-chain replay of the batch peel (the PageRank/LPA oracle
+    pattern): ``rounds`` is a generous budget — peeling is monotone, so
+    every round past the fixed point is a no-op and the chain's tail
+    equals the converged core the Spark loop stops at."""
+    parts = [
+        """WITH purchases AS MATERIALIZED (
+  SELECT concat('c', CAST(o_custkey AS VARCHAR)) AS src,
+         concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM purchases
+), e0 AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", n{i} AS MATERIALIZED (
+  SELECT a FROM e{i - 1} GROUP BY a HAVING COUNT(*) >= {k}
+), e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN n{i} x ON x.a = e.a JOIN n{i} y ON y.a = e.b
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a AS node, CAST(COUNT(*) AS INTEGER) AS core_deg
+FROM e{rounds} GROUP BY a ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register("supply_graph_kcore", oracle=_kcore_oracle())
+def supply_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the repeat-purchase graph (customer—supplier edges with
+    >= 2 purchases): the dense trading kernel after cascading removal of
+    peripheral nodes. Distributed batch peeling with an edge-count
+    convergence certificate; the oracle replays the peel as a 32-round
+    CTE chain (no-op past the fixed point). Stays off the bench headline
+    for the LPA/PageRank reason: wall time is driver-synced peel rounds
+    (24 at sf0.1), not data throughput."""
+    from backend_big_data_spark.operators.graph import k_core
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    purchases = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return k_core(purchases, k=3).orderBy("node")

@@ -166,6 +166,16 @@ HEADLINE = [
     "doc_kn3_trigram_model",
     "doc_kn3_perplexity",
     "doc_ccnet_ppl_buckets",
+    # round-9b: margin-based pair mining over sign-LSH candidates (the
+    # CCMatrix shape — bucketed candidate join, margins over candidate
+    # shortlists, no broadcast of either side) and the Matryoshka
+    # truncation recall eval. embedding_margin_pairs (exact) stays OFF
+    # the headline for the part_token_jaccard_match reason: it is the
+    # deliberate all-pairs baseline (|A|x|B| cosines), so its wall
+    # measures the quadratic regime the armed pair_cap exists to refuse;
+    # the sf0.01/sf0.1 oracle gates certify it.
+    "embedding_margin_pairs_lsh",
+    "embedding_trunc_recall",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

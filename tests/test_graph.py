@@ -172,3 +172,67 @@ def test_lpa_parallel_edges_collapse_to_weight(spark):
     pairs = [(1, 2), (2, 1), (1, 2), (1, 3), (1, 4), (3, 4)]
     got = _communities(label_propagation(_edges_df(spark, pairs), iterations=2))
     assert got == _lpa_ref(pairs, iterations=2)
+
+
+# ---------------------------------------------------------------------------
+# k-core (batch peeling)
+# ---------------------------------------------------------------------------
+
+
+def _kcore_ref(pairs, k):
+    """Plain-Python peel: the independent reference."""
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def _kcore_got(spark, pairs, k, **kw):
+    from backend_big_data_spark.operators.graph import k_core
+
+    df = k_core(_edges_df(spark, pairs), k=k, **kw)
+    return {r.node: r.core_deg for r in df.collect()}
+
+
+def test_kcore_planted_clique_survives_cascade(spark):
+    """A 5-clique plus a pendant chain: the chain (and the clique node it
+    hangs off, transiently at degree 5) peels away under k=4; exactly the
+    clique remains, every member at in-core degree 4."""
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(0, 10), (10, 11), (11, 12)]
+    got = _kcore_got(spark, clique + chain, k=4)
+    assert got == {i: 4 for i in range(5)}
+    assert got == _kcore_ref(clique + chain, 4)
+
+
+def test_kcore_tree_peels_to_empty(spark):
+    tree = [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5)]
+    assert _kcore_got(spark, tree, k=2) == {}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_kcore_matches_reference_on_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    pairs = [
+        (rng.randrange(30), rng.randrange(30)) for _ in range(120)
+    ]
+    for k in (2, 3, 4):
+        assert _kcore_got(spark, pairs, k) == _kcore_ref(pairs, k)
+
+
+def test_kcore_insufficient_budget_raises(spark):
+    """A 6-node path under k=2 cascades one node per round from each end;
+    one round cannot reach the (empty) fixed point."""
+    path = [(i, i + 1) for i in range(5)]
+    with pytest.raises(RuntimeError, match="fixed point"):
+        _kcore_got(spark, path, k=2, max_iter=1)

@@ -1,0 +1,225 @@
+"""Margin-based pair mining + truncation recall (similarity/mining.py).
+
+Reference results are computed in numpy with the same semantics (ratio
+margin over top-k neighborhoods, 9-dp ranking key, id tie-breaks), so the
+Spark plans are checked against an independent implementation, not
+themselves. Rounded (6 dp) comparisons throughout — same parity policy as
+the registry oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from backend_big_data_spark.similarity.mining import (
+    MarginMiningBlowup,
+    margin_knn_pairs,
+    margin_knn_pairs_lsh,
+    truncated_recall_eval,
+)
+
+
+def _emb_df(spark, ids, mat, label=0):
+    rows = [(int(i), [float(x) for x in v], label) for i, v in zip(ids, mat)]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def _ref_margin_pairs(ids_a, A, ids_b, B, k, threshold, mutual):
+    """Independent numpy implementation of the mining contract."""
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    sim = (A @ B.T) / (
+        np.linalg.norm(A, axis=1)[:, None] * np.linalg.norm(B, axis=1)[None, :]
+    )
+
+    def topk_avg(s, ids_other, k):
+        # order by (sim desc, id asc), average the first min(k, n)
+        out = np.empty(s.shape[0])
+        for i in range(s.shape[0]):
+            order = np.lexsort((ids_other, -s[i]))
+            out[i] = s[i][order[: min(k, len(order))]].mean()
+        return out
+
+    da = topk_avg(sim, np.asarray(ids_b), k)
+    db = topk_avg(sim.T, np.asarray(ids_a), k)
+    margin = sim / ((da[:, None] + db[None, :]) / 2.0)
+    mkey = np.round(margin, 9)
+    best_a = {}
+    for i, aid in enumerate(ids_a):
+        order = np.lexsort((ids_b, -mkey[i]))
+        best_a[aid] = order[0]
+    best_b = {}
+    for j, bid in enumerate(ids_b):
+        order = np.lexsort((ids_a, -mkey[:, j]))
+        best_b[bid] = order[0]
+    out = set()
+    for i, aid in enumerate(ids_a):
+        j = best_a[aid]
+        if mkey[i, j] < threshold:
+            continue
+        if mutual and best_b[ids_b[j]] != i:
+            continue
+        out.add(
+            (aid, ids_b[j], round(float(sim[i, j]), 6), round(float(margin[i, j]), 6))
+        )
+    return out
+
+
+def _collect_pairs(df):
+    return {
+        (r.a_id, r.b_id, r.cosine_sim, r.margin) for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    # planted structure: 6 near-duplicate cross-side pairs + noise
+    base = rng.standard_normal((6, 16))
+    A = np.vstack([base + 0.01 * rng.standard_normal((6, 16)),
+                   rng.standard_normal((14, 16))])
+    B = np.vstack([base + 0.01 * rng.standard_normal((6, 16)),
+                   rng.standard_normal((10, 16))])
+    return list(range(100, 120)), A, list(range(500, 516)), B
+
+
+def test_exact_matches_numpy_reference(spark, corpus):
+    ids_a, A, ids_b, B = corpus
+    got = _collect_pairs(
+        margin_knn_pairs(
+            _emb_df(spark, ids_a, A), _emb_df(spark, ids_b, B),
+            k=3, threshold=1.0, mutual=True,
+        )
+    )
+    want = _ref_margin_pairs(ids_a, A, ids_b, B, k=3, threshold=1.0, mutual=True)
+    assert got == want
+    # the 6 planted near-dup pairs must all be mined
+    planted = {(100 + i, 500 + i) for i in range(6)}
+    assert planted <= {(a, b) for a, b, *_ in got}
+
+
+def test_non_mutual_is_superset_and_one_per_a(spark, corpus):
+    ids_a, A, ids_b, B = corpus
+    mutual = _collect_pairs(
+        margin_knn_pairs(
+            _emb_df(spark, ids_a, A), _emb_df(spark, ids_b, B),
+            k=3, threshold=1.0, mutual=True,
+        )
+    )
+    loose = _collect_pairs(
+        margin_knn_pairs(
+            _emb_df(spark, ids_a, A), _emb_df(spark, ids_b, B),
+            k=3, threshold=1.0, mutual=False,
+        )
+    )
+    assert mutual <= loose
+    a_ids = [a for a, *_ in loose]
+    assert len(a_ids) == len(set(a_ids))  # at most one winner per a
+    assert loose == _ref_margin_pairs(
+        ids_a, A, ids_b, B, k=3, threshold=1.0, mutual=False
+    )
+
+
+def test_pair_cap_refuses_quadratic_regime(spark, corpus):
+    ids_a, A, ids_b, B = corpus
+    with pytest.raises(MarginMiningBlowup, match="pair_cap"):
+        margin_knn_pairs(
+            _emb_df(spark, ids_a, A), _emb_df(spark, ids_b, B),
+            k=3, pair_cap=100,
+        )
+
+
+def test_lsh_equals_exact_when_buckets_capture_all(spark):
+    """Vectors tightly clustered around one base direction land in the
+    same sign bucket in every table (all plane dot products keep the base
+    vector's sign) — candidates become all-pairs and the LSH mine must
+    equal the exact mine bit-for-bit."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16)
+    base /= np.linalg.norm(base)
+    A = base + 1e-4 * rng.standard_normal((8, 16))
+    B = base + 1e-4 * rng.standard_normal((7, 16))
+    ids_a, ids_b = list(range(8)), list(range(50, 57))
+    exact = _collect_pairs(
+        margin_knn_pairs(
+            _emb_df(spark, ids_a, A), _emb_df(spark, ids_b, B),
+            k=2, threshold=0.0, mutual=True,
+        )
+    )
+    lsh = _collect_pairs(
+        margin_knn_pairs_lsh(
+            _emb_df(spark, ids_a, A), _emb_df(spark, ids_b, B),
+            k=2, threshold=0.0, mutual=True,
+            num_bits=4, num_tables=3, dim=16, plane_source="md5",
+        )
+    )
+    assert lsh == exact and len(exact) > 0
+
+
+def test_all_margin_windows_are_partitioned(spark, corpus):
+    """Scale guard: every WindowExec in both mining plans carries a
+    partition spec (a_id / b_id) — no one-task global window anywhere."""
+    ids_a, A, ids_b, B = corpus
+
+    def window_specs(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return [
+            line for line in plan.splitlines()
+            if "Window" in line.split("[")[0]
+        ]
+
+    for df in (
+        margin_knn_pairs(
+            _emb_df(spark, ids_a, A), _emb_df(spark, ids_b, B), k=3
+        ),
+        margin_knn_pairs_lsh(
+            _emb_df(spark, ids_a, A), _emb_df(spark, ids_b, B),
+            k=3, num_bits=4, num_tables=3, dim=16, plane_source="md5",
+        ),
+    ):
+        specs = window_specs(df)
+        assert specs, "expected window operators in the margin plan"
+        for s in specs:
+            assert ("a_id#" in s) or ("b_id#" in s), s
+
+
+def test_trunc_recall_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    n, dim = 40, 16
+    M = rng.standard_normal((n, dim))
+    ids = list(range(n))
+    df = _emb_df(spark, ids, M)
+    got = {
+        (r.query_id, r.dim, r.hits, r.recall)
+        for r in truncated_recall_eval(
+            df, df.filter("vec_id < 5"), k=6, dims=(4, 8)
+        ).collect()
+    }
+
+    def topk_ids(q, d, k):
+        sub = M[:, :d]
+        qs = sub[q] / np.linalg.norm(sub[q])
+        sims = sub @ qs / np.linalg.norm(sub, axis=1)
+        order = [i for i in np.lexsort((ids, -sims)) if i != q]
+        return set(order[:k])
+
+    want = set()
+    for q in range(5):
+        truth = topk_ids(q, dim, 6)
+        for d in (4, 8):
+            hits = len(truth & topk_ids(q, d, 6))
+            want.add((q, d, hits, round(hits / 6.0, 6)))
+    assert got == want
+
+
+def test_trunc_recall_full_dim_is_perfect(spark):
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((25, 8))
+    df = _emb_df(spark, list(range(25)), M)
+    rows = truncated_recall_eval(
+        df, df.filter("vec_id < 4"), k=5, dims=(8,)
+    ).collect()
+    assert len(rows) == 4
+    assert all(r.hits == 5 and r.recall == 1.0 for r in rows)
