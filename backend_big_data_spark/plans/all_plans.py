@@ -77,6 +77,8 @@ _FRONT = [
     "embedding_margin_pairs_lsh",
     "embedding_trunc_recall",
     "supply_graph_kcore",
+    "embedding_covariance",
+    "embedding_margin_link_stream",
     # -- (d) generated: oldest external rows first (r04 block, then r05) ----
     "pricing_summary",
     "revenue_by_region",

@@ -249,3 +249,141 @@ def supply_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return k_core(purchases, k=3).orderBy("node")
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT vec_id, g.i, v[g.i + 1] AS x
+  FROM vecs, generate_series(0, 63) g(i)
+), p AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy, COUNT(*) AS n
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+), s AS (
+  SELECT i, SUM(x) AS sx FROM e GROUP BY i
+)
+SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+       FLOOR((p.sxy / p.n - (sa.sx / p.n) * (sb.sx / p.n)) * 1000000 + 0.5)
+         / 1000000 AS cov
+FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+ORDER BY p.i, p.j
+""",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 64x64 covariance of the embedding corpus, long format (upper
+    triangle): the PCA/whitening training pass. Map-side expansion to
+    pairwise products through JVM higher-order functions (a row never
+    meets another row — the oracle's self-join is the SEMANTIC twin, not
+    the plan) + one partial-aggregated keyed shuffle whose volume is
+    O(dim^2 x partitions), independent of corpus size."""
+    from backend_big_data_spark.similarity.pca import (
+        embedding_covariance as cov_op,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cov_op(emb, dim=64)
+
+
+_MARGIN_STREAM_ORACLE = """
+WITH m0 AS (
+  SELECT min(vec_id) AS id, embedding
+  FROM embeddings WHERE vec_id % 2 = 0 GROUP BY embedding
+), m AS (
+  SELECT id AS b_id, CAST(embedding AS DOUBLE[]) AS bv FROM m0
+), q AS (
+  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av
+  FROM embeddings WHERE vec_id % 2 = 1
+), planes AS (
+  SELECT t, b,
+         list_transform(generate_series(1, 64), i ->
+           ((CAST(concat('0x', substr(md5(concat(t, ':', b, ':', i - 1)), 1, 15)) AS BIGINT)
+             % 2000001) - 1000000) / 1000000.0) AS pv
+  FROM generate_series(0, 5) g1(t), generate_series(0, 5) g2(b)
+), km AS (
+  SELECT b_id,
+         concat(t, ':', string_agg(
+           CASE WHEN list_inner_product(bv, pv) > 0 THEN '1' ELSE '0' END,
+           '' ORDER BY b)) AS bucket
+  FROM m, planes GROUP BY b_id, t
+), kq AS (
+  SELECT a_id,
+         concat(t, ':', string_agg(
+           CASE WHEN list_inner_product(av, pv) > 0 THEN '1' ELSE '0' END,
+           '' ORDER BY b)) AS bucket
+  FROM q, planes GROUP BY a_id, t
+), cand AS (
+  SELECT DISTINCT kq.a_id, km.b_id FROM kq JOIN km USING (bucket)
+), p AS (
+  SELECT cand.a_id, cand.b_id, list_cosine_similarity(q.av, m.bv) AS sim
+  FROM cand JOIN q USING (a_id) JOIN m USING (b_id)
+), r AS (
+  SELECT a_id, b_id, sim,
+         row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn_a,
+         row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rn_b
+  FROM p
+), d AS (
+  SELECT a_id, b_id, sim,
+         AVG(CASE WHEN rn_a <= 4 THEN sim END) OVER (PARTITION BY a_id) AS da,
+         AVG(CASE WHEN rn_b <= 4 THEN sim END) OVER (PARTITION BY b_id) AS db
+  FROM r
+), sc AS (
+  SELECT a_id, b_id, sim, sim / ((da + db) / 2) AS margin,
+         ROUND(sim / ((da + db) / 2), 9) AS mkey
+  FROM d
+), ranked AS (
+  SELECT a_id, b_id, sim, margin, mkey,
+         CAST(row_number() OVER (PARTITION BY a_id
+                                 ORDER BY mkey DESC, b_id) AS INTEGER) AS rank
+  FROM sc
+)
+SELECT a_id AS dirty_id, b_id AS master_id, rank,
+       ROUND(sim, 6) AS cosine_sim, ROUND(margin, 6) AS margin
+FROM ranked WHERE rank <= 1 AND mkey >= 1.0
+ORDER BY dirty_id, master_id
+"""
+
+
+@register("embedding_margin_link_stream", oracle=_MARGIN_STREAM_ORACLE)
+def embedding_margin_link_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding entity resolution, end to end through the SINK
+    (`streaming/margin_ingest.margin_ingest_sink`): batch 0 admits the
+    even-vec_id embeddings as master entities (exact-duplicate vectors
+    resolve to the min id — the sink's admission rule) and stores their
+    LSH bucket keys; batch 1 margin-links every odd-vec_id record against
+    the maintained bucket sidecar, emitting each record's best master by
+    ratio margin (9-dp key, master-id tie-break) at margin >= 1. The
+    oracle is a pure-SQL twin of the whole admit->link pipeline (md5
+    plane family), so the gate certifies the SINK semantics.
+
+    The sink runs against a throwaway master dir (per-invocation temp
+    path; content — and therefore the result hash — is path-independent).
+    """
+    from backend_big_data_spark.streaming.margin_ingest import (
+        margin_ingest_sink,
+    )
+
+    import os as _os
+    import tempfile as _tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mdir = _tempfile.mkdtemp(prefix="margin_link_stream_")
+    sink = margin_ingest_sink(mdir, dim=64, knn_k=4, threshold=1.0, link_k=1)
+    sink(
+        emb.where(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("id"), "embedding"
+        ),
+        0,
+    )
+    sink(
+        emb.where(F.col("vec_id") % 2 == 1).select(
+            F.col("vec_id").alias("id"), "embedding"
+        ),
+        1,
+    )
+    return spark.read.parquet(_os.path.join(mdir, "links", "batch=1")).orderBy(
+        "dirty_id", "master_id"
+    )

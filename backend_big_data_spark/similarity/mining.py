@@ -52,23 +52,21 @@ class MarginMiningBlowup(RuntimeError):
     regime where the LSH-candidate form is the correct tool."""
 
 
-def _margin_best_matches(
-    pairs: DataFrame, k: int, threshold: float, mutual: bool
-) -> DataFrame:
-    """Shared margin core over a candidate-pair frame.
+def _margin_scores(pairs: DataFrame, k: int) -> DataFrame:
+    """Ratio-margin scores over a candidate-pair frame.
 
     ``pairs`` carries (a_id, b_id, sim). Top-k neighborhood means are
     window aggregates (no self-join, no recompute of the pair frame); the
-    ranking key is the margin rounded to 9 dp with an id tie-break so both
-    engines (Spark / the DuckDB oracle) rank identically — a sub-1e-9
-    float wobble can't flip a winner.
+    ranking key ``mkey`` is the margin rounded to 9 dp so both engines
+    (Spark / the DuckDB oracle) rank identically with an id tie-break — a
+    sub-1e-9 float wobble can't flip a winner.
     """
     w_rank_a = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.col("b_id"))
     w_rank_b = Window.partitionBy("b_id").orderBy(F.desc("sim"), F.col("a_id"))
     w_part_a = Window.partitionBy("a_id")
     w_part_b = Window.partitionBy("b_id")
 
-    scored = (
+    return (
         pairs.withColumn("rn_a", F.row_number().over(w_rank_a))
         .withColumn("rn_b", F.row_number().over(w_rank_b))
         .withColumn(
@@ -77,11 +75,28 @@ def _margin_best_matches(
         .withColumn(
             "db", F.avg(F.when(F.col("rn_b") <= k, F.col("sim"))).over(w_part_b)
         )
+        # NULL margin when the pair's two neighborhoods cancel to zero
+        # (all-orthogonal candidates) — the exact contract SQL engines
+        # give x/0 on doubles (DuckDB: NULL), so both engines drop such
+        # pairs at the threshold filter; under ANSI mode Spark would
+        # otherwise RAISE here.
         .withColumn(
-            "margin", F.col("sim") / ((F.col("da") + F.col("db")) / F.lit(2.0))
+            "denom", (F.col("da") + F.col("db")) / F.lit(2.0)
+        )
+        .withColumn(
+            "margin",
+            F.when(F.col("denom") != 0.0, F.col("sim") / F.col("denom")),
         )
         .withColumn("mkey", F.round(F.col("margin"), 9))
     )
+
+
+def _margin_best_matches(
+    pairs: DataFrame, k: int, threshold: float, mutual: bool
+) -> DataFrame:
+    """Mutual (or A-side) best matches above ``threshold`` over
+    :func:`_margin_scores`."""
+    scored = _margin_scores(pairs, k)
     w_best_a = Window.partitionBy("a_id").orderBy(F.desc("mkey"), F.col("b_id"))
     best = scored.withColumn("ba", F.row_number().over(w_best_a))
     keep = (F.col("ba") == 1) & (F.col("mkey") >= threshold)

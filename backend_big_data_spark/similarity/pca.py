@@ -1,0 +1,177 @@
+"""Distributed covariance + PCA/whitening over embedding columns.
+
+The embedding-pipeline preprocessing pair (additive scope; no reference
+counterpart):
+
+- :func:`embedding_covariance` — the full (upper-triangle) covariance
+  matrix of an ``array<float>`` column as a long-format DataFrame. The
+  scale-correct shape: each row expands map-side to its dim·(dim+1)/2
+  pairwise products through JVM higher-order functions (no Python, no
+  self-join — a row never meets another row), and ONE partial-aggregated
+  shuffle of (i, j) keys reduces them. Shuffle volume is O(dim²·
+  partitions), independent of row count — the plan that survives 100 TB.
+- :func:`pca_components` — eigendecomposition of that matrix on the
+  driver (dim×dim, the bounded quantizer-training pattern — same contract
+  as `ann._sq8_train`), returning principal axes + explained variance.
+- :func:`pca_project` — project (optionally whiten) the corpus onto the
+  top-k axes as a pure Catalyst expression (aggregate/zip_with dot
+  products against axis literals) — no UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+    quant: float = 1e6,
+) -> DataFrame:
+    """Population covariance of every dimension pair (i <= j), long format
+    ``(i, j, cov)``.
+
+    cov(i,j) = Sxy/n − (Sx/n)(Sy/n) over the raw sums — one map-side
+    expansion to pairwise products (JVM ``transform``/``flatten``), one
+    keyed aggregate, then two broadcast joins against the 1×dim mean table.
+    Values quantize through ``floor(x*quant + 0.5)/quant`` — the repo's
+    fixed-point parity discipline, NOT ROUND: floor is the same IEEE op in
+    every engine AND never emits negative zero (near-zero covariances are
+    the common case off-diagonal, and ``-0.0`` vs ``0.0`` hash-differs).
+    The partial-agg order error (~1e-13 relative) sits far below the grid.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    # per-row upper-triangle products: struct(i, j, x_i * x_j)
+    prods = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at(v, i.cast("int") + 1)
+                        * F.element_at(v, j.cast("int") + 1)
+                    ).alias("xy"),
+                ),
+            ),
+        )
+    )
+    pair_sums = (
+        emb.select(F.explode(prods).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(F.sum("xy").alias("sxy"), F.count(F.lit(1)).alias("n"))
+    )
+    dim_sums = (
+        emb.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"))
+    )
+    return (
+        pair_sums.join(F.broadcast(dim_sums), "i")
+        .join(
+            F.broadcast(
+                dim_sums.select(F.col("i").alias("j"), F.col("sx").alias("sy"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.floor(
+                    (
+                        F.col("sxy") / F.col("n")
+                        - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+                    )
+                    * F.lit(quant)
+                    + F.lit(0.5)
+                )
+                / F.lit(quant)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def pca_components(
+    emb: DataFrame,
+    *,
+    dim: int,
+    k: int,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-k principal axes of the embedding corpus.
+
+    Aggregates the dim×dim covariance distributed (one pass through
+    :func:`embedding_covariance` at full double precision), collects the
+    O(dim²) matrix to the driver — bounded model-training sync, not a data
+    collect — and eigendecomposes with numpy. Returns ``(components,
+    explained_variance, mean)``: components is (k, dim) with a
+    deterministic sign convention (largest-|coefficient| entry positive,
+    first-index tie-break), eigenvalues descending.
+    """
+    rows = embedding_covariance(
+        emb, dim=dim, vec_col=vec_col, quant=1e12
+    ).collect()
+    cov = np.zeros((dim, dim))
+    for r in rows:
+        cov[r.i, r.j] = cov[r.j, r.i] = r.cov
+    mean_rows = (
+        emb.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("mu"))
+        .collect()
+    )
+    mean = np.zeros(dim)
+    for r in mean_rows:
+        mean[r.i] = r.mu
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for c in comps:  # deterministic sign: dominant coefficient positive
+        j = int(np.argmax(np.abs(np.round(c, 12))))
+        if c[j] < 0:
+            c *= -1
+    return comps, vals[order], mean
+
+
+def _dot_lit(vec: Column, weights: np.ndarray) -> Column:
+    arr = F.array(*[F.lit(float(w)) for w in weights])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pca_project(
+    emb: DataFrame,
+    components: np.ndarray,
+    mean: np.ndarray,
+    *,
+    explained_variance: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Center and project the corpus onto the given axes — whitened
+    (unit-variance per axis) when ``explained_variance`` is passed. Pure
+    Catalyst: one dot product per axis against literal arrays; centering
+    folds into the constant term (x−μ)·c = x·c − μ·c, so the row-side work
+    is k fused JVM dot products and the plan stays whole-stage codegen."""
+    v = F.col(vec_col).cast("array<double>")
+    cols = []
+    for a, comp in enumerate(components):
+        c = _dot_lit(v, comp) - F.lit(float(np.dot(mean, comp)))
+        if explained_variance is not None:
+            c = c / F.lit(float(np.sqrt(explained_variance[a] + eps)))
+        cols.append(c)
+    return emb.withColumn(out_col, F.array(*cols))

@@ -477,14 +477,112 @@ def retract_from_setsim_master(
     return out
 
 
+def _margin_journal_path(master_dir: str) -> str:
+    return os.path.join(master_dir, "_retract_margin_journal.json")
+
+
+def _purge_margin_sidecars(
+    spark: SparkSession,
+    master_dir: str,
+    ids: list,
+    dim: int,
+    num_bits: int,
+    num_tables: int,
+) -> list[str]:
+    from backend_big_data_spark.streaming.margin_ingest import bucket_index
+
+    return _purge_index_sidecars(
+        spark,
+        master_dir,
+        ids,
+        index_name="buckets",
+        freq_name="bucketfreq",  # the margin master keeps no frequency
+        key_col="bucket",        # sidecar; the exists() gate skips it
+        rebuild=lambda df: bucket_index(
+            df, dim=dim, num_bits=num_bits, num_tables=num_tables
+        ),
+    )
+
+
+def recover_margin_retraction(spark: SparkSession, master_dir: str) -> None:
+    """Roll a crashed `retract_from_margin_master` forward (idempotent;
+    called on entry). The journal records the erasure request AND the
+    sink's LSH geometry before any mutation (the bucket rebuild needs
+    dim/bits/tables, and a recovery must not depend on the caller
+    re-supplying them correctly), and clears only after the bucket-
+    sidecar and link purges complete — the bucket keys localize the
+    erased record in LSH space, so their purge is part of the erasure
+    guarantee."""
+    raw = fsutil.read_text(spark, _margin_journal_path(master_dir))
+    if raw is None:
+        return
+    meta = json.loads(raw)
+    retract_ids(
+        spark, master_dir, meta["ids"], id_col="id", drop_band_sidecar=False
+    )
+    _purge_margin_sidecars(
+        spark,
+        master_dir,
+        meta["ids"],
+        meta["dim"],
+        meta["num_bits"],
+        meta["num_tables"],
+    )
+    _purge_linkage_links(spark, master_dir, meta["ids"])
+    fsutil.delete(spark, _margin_journal_path(master_dir), recursive=False)
+
+
+def retract_from_margin_master(
+    spark: SparkSession,
+    master_dir: str,
+    ids: list,
+    *,
+    dim: int,
+    num_bits: int = 6,
+    num_tables: int = 6,
+) -> dict:
+    """Erase entities from an embedding linkage master
+    (`streaming/margin_ingest.py` layout): journaled row removal, every
+    bucket-sidecar directory still naming an erased id REWRITTEN from
+    its surviving master rows, and link rows naming the erased master
+    ids purged — the same erasure journal protocol as
+    :func:`retract_from_linkage_master` (see its docstring for the
+    crash-window argument). ``dim``/``num_bits``/``num_tables`` must
+    match the sink's geometry (they are journaled for crash recovery)."""
+    recover_margin_retraction(spark, master_dir)
+    fsutil.write_text_atomic(
+        spark,
+        _margin_journal_path(master_dir),
+        json.dumps(
+            {
+                "ids": list(ids),
+                "dim": dim,
+                "num_bits": num_bits,
+                "num_tables": num_tables,
+            }
+        ),
+    )
+    out = retract_ids(
+        spark, master_dir, ids, id_col="id", drop_band_sidecar=False
+    )
+    out["bucket_dirs_rewritten"] = _purge_margin_sidecars(
+        spark, master_dir, ids, dim, num_bits, num_tables
+    )
+    out["link_rows_removed"] = _purge_linkage_links(spark, master_dir, ids)
+    fsutil.delete(spark, _margin_journal_path(master_dir), recursive=False)
+    return out
+
+
 __all__ = [
     "recover_linkage_retraction",
+    "recover_margin_retraction",
     "recover_retraction",
     "recover_setsim_retraction",
     "retract_from_embedding_corpus",
     "retract_from_image_corpus",
     "retract_from_ingest_corpus",
     "retract_from_linkage_master",
+    "retract_from_margin_master",
     "retract_from_setsim_master",
     "retract_ids",
 ]

@@ -176,6 +176,14 @@ HEADLINE = [
     # the sf0.01/sf0.1 oracle gates certify it.
     "embedding_margin_pairs_lsh",
     "embedding_trunc_recall",
+    # round-9b: the covariance/PCA training pass — map-side expansion to
+    # dim^2 pairwise products, one keyed aggregate whose shuffle volume
+    # is O(dim^2 x partitions) regardless of corpus size.
+    # embedding_margin_link_stream stays OFF the headline for the family
+    # reason (drives its SINK end to end — parquet master/sidecar writes;
+    # a certificate row, not a throughput row), supply_graph_kcore for
+    # the LPA/PageRank driver-synced-rounds reason.
+    "embedding_covariance",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

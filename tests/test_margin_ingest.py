@@ -1,0 +1,270 @@
+"""Streaming embedding entity resolution (`streaming/margin_ingest.py`).
+
+The family's standard contract, in embedding space: link/admit semantics
+with planted cosine geometry (exact-duplicate admission rule, near-dup
+linking through the MAINTAINED bucket sidecar, novel-direction
+admission), stream ≡ sequential batches, replay idempotency, fold
+compaction leaving reads and later links unchanged, and journaled
+erasure with crash-window replay (bucket sidecar rewritten, links
+purged, no ghost links on reingest)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from backend_big_data_spark.sources import fsutil
+from backend_big_data_spark.streaming.margin_ingest import (
+    compact_margin_master,
+    margin_ingest_sink,
+    read_margin_master,
+    read_master_buckets,
+)
+
+DIM = 8
+
+
+def _unit(i):
+    v = [0.0] * DIM
+    v[i] = 1.0
+    return v
+
+
+def _near(i, seed):
+    rng = np.random.default_rng(seed)
+    v = np.array(_unit(i)) + 1e-4 * rng.standard_normal(DIM)
+    return [float(x) for x in v]
+
+
+V0, V1, V2 = _unit(0), _unit(1), _unit(2)
+B1 = [(1, V0), (2, V1), (3, V1)]          # 3 = exact dup of 2 -> min id 2
+B2 = [(10, _near(0, 7)), (11, V2), (12, V0)]  # 10,12 near/exact of master 1
+
+SINK_KW = dict(
+    dim=DIM, knn_k=2, threshold=0.98, min_sim=0.8, num_bits=4, num_tables=4
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, embedding array<float>")
+
+
+def _master_ids(spark, mdir):
+    return sorted(r.id for r in read_margin_master(spark, mdir).collect())
+
+
+def _links(spark, mdir, batch_id):
+    path = f"{mdir}/links/batch={batch_id}"
+    if not fsutil.exists(spark, path):
+        return []  # a fully-purged link dir publishes as a DELETE
+    return sorted(
+        (r.dirty_id, r.master_id, r.rank)
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def _run_two_batches(spark, mdir):
+    sink = margin_ingest_sink(mdir, **SINK_KW)
+    sink(_df(spark, B1), 0)
+    sink(_df(spark, B2), 1)
+    return sink
+
+
+class TestLinkAdmit:
+    def test_link_admit_semantics(self, spark, tmp_path):
+        mdir = str(tmp_path / "m")
+        _run_two_batches(spark, mdir)
+        # batch 0: empty master -> all admit; exact-dup vector -> min id
+        assert _master_ids(spark, mdir) == [1, 2, 11]
+        # batch 1: 10 (near-dup) and 12 (exact) link to master 1 through
+        # the stored bucket sidecar; 11 (novel direction) admits
+        assert _links(spark, mdir, 1) == [(10, 1, 1), (12, 1, 1)]
+        links = spark.read.parquet(f"{mdir}/links/batch=1").collect()
+        by_id = {r.dirty_id: r for r in links}
+        assert by_id[12].cosine_sim == 1.0
+        assert by_id[10].cosine_sim > 0.999
+
+    def test_min_sim_floor_blocks_incidental_collisions(self, spark, tmp_path):
+        """An orthogonal vector that happens to share an LSH bucket with a
+        master is a SINGLETON-neighborhood candidate (margin ≡ 1 at any
+        cosine) — without the floor it would link; with it, it admits."""
+        mdir = str(tmp_path / "m")
+        kw = dict(SINK_KW, num_bits=1, num_tables=1)  # coarse: collisions
+        sink = margin_ingest_sink(mdir, **kw)
+        sink(_df(spark, [(1, V0)]), 0)
+        sink(_df(spark, [(20, V1)]), 1)  # cos == 0 to the only master
+        assert _links(spark, mdir, 1) == []
+        assert sorted(_master_ids(spark, mdir)) == [1, 20]
+
+    def test_replay_idempotent(self, spark, tmp_path):
+        mdir = str(tmp_path / "m")
+        _run_two_batches(spark, mdir)
+        before = (_master_ids(spark, mdir), _links(spark, mdir, 1))
+        margin_ingest_sink(mdir, **SINK_KW)(_df(spark, B2), 1)  # retry
+        assert (_master_ids(spark, mdir), _links(spark, mdir, 1)) == before
+
+    def test_stream_matches_sequential_batches(self, spark, tmp_path):
+        from backend_big_data_spark.streaming.margin_ingest import (
+            margin_ingest_stream,
+        )
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        _df(spark, B1).coalesce(1).write.parquet(str(in_dir / "b1"))
+        _df(spark, B2).coalesce(1).write.parquet(str(in_dir / "b2"))
+        sdir = str(tmp_path / "stream_master")
+        stream = (
+            spark.readStream.schema("id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        q = margin_ingest_stream(
+            stream,
+            sdir,
+            checkpoint=str(tmp_path / "ck"),
+            dim=DIM,
+            knn_k=2,
+            threshold=0.98,
+            link_k=1,
+        )
+        # the stream ctor doesn't expose every sink knob; rebuild the twin
+        # with the SAME effective parameters (defaults + overrides)
+        q.awaitTermination(120)
+
+        tdir = str(tmp_path / "twin_master")
+        sink = margin_ingest_sink(
+            tdir, dim=DIM, knn_k=2, threshold=0.98, link_k=1
+        )
+        sink(_df(spark, B1), 0)
+        sink(_df(spark, B2), 1)
+        assert _master_ids(spark, sdir) == _master_ids(spark, tdir)
+        assert _links(spark, sdir, 1) == _links(spark, tdir, 1)
+
+    def test_buckets_sidecar_matches_recomputation(self, spark, tmp_path):
+        from backend_big_data_spark.streaming.margin_ingest import bucket_index
+
+        mdir = str(tmp_path / "m")
+        _run_two_batches(spark, mdir)
+        stored = {
+            (r.id, r.bucket)
+            for r in read_master_buckets(spark, mdir).collect()
+        }
+        fresh = {
+            (r.id, r.bucket)
+            for r in bucket_index(
+                read_margin_master(spark, mdir),
+                dim=DIM,
+                num_bits=4,
+                num_tables=4,
+            ).collect()
+        }
+        assert stored == fresh
+
+    def test_compaction_preserves_results(self, spark, tmp_path):
+        mdir = str(tmp_path / "m")
+        sink = margin_ingest_sink(mdir, **SINK_KW)
+        sink(_df(spark, B1), 0)
+        sink(_df(spark, [(20, _unit(3))]), 1)
+        sink(_df(spark, [(21, _unit(4))]), 2)
+        before_master = _master_ids(spark, mdir)
+        before_buckets = {
+            (r.id, r.bucket)
+            for r in read_master_buckets(spark, mdir).collect()
+        }
+        assert compact_margin_master(spark, mdir, keep_latest=1) == [0, 1]
+        assert _master_ids(spark, mdir) == before_master
+        assert {
+            (r.id, r.bucket)
+            for r in read_master_buckets(spark, mdir).collect()
+        } == before_buckets
+        sink(_df(spark, B2), 3)
+        assert _links(spark, mdir, 3) == [(10, 1, 1), (12, 1, 1)]
+
+
+class TestErasure:
+    def test_erase_then_reingest_and_sidecars_rewritten(self, spark, tmp_path):
+        from backend_big_data_spark.streaming.retraction import (
+            retract_from_margin_master,
+        )
+
+        mdir = str(tmp_path / "m")
+        _run_two_batches(spark, mdir)
+        out = retract_from_margin_master(
+            spark, mdir, [1], dim=DIM, num_bits=4, num_tables=4
+        )
+        assert out["rows_removed"] == 1
+        assert out["bucket_dirs_rewritten"] == ["batch=0"]
+        assert {r.id for r in read_master_buckets(spark, mdir).collect()} == {
+            2,
+            11,
+        }
+        # links naming master 1 purged
+        assert _links(spark, mdir, 1) == []
+        # an exact twin of the erased vector produces NO ghost link to the
+        # erased id — with masters {V1, V2} it links nothing and ADMITS
+        margin_ingest_sink(mdir, **SINK_KW)(_df(spark, [(30, V0)]), 2)
+        assert _links(spark, mdir, 2) == []
+        assert 30 in _master_ids(spark, mdir)
+
+    def test_crash_window_replays_purge(self, spark, tmp_path):
+        from backend_big_data_spark.streaming.retraction import (
+            _margin_journal_path,
+            recover_margin_retraction,
+            retract_ids,
+        )
+
+        mdir = str(tmp_path / "m")
+        margin_ingest_sink(mdir, **SINK_KW)(_df(spark, B1), 0)
+        fsutil.write_text_atomic(
+            spark,
+            _margin_journal_path(mdir),
+            json.dumps({"ids": [1], "dim": DIM, "num_bits": 4, "num_tables": 4}),
+        )
+        retract_ids(spark, mdir, [1], id_col="id", drop_band_sidecar=False)
+        # crash simulated: master row gone, bucket sidecar still ghosted
+        assert 1 in {r.id for r in read_master_buckets(spark, mdir).collect()}
+        recover_margin_retraction(spark, mdir)
+        assert {r.id for r in read_master_buckets(spark, mdir).collect()} == {2}
+        assert fsutil.read_text(spark, _margin_journal_path(mdir)) is None
+        # idempotent
+        recover_margin_retraction(spark, mdir)
+        assert {r.id for r in read_master_buckets(spark, mdir).collect()} == {2}
+
+    def test_orphan_bucket_dir_rewritten_in_place(self, spark, tmp_path):
+        """Compaction crash window: the master dir folded away but the
+        bucket sidecar fold never ran. A retraction must rewrite the
+        orphan bucket dir in place (other entities' rows survive), not
+        delete it."""
+        import shutil
+
+        from backend_big_data_spark.streaming.maintenance import _fold
+        from backend_big_data_spark.streaming.retraction import (
+            retract_from_margin_master,
+        )
+
+        mdir = str(tmp_path / "m")
+        sink = margin_ingest_sink(mdir, **SINK_KW)
+        sink(_df(spark, B1), 0)
+        sink(_df(spark, [(20, _unit(3)), (22, _unit(5))]), 1)
+        sink(_df(spark, [(21, _unit(4))]), 2)
+        # fold ONLY the master (simulated sidecar-fold crash): batches
+        # {0,1} fold into batch=0, so buckets/batch=1 is now an orphan
+        # holding ids 20 and 22
+        assert _fold(spark, mdir, "batch", 1) == [0, 1]
+        assert not fsutil.exists(spark, f"{mdir}/batch=1")
+        assert fsutil.exists(spark, f"{mdir}/buckets/batch=1")
+        out = retract_from_margin_master(
+            spark, mdir, [20], dim=DIM, num_bits=4, num_tables=4
+        )
+        assert out["rows_removed"] == 1
+        assert "batch=1" in out["bucket_dirs_rewritten"]
+        # the other entity's bucket rows in the orphan dir survive
+        assert {r.id for r in read_master_buckets(spark, mdir).collect()} == {
+            1,
+            2,
+            22,
+            21,
+        }
