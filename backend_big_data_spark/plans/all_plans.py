@@ -79,6 +79,7 @@ _FRONT = [
     "supply_graph_kcore",
     "embedding_covariance",
     "embedding_margin_link_stream",
+    "ann_multiprobe_topk",
     # -- (d) generated: oldest external rows first (r04 block, then r05) ----
     "pricing_summary",
     "revenue_by_region",

@@ -387,3 +387,81 @@ def embedding_margin_link_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_os.path.join(mdir, "links", "batch=1")).orderBy(
         "dirty_id", "master_id"
     )
+
+
+@register(
+    "ann_multiprobe_topk",
+    oracle="""
+WITH planes AS (
+  SELECT t, b,
+         list_transform(generate_series(1, 64), i ->
+           ((CAST(concat('0x', substr(md5(concat(t, ':', b, ':', i - 1)), 1, 15)) AS BIGINT)
+             % 2000001) - 1000000) / 1000000.0) AS pv
+  FROM generate_series(0, 2) g1(t), generate_series(0, 5) g2(b)
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ips AS (
+  SELECT vec_id, t, b, list_inner_product(v, pv) AS ip FROM vecs, planes
+), base AS (
+  SELECT vec_id, t,
+         string_agg(CASE WHEN ip > 0 THEN '1' ELSE '0' END,
+                    '' ORDER BY b) AS bits
+  FROM ips GROUP BY vec_id, t
+), ckeys AS (
+  SELECT vec_id, concat(t, ':', bits) AS bucket FROM base
+), franks AS (
+  SELECT vec_id, t, b, ip,
+         row_number() OVER (PARTITION BY vec_id, t
+                            ORDER BY abs(ip), b) AS fr
+  FROM ips WHERE vec_id < 10
+), flipped AS (
+  SELECT f.vec_id, f.t, p.p,
+         string_agg(CASE WHEN f.fr = p.p
+                         THEN (CASE WHEN f.ip > 0 THEN '0' ELSE '1' END)
+                         ELSE (CASE WHEN f.ip > 0 THEN '1' ELSE '0' END) END,
+                    '' ORDER BY f.b) AS bits
+  FROM franks f, generate_series(1, 2) p(p)
+  GROUP BY f.vec_id, f.t, p.p
+), qkeys AS (
+  SELECT vec_id, concat(t, ':', bits) AS bucket FROM base WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id, concat(t, ':', bits) AS bucket FROM flipped
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qkeys q JOIN ckeys c USING (bucket)
+  WHERE c.vec_id != q.vec_id
+), s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv.v, nv.v) AS sim
+  FROM cand
+  JOIN vecs qv ON qv.vec_id = cand.query_id
+  JOIN vecs nv ON nv.vec_id = cand.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rnk
+FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+""",
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN at HALF ann_lsh_topk's table count (3 vs
+    6): each query also probes the 2 radius-1 buckets of its
+    lowest-|margin| hash bits, recovering the recall an extra table would
+    buy without storing or shuffling another corpus index copy — the
+    recall-per-byte lever at 100 TB. Candidate generation (bit flips
+    included) replays exactly in SQL via the md5 plane family."""
+    from backend_big_data_spark.similarity.ann import lsh_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_multiprobe_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        num_bits=6,
+        num_tables=3,
+        probes=2,
+        dim=64,
+        plane_source="md5",
+    )

@@ -492,3 +492,103 @@ def ivf_sq8_cosine_topk(
         F.round(F.col("sim"), 6).alias("cosine_sim"),
         "rnk",
     ).orderBy("query_id", "rnk")
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_bits: int = 8,
+    num_tables: int = 4,
+    probes: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int,
+    plane_source: str = "gaussian",
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN (Lv et al., VLDB 2007, specialized to
+    radius-1 perturbations): besides its base bucket, each QUERY also
+    probes the ``probes`` buckets obtained by flipping one sign bit —
+    chosen as the bits with the smallest |hyperplane margin|, i.e. the
+    hash decisions most likely to have split true neighbors.
+
+    The 100 TB lever: recall per byte. A missed neighbor usually differs
+    in exactly the lowest-margin bit, so radius-1 probing recovers most
+    of the recall an EXTRA TABLE would buy — without storing or shuffling
+    another full copy of the corpus index (the corpus side keeps ONE base
+    bucket per table; only the query side fans out, by a constant
+    ``1+probes`` factor on a broadcast-sized frame).
+
+    Deterministic probe order: |margin| ascending with bit-index
+    tie-break, so the md5 plane family replays the whole candidate set in
+    SQL (the oracle-gated variant).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if not 0 < probes < num_bits:
+        raise ValueError(f"probes must be in (0, {num_bits}), got {probes}")
+    if plane_source == "md5":
+        planes = _md5_planes(dim, num_bits, num_tables)
+    else:
+        planes = _hyperplanes(dim, num_bits, num_tables, seed)
+
+    def _keys_udf(n_extra: int):
+        @pandas_udf("array<string>")
+        def keys(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy())
+            out = []
+            dots_all = [m @ planes[t].T for t in range(num_tables)]
+            for i in range(m.shape[0]):
+                ks = []
+                for t in range(num_tables):
+                    dots = dots_all[t][i]
+                    bits = dots > 0
+                    base = "".join("1" if b else "0" for b in bits)
+                    ks.append(f"{t}:{base}")
+                    # radius-1 probes: flip the n_extra lowest-|margin|
+                    # bits, one at a time (|margin| asc, bit-index asc)
+                    order = np.lexsort((np.arange(num_bits), np.abs(dots)))
+                    for j in order[:n_extra]:
+                        flipped = (
+                            base[:j]
+                            + ("0" if bits[j] else "1")
+                            + base[j + 1 :]
+                        )
+                        ks.append(f"{t}:{flipped}")
+                out.append(ks)
+            return pd.Series(out)
+
+        return keys
+
+    def with_buckets(df: DataFrame, prefix: str, n_extra: int) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"), v.alias(f"{prefix}_vec")
+        ).withColumn(
+            "bucket", F.explode(_keys_udf(n_extra)(F.col(f"{prefix}_vec")))
+        )
+
+    cb = with_buckets(corpus, "neighbor", 0)  # base buckets only
+    qb = with_buckets(queries, "query", probes)
+    cand = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = cosine_sim(F.col("query_vec"), F.col("neighbor_vec"))
+    scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))
+    top = topk_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("sim"), F.col("neighbor_id")],
+        k=k,
+        rank_col="rnk",
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("sim"), 6).alias("cosine_sim"),
+        "rnk",
+    ).orderBy("query_id", "rnk")

@@ -184,6 +184,9 @@ HEADLINE = [
     # a certificate row, not a throughput row), supply_graph_kcore for
     # the LPA/PageRank driver-synced-rounds reason.
     "embedding_covariance",
+    # round-9b: multi-probe LSH at half the table count — the
+    # recall-per-byte serving shape (query-side-only fan-out).
+    "ann_multiprobe_topk",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

@@ -366,3 +366,81 @@ def test_ivf_maintained_corpus_branch_has_no_window(spark):
     assert window_nodes(
         ivf_cosine_topk(corpus, queries, k=3, nlist=4, nprobe=2, centroids=cents)
     ) == 3
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """Radius-1 probing only ADDS candidate buckets, so at identical
+    (bits, tables) the multi-probe result's recall vs brute-force truth
+    is >= the single-probe result's — and on this seeded corpus it is
+    strictly better (the planted near-ties straddle low-margin bits)."""
+    import numpy as np
+
+    from backend_big_data_spark.similarity.ann import (
+        brute_force_cosine_topk,
+        lsh_cosine_topk,
+        lsh_multiprobe_topk,
+    )
+
+    rng = np.random.default_rng(21)
+    M = rng.standard_normal((400, 16))
+    rows = [(i, [float(x) for x in M[i]], 0) for i in range(400)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    q = emb.filter("vec_id < 12")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_cosine_topk(emb, q, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    kw = dict(k=5, num_bits=6, num_tables=2, dim=16, plane_source="md5")
+    r_single = recall(lsh_cosine_topk(emb, q, **kw))
+    r_multi = recall(lsh_multiprobe_topk(emb, q, probes=3, **kw))
+    assert r_multi >= r_single
+    assert r_multi > r_single, (r_single, r_multi)
+
+
+def test_multiprobe_candidates_superset_of_base(spark):
+    """Every base-bucket pair survives probing: the multi-probe top-k
+    similarity per (query, rank) is >= the single-probe one."""
+    import numpy as np
+
+    from backend_big_data_spark.similarity.ann import (
+        lsh_cosine_topk,
+        lsh_multiprobe_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((150, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]], 0) for i in range(150)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    q = emb.filter("vec_id < 8")
+    kw = dict(k=3, num_bits=5, num_tables=2, dim=16, plane_source="md5")
+    single = {
+        (r.query_id, r.rnk): r.cosine_sim
+        for r in lsh_cosine_topk(emb, q, **kw).collect()
+    }
+    multi = {
+        (r.query_id, r.rnk): r.cosine_sim
+        for r in lsh_multiprobe_topk(emb, q, probes=2, **kw).collect()
+    }
+    for key, sim in single.items():
+        assert key in multi and multi[key] >= sim, key
+
+
+def test_multiprobe_validates_probe_count(spark):
+    import pytest as _pytest
+
+    from backend_big_data_spark.similarity.ann import lsh_multiprobe_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 4, 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    with _pytest.raises(ValueError, match="probes"):
+        lsh_multiprobe_topk(emb, emb, num_bits=4, probes=4, dim=4)
