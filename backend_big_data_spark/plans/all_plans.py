@@ -80,6 +80,7 @@ _FRONT = [
     "embedding_covariance",
     "embedding_margin_link_stream",
     "ann_multiprobe_topk",
+    "embedding_cov_incremental",
     # -- (d) generated: oldest external rows first (r04 block, then r05) ----
     "pricing_summary",
     "revenue_by_region",

@@ -465,3 +465,49 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         plane_source="md5",
     )
+
+
+def _cov_oracle() -> str:
+    from backend_big_data_spark.plans.registry import ORACLES
+
+    return ORACLES["embedding_covariance"]
+
+
+@register("embedding_cov_incremental", oracle=_cov_oracle())
+def embedding_cov_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental covariance from the margin sink's MAINTAINED moment
+    sidecars: the corpus is ingested as two micro-batches (even then odd
+    vec_ids; the link threshold is disarmed so every record admits), and
+    the covariance is finished from `read_master_moments` +
+    `pca.covariance_from_moments` — no vector is rescanned. The oracle is
+    the full-retrain twin (embedding_covariance's SQL verbatim): the
+    hash equality IS the claim, the lm_ingest incremental-model
+    discipline applied to the PCA training pass.
+
+    Throwaway per-invocation master dir; content is path-independent."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from backend_big_data_spark.similarity.pca import covariance_from_moments
+    from backend_big_data_spark.streaming.margin_ingest import (
+        margin_ingest_sink,
+        read_master_moments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mdir = _tempfile.mkdtemp(prefix="cov_incremental_")
+    sink = margin_ingest_sink(mdir, dim=64, threshold=1e9)
+    sink(
+        emb.where(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("id"), "embedding"
+        ),
+        0,
+    )
+    sink(
+        emb.where(F.col("vec_id") % 2 == 1).select(
+            F.col("vec_id").alias("id"), "embedding"
+        ),
+        1,
+    )
+    _ = _os  # tempdir path only; no reads outside the sink layout
+    return covariance_from_moments(read_master_moments(spark, mdir))

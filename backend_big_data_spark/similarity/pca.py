@@ -25,6 +25,113 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _pair_products(v, dim: int):
+    """Per-row upper-triangle products struct(i, j, x_i*x_j) — the
+    map-side expansion both the one-shot covariance and the maintained
+    moment sidecars expand through."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at(v, i.cast("int") + 1)
+                        * F.element_at(v, j.cast("int") + 1)
+                    ).alias("xy"),
+                ),
+            ),
+        )
+    )
+
+
+def embedding_moments(
+    emb: DataFrame,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The covariance's ADDITIVE sufficient statistics, long format
+    ``(i, j, v)``:
+
+    - ``(i, j, Σ x_i·x_j)`` for 0 <= i <= j < dim,
+    - ``(i, -1, Σ x_i)`` per-dimension sums,
+    - ``(-1, -1, n)`` the row count (exact in a double below 2^53).
+
+    Additive across row-disjoint frames, so per-batch sidecars of these
+    rows fold to the full-corpus moments by one keyed sum — the
+    maintained-state discipline (`streaming/margin_ingest.py` writes one
+    per admission batch; :func:`covariance_from_moments` finishes)."""
+    v = F.col(vec_col).cast("array<double>")
+    pair = (
+        emb.select(F.explode(_pair_products(v, dim)).alias("p"))
+        .select("p.i", "p.j", F.col("p.xy").alias("v"))
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+    dims = (
+        emb.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("v"))
+        .select(F.col("i").cast("int").alias("i"), F.lit(-1).alias("j"), "v")
+    )
+    cnt = emb.select(
+        F.lit(-1).alias("i"),
+        F.lit(-1).alias("j"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    return pair.unionByName(dims).unionByName(cnt)
+
+
+def covariance_from_moments(
+    moments: DataFrame,
+    *,
+    quant: float = 1e6,
+) -> DataFrame:
+    """Finish the covariance from (possibly per-batch, possibly folded)
+    moment rows: keyed sum to the corpus totals, then the same
+    cov = Sxy/n − (Sx/n)(Sy/n) + floor-quantization arithmetic as the
+    one-shot :func:`embedding_covariance` — the maintained sidecar path
+    lands on the identical quantization grid."""
+    tot = moments.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    n = tot.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("v").alias("n")
+    )
+    dims = tot.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        "i", F.col("v").alias("sx")
+    )
+    pairs = tot.filter(F.col("j") >= 0)
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .join(F.broadcast(dims), "i")
+        .join(
+            F.broadcast(
+                dims.select(F.col("i").alias("j"), F.col("sx").alias("sy"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.floor(
+                    (
+                        F.col("v") / F.col("n")
+                        - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+                    )
+                    * F.lit(quant)
+                    + F.lit(0.5)
+                )
+                / F.lit(quant)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
 def embedding_covariance(
     emb: DataFrame,
     *,
@@ -45,26 +152,8 @@ def embedding_covariance(
     The partial-agg order error (~1e-13 relative) sits far below the grid.
     """
     v = F.col(vec_col).cast("array<double>")
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    # per-row upper-triangle products: struct(i, j, x_i * x_j)
-    prods = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(dim - 1)),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
-                    (
-                        F.element_at(v, i.cast("int") + 1)
-                        * F.element_at(v, j.cast("int") + 1)
-                    ).alias("xy"),
-                ),
-            ),
-        )
-    )
     pair_sums = (
-        emb.select(F.explode(prods).alias("p"))
+        emb.select(F.explode(_pair_products(v, dim)).alias("p"))
         .select("p.i", "p.j", "p.xy")
         .groupBy("i", "j")
         .agg(F.sum("xy").alias("sxy"), F.count(F.lit(1)).alias("n"))

@@ -96,6 +96,43 @@ def read_master_buckets(
     return _read_dirs(spark, os.path.join(master_dir, "buckets"), exclude_batch)
 
 
+def read_master_moments(
+    spark: SparkSession, master_dir: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """The maintained covariance moment sidecar (i, j, v) — per-batch
+    ADDITIVE sufficient statistics (`pca.embedding_moments`), so
+    `pca.covariance_from_moments` over this read equals the full-corpus
+    covariance without rescanning a single vector.
+
+    None unless the moments provably cover the master: directory names
+    must match (the `read_master_token_freq` coverage contract) AND the
+    sidecar's summed row count — the additive (-1, -1, n) rows — must
+    equal the master's row count. The second, CONTENT guard exists
+    because moments are aggregates: id-keyed sidecars that drift merely
+    cost extra candidates, but a moment dir whose master dir gained or
+    lost rows (a master-only fold in the compaction crash window) would
+    finish to a silently wrong covariance. On any mismatch callers fall
+    back to the full-scan covariance (result-invariant, just slower)."""
+    from backend_big_data_spark.streaming.linkage_ingest import _covered_names
+
+    mo_base = os.path.join(master_dir, "moments")
+    names = _covered_names(spark, mo_base, exclude_batch)
+    if not names or names != _covered_names(spark, master_dir, exclude_batch):
+        return None
+    moments = spark.read.option("basePath", mo_base).parquet(
+        *[os.path.join(mo_base, n) for n in sorted(names)]
+    )
+    n_sidecar = (
+        moments.filter((F.col("i") == -1) & (F.col("j") == -1))
+        .agg(F.sum("v"))
+        .collect()[0][0]
+    )
+    master = _read_dirs(spark, master_dir, exclude_batch)
+    if master is None or n_sidecar is None or int(n_sidecar) != master.count():
+        return None
+    return moments
+
+
 def margin_link_batch(
     batch: DataFrame,
     master: DataFrame | None,
@@ -211,6 +248,11 @@ def margin_ingest_sink(
         ).write.mode("overwrite").parquet(
             os.path.join(master_dir, "buckets", bdir)
         )
+        from backend_big_data_spark.similarity.pca import embedding_moments
+
+        embedding_moments(admitted, dim=dim).write.mode("overwrite").parquet(
+            os.path.join(master_dir, "moments", bdir)
+        )
         links.unpersist()
         b.unpersist()
 
@@ -257,6 +299,17 @@ def compact_margin_master(
     buckets_dir = os.path.join(master_dir, "buckets")
     if fsutil.list_subdirs(spark, buckets_dir, prefix="batch="):
         _fold(spark, buckets_dir, "batch", keep_latest)
+    moments_dir = os.path.join(master_dir, "moments")
+    if fsutil.list_subdirs(spark, moments_dir, prefix="batch="):
+        _fold(
+            spark,
+            moments_dir,
+            "batch",
+            keep_latest,
+            reducer=lambda df: df.groupBy("i", "j").agg(
+                F.sum("v").alias("v")
+            ),
+        )
     return folded
 
 
@@ -268,4 +321,5 @@ __all__ = [
     "margin_link_batch",
     "read_margin_master",
     "read_master_buckets",
+    "read_master_moments",
 ]

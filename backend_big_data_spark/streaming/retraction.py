@@ -504,6 +504,70 @@ def _purge_margin_sidecars(
     )
 
 
+def _margin_affected_dirs(spark: SparkSession, master_dir: str, ids: list) -> list[str]:
+    """batch=N names whose BUCKET index OR master rows still name a
+    retracted id — computed at request time (before any mutation) and
+    journaled: the moment sidecars carry no ids of their own, so the
+    id-keyed layers are the durable markers of which batches an erased
+    entity touched. BOTH layers are probed because a master-only fold
+    (the compaction crash window) can relocate a row's master dir away
+    from its bucket dir: the bucket hit names the orphan moment dir to
+    DELETE, the master hit names the fold-target moment dir to RECOUNT —
+    together the surviving moment total stays exact (the recount folds
+    the relocated survivors in)."""
+    out: set[str] = set()
+    if not ids:
+        return []
+    lits = [F.lit(i) for i in ids]
+    for base, col in (
+        (os.path.join(master_dir, "buckets"), "id"),
+        (master_dir, "id"),
+    ):
+        names = sorted(fsutil.list_subdirs(spark, base, prefix="batch="))
+        if not names:
+            continue
+        probe = spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, n) for n in names]
+        )
+        out.update(
+            f"batch={r['batch']}"
+            for r in probe.filter(F.col(col).isin(lits))
+            .select("batch")
+            .distinct()
+            .collect()
+        )
+    return sorted(out)
+
+
+def _purge_margin_moments(
+    spark: SparkSession, master_dir: str, names: list, dim: int
+) -> list[str]:
+    """Re-derive (or drop) the covariance moment sidecar of every
+    journaled affected batch. Moments are AGGREGATES — they embed the
+    erased vector's products — so erasure must not leave them: a batch
+    whose (already rewritten) master dir survives gets its moments
+    RECOUNTED from the surviving rows (idempotent — recount of current
+    state); an orphan moment dir (master folded away, the compaction
+    crash window) is DELETED, breaking `read_master_moments` coverage so
+    callers fall back to the full-scan covariance — result-invariant,
+    never a leak."""
+    from backend_big_data_spark.similarity.pca import embedding_moments
+
+    touched: list[str] = []
+    for name in names:
+        mo_rel = os.path.join("moments", name)
+        if not fsutil.exists(spark, os.path.join(master_dir, mo_rel)):
+            continue
+        master_path = os.path.join(master_dir, name)
+        if fsutil.exists(spark, master_path):
+            fresh = embedding_moments(spark.read.parquet(master_path), dim=dim)
+            _journaled_replace(spark, master_dir, mo_rel, fresh)
+        else:
+            fsutil.delete(spark, os.path.join(master_dir, mo_rel), recursive=True)
+        touched.append(name)
+    return touched
+
+
 def recover_margin_retraction(spark: SparkSession, master_dir: str) -> None:
     """Roll a crashed `retract_from_margin_master` forward (idempotent;
     called on entry). The journal records the erasure request AND the
@@ -520,6 +584,7 @@ def recover_margin_retraction(spark: SparkSession, master_dir: str) -> None:
     retract_ids(
         spark, master_dir, meta["ids"], id_col="id", drop_band_sidecar=False
     )
+    _purge_margin_moments(spark, master_dir, meta.get("moment_dirs", []), meta["dim"])
     _purge_margin_sidecars(
         spark,
         master_dir,
@@ -550,6 +615,7 @@ def retract_from_margin_master(
     crash-window argument). ``dim``/``num_bits``/``num_tables`` must
     match the sink's geometry (they are journaled for crash recovery)."""
     recover_margin_retraction(spark, master_dir)
+    moment_dirs = _margin_affected_dirs(spark, master_dir, list(ids))
     fsutil.write_text_atomic(
         spark,
         _margin_journal_path(master_dir),
@@ -559,11 +625,15 @@ def retract_from_margin_master(
                 "dim": dim,
                 "num_bits": num_bits,
                 "num_tables": num_tables,
+                "moment_dirs": moment_dirs,
             }
         ),
     )
     out = retract_ids(
         spark, master_dir, ids, id_col="id", drop_band_sidecar=False
+    )
+    out["moment_dirs_rewritten"] = _purge_margin_moments(
+        spark, master_dir, moment_dirs, dim
     )
     out["bucket_dirs_rewritten"] = _purge_margin_sidecars(
         spark, master_dir, ids, dim, num_bits, num_tables

@@ -268,3 +268,190 @@ class TestErasure:
             22,
             21,
         }
+
+
+class TestMomentSidecars:
+    """Maintained covariance moments: additive sufficient statistics
+    written at admission; covariance-from-sidecars equals the full scan;
+    erasure recounts (or drops to fallback); compaction keyed-sums."""
+
+    def _cov_rows(self, df):
+        return {(r.i, r.j, r.cov) for r in df.collect()}
+
+    def test_moments_match_full_scan_and_cov_equality(self, spark, tmp_path):
+        from backend_big_data_spark.similarity.pca import (
+            covariance_from_moments,
+            embedding_covariance,
+            embedding_moments,
+        )
+        from backend_big_data_spark.streaming.margin_ingest import (
+            read_master_moments,
+        )
+
+        mdir = str(tmp_path / "m")
+        _run_two_batches(spark, mdir)
+        master = read_margin_master(spark, mdir)
+        stored = {
+            (r.i, r.j, round(r.v, 9))
+            for r in read_master_moments(spark, mdir)
+            .groupBy("i", "j")
+            .agg(F.sum("v").alias("v"))
+            .collect()
+        }
+        fresh = {
+            (r.i, r.j, round(r.v, 9))
+            for r in embedding_moments(master, dim=DIM).collect()
+        }
+        assert stored == fresh
+        assert self._cov_rows(
+            covariance_from_moments(read_master_moments(spark, mdir))
+        ) == self._cov_rows(embedding_covariance(master, dim=DIM))
+
+    def test_compaction_folds_moments_keyed(self, spark, tmp_path):
+        from backend_big_data_spark.similarity.pca import (
+            covariance_from_moments,
+        )
+        from backend_big_data_spark.streaming.margin_ingest import (
+            read_master_moments,
+        )
+
+        mdir = str(tmp_path / "m")
+        sink = margin_ingest_sink(mdir, **SINK_KW)
+        sink(_df(spark, B1), 0)
+        sink(_df(spark, [(20, _unit(3))]), 1)
+        sink(_df(spark, [(21, _unit(4))]), 2)
+        before = self._cov_rows(
+            covariance_from_moments(read_master_moments(spark, mdir))
+        )
+        assert compact_margin_master(spark, mdir, keep_latest=1) == [0, 1]
+        moments = read_master_moments(spark, mdir)
+        assert moments is not None, "folded layout must stay covered"
+        # the folded dir holds ONE row per (i, j) — the keyed sum ran
+        n_rows = moments.filter("batch = 0").count()
+        assert n_rows == DIM * (DIM + 1) // 2 + DIM + 1
+        assert (
+            self._cov_rows(covariance_from_moments(moments)) == before
+        )
+
+    def test_erasure_recounts_moments(self, spark, tmp_path):
+        from backend_big_data_spark.similarity.pca import (
+            covariance_from_moments,
+            embedding_covariance,
+        )
+        from backend_big_data_spark.streaming.margin_ingest import (
+            read_master_moments,
+        )
+        from backend_big_data_spark.streaming.retraction import (
+            retract_from_margin_master,
+        )
+
+        mdir = str(tmp_path / "m")
+        _run_two_batches(spark, mdir)
+        out = retract_from_margin_master(
+            spark, mdir, [1], dim=DIM, num_bits=4, num_tables=4
+        )
+        assert out["moment_dirs_rewritten"] == ["batch=0"]
+        # erased vector's products are GONE: sidecar covariance equals a
+        # fresh covariance of the surviving corpus
+        assert self._cov_rows(
+            covariance_from_moments(read_master_moments(spark, mdir))
+        ) == self._cov_rows(
+            embedding_covariance(read_margin_master(spark, mdir), dim=DIM)
+        )
+
+    def test_misaligned_fold_erasure_heals_moments(self, spark, tmp_path):
+        """Master-only fold (compaction crash window) relocates batch-1's
+        rows into batch=0, then an erasure arrives: the orphan
+        moments/batch=1 is DELETED (its master dir is gone) and
+        moments/batch=0 is RECOUNTED from the fold target — so the
+        relocated survivor (id 22) is folded INTO the recount and the
+        sidecar covariance stays exact, not merely uncovered."""
+        from backend_big_data_spark.similarity.pca import (
+            covariance_from_moments,
+            embedding_covariance,
+        )
+        from backend_big_data_spark.streaming.maintenance import _fold
+        from backend_big_data_spark.streaming.margin_ingest import (
+            read_master_moments,
+        )
+        from backend_big_data_spark.streaming.retraction import (
+            retract_from_margin_master,
+        )
+
+        mdir = str(tmp_path / "m")
+        sink = margin_ingest_sink(mdir, **SINK_KW)
+        sink(_df(spark, B1), 0)
+        sink(_df(spark, [(20, _unit(3)), (22, _unit(5))]), 1)
+        sink(_df(spark, [(21, _unit(4))]), 2)
+        _fold(spark, mdir, "batch", 1)  # master only: moments lag
+        out = retract_from_margin_master(
+            spark, mdir, [20], dim=DIM, num_bits=4, num_tables=4
+        )
+        assert sorted(out["moment_dirs_rewritten"]) == ["batch=0", "batch=1"]
+        assert not fsutil.exists(spark, f"{mdir}/moments/batch=1")
+        moments = read_master_moments(spark, mdir)
+        assert moments is not None
+        assert self._cov_rows(covariance_from_moments(moments)) == (
+            self._cov_rows(
+                embedding_covariance(read_margin_master(spark, mdir), dim=DIM)
+            )
+        )
+
+    def test_content_guard_catches_drifted_moments(self, spark, tmp_path):
+        """Names can match while contents drift (aggregates carry no
+        ids): a moment dir whose master dir silently gained rows fails
+        the summed-row-count guard and the read falls back to None."""
+        from backend_big_data_spark.similarity.pca import embedding_moments
+        from backend_big_data_spark.streaming.margin_ingest import (
+            read_master_moments,
+        )
+
+        mdir = str(tmp_path / "m")
+        margin_ingest_sink(mdir, **SINK_KW)(_df(spark, B1), 0)
+        assert read_master_moments(spark, mdir) is not None
+        # corrupt: rewrite the sidecar from a 1-row frame (names intact)
+        embedding_moments(
+            _df(spark, [(99, _unit(6))]).select(
+                F.col("id").alias("id"), "embedding"
+            ),
+            dim=DIM,
+        ).write.mode("overwrite").parquet(f"{mdir}/moments/batch=0")
+        assert read_master_moments(spark, mdir) is None
+
+    def test_crash_window_replays_moment_recount(self, spark, tmp_path):
+        from backend_big_data_spark.similarity.pca import (
+            covariance_from_moments,
+            embedding_covariance,
+        )
+        from backend_big_data_spark.streaming.margin_ingest import (
+            read_master_moments,
+        )
+        from backend_big_data_spark.streaming.retraction import (
+            _margin_journal_path,
+            recover_margin_retraction,
+            retract_ids,
+        )
+
+        mdir = str(tmp_path / "m")
+        margin_ingest_sink(mdir, **SINK_KW)(_df(spark, B1), 0)
+        fsutil.write_text_atomic(
+            spark,
+            _margin_journal_path(mdir),
+            json.dumps(
+                {
+                    "ids": [1],
+                    "dim": DIM,
+                    "num_bits": 4,
+                    "num_tables": 4,
+                    "moment_dirs": ["batch=0"],
+                }
+            ),
+        )
+        retract_ids(spark, mdir, [1], id_col="id", drop_band_sidecar=False)
+        recover_margin_retraction(spark, mdir)
+        assert fsutil.read_text(spark, _margin_journal_path(mdir)) is None
+        assert self._cov_rows(
+            covariance_from_moments(read_master_moments(spark, mdir))
+        ) == self._cov_rows(
+            embedding_covariance(read_margin_master(spark, mdir), dim=DIM)
+        )
