@@ -81,6 +81,7 @@ _FRONT = [
     "embedding_margin_link_stream",
     "ann_multiprobe_topk",
     "embedding_cov_incremental",
+    "embedding_drift_report",
     # -- (d) generated: oldest external rows first (r04 block, then r05) ----
     "pricing_summary",
     "revenue_by_region",

@@ -511,3 +511,81 @@ def embedding_cov_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _ = _os  # tempdir path only; no reads outside the sink layout
     return covariance_from_moments(read_master_moments(spark, mdir))
+
+
+@register(
+    "embedding_drift_report",
+    oracle="""
+WITH e AS (
+  SELECT vec_id % 2 AS half, g.i, CAST(embedding AS DOUBLE[])[g.i + 1] AS x
+  FROM embeddings, generate_series(0, 63) g(i)
+), s AS (
+  SELECT half, i, SUM(x) AS sx, SUM(x * x) AS sxx, COUNT(*) AS n
+  FROM e GROUP BY half, i
+), m AS (
+  SELECT i,
+         r.sx / r.n AS mu_ref, c.sx / c.n AS mu_cur,
+         r.sxx / r.n - (r.sx / r.n) * (r.sx / r.n) AS var_ref,
+         c.sxx / c.n - (c.sx / c.n) * (c.sx / c.n) AS var_cur
+  FROM s r JOIN s c USING (i) WHERE r.half = 0 AND c.half = 1
+)
+SELECT CAST(i AS INTEGER) AS i,
+       FLOOR(mu_ref * 1000000 + 0.5) / 1000000 AS mean_ref,
+       FLOOR(mu_cur * 1000000 + 0.5) / 1000000 AS mean_cur,
+       FLOOR((mu_cur - mu_ref) * 1000000 + 0.5) / 1000000 AS mean_shift,
+       FLOOR(CASE WHEN var_ref > 0 THEN var_cur / var_ref END * 1000000 + 0.5)
+         / 1000000 AS var_ratio
+FROM m ORDER BY i
+""",
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution drift between two corpus
+    snapshots (here: even vs odd vec_ids as reference vs current — the
+    retraining-set monitoring readout): mean shift and variance ratio
+    per dimension, floor-quantized (the covariance family's fixed-point
+    parity discipline; a NULL var_ratio marks a degenerate reference
+    dimension, matching SQL x/0). One pass per half — two hash
+    aggregates of dim-keyed partials, no window, no collect; at 100 TB
+    the same plan reads the maintained moment sidecars instead of the
+    corpus (`pca.embedding_moments` carries exactly these statistics)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    s = e.groupBy("half", "i").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    r = s.filter(F.col("half") == 0).select(
+        "i", (F.col("sx") / F.col("n")).alias("mu_ref"),
+        (F.col("sxx") / F.col("n")
+         - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+         ).alias("var_ref"),
+    )
+    c = s.filter(F.col("half") == 1).select(
+        "i", (F.col("sx") / F.col("n")).alias("mu_cur"),
+        (F.col("sxx") / F.col("n")
+         - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+         ).alias("var_cur"),
+    )
+
+    def q6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        r.join(c, "i")
+        .select(
+            F.col("i").cast("int").alias("i"),
+            q6(F.col("mu_ref")).alias("mean_ref"),
+            q6(F.col("mu_cur")).alias("mean_cur"),
+            q6(F.col("mu_cur") - F.col("mu_ref")).alias("mean_shift"),
+            q6(
+                F.when(
+                    F.col("var_ref") > 0, F.col("var_cur") / F.col("var_ref")
+                )
+            ).alias("var_ratio"),
+        )
+        .orderBy("i")
+    )

@@ -185,8 +185,13 @@ HEADLINE = [
     # the LPA/PageRank driver-synced-rounds reason.
     "embedding_covariance",
     # round-9b: multi-probe LSH at half the table count — the
-    # recall-per-byte serving shape (query-side-only fan-out).
+    # recall-per-byte serving shape (query-side-only fan-out) — and the
+    # per-dimension embedding drift monitor (two dim-keyed hash
+    # aggregates, no window). embedding_cov_incremental stays OFF the
+    # headline for the family reason (drives its SINK end to end — a
+    # certificate row, not a throughput row).
     "ann_multiprobe_topk",
+    "embedding_drift_report",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
