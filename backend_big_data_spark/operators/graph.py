@@ -296,7 +296,7 @@ def k_core(
     k: int,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 32,
+    max_iter: int = 64,
 ) -> DataFrame:
     """The k-core of the undirected graph: the maximal subgraph in which
     every node has degree >= k (Seidman 1983) — the standard "dense
@@ -313,7 +313,10 @@ def k_core(
     a fixed round budget with a raise on non-convergence keeps the
     result exact rather than silently partial — a SQL engine replays the
     peel as a k-step CTE chain (extra rounds past the fixed point are
-    no-ops, so a generous static budget replays a converged peel).
+    no-ops, so a generous static budget replays a converged peel). The
+    loop spends one extra no-op round DETECTING the fixed point, so
+    ``max_iter`` must exceed the real peel depth by 1 — call sites that
+    pair with an n-round SQL replay should pass ``max_iter = n + 1``.
 
     Returns ``(node, core_deg)`` — every node of the k-core with its
     degree INSIDE the core. Empty when the core is empty.

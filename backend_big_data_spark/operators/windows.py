@@ -52,13 +52,155 @@ def global_rank(
     df: DataFrame, order_by: Sequence[Column | str], rank_col: str = "rank"
 ) -> DataFrame:
     """Global ranking — reference W2 (``queries.py:322``, rank all owners by
-    total views). A global ``row_number`` window funnels all rows through one
-    partition; acceptable ONLY on pre-aggregated (bounded) inputs, which is
-    how the reference uses it and how the engine exposes it. For unbounded
-    ranking, use ``F.rank`` over a keyed window or zipWithIndex-style plans.
+    total views). Delegates to :func:`distributed_rank` (range-partition +
+    broadcast prefix offsets), so there is NO partition-less window and no
+    bounded-input contract to police: the same call ranks a 50-row owner
+    table and a 10⁹-row entity dimension. Rank is int for schema parity
+    with the reference's ``row_number`` idiom.
     """
+    return distributed_rank(df, order_by, rank_col=rank_col).withColumn(
+        rank_col, F.col(rank_col).cast("int")
+    )
+
+
+def global_topk_ranked(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows by a total order with their global rank attached.
+
+    The rank-filtered-top-k idiom (``rank() <= k``) does NOT need a
+    global ranking pass: ``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject — only k rows per partition ever leave the
+    executors — and the ``row_number`` window then runs over the k-row
+    result, bounded by the LITERAL k, not the data. Use
+    :func:`distributed_rank` instead when every row needs its rank.
+    """
+    top = df.orderBy(*order_by).limit(k)
     w = Window.orderBy(*order_by)
-    return df.withColumn(rank_col, F.row_number().over(w))
+    return top.withColumn(rank_col, F.row_number().over(w).cast("int"))
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    rank_col: str = "rank",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact global 1-based ``row_number`` over a total order WITHOUT a
+    partition-less window — the two-pass distributed ranking that
+    replaces the "No Partition Defined" single-task global sort.
+
+    ``order_by`` must be a total order (include a unique key) or ranks
+    are nondeterministic — the same contract as SQL ``row_number``.
+
+    The `operators/setsimjoin._dense_ids` discipline, extended from
+    order-faithful ids to EXACT dense ranks:
+
+    1. ``repartitionByRange(order_by)`` range-partitions on the sort key
+       (partition p's keys all precede partition p+1's; the range
+       partitioner balances row counts via sampling), then
+       ``sortWithinPartitions`` orders each partition's own range — the
+       per-task sort is n/numPartitions, bounded by config, not data.
+    2. ``monotonically_increasing_id`` (partition_id·2³³ + row number)
+       recovers each row's partition id and 0-based intra-partition
+       index for free — no second window.
+    3. Per-partition row counts aggregate to ≤ numShufflePartitions rows;
+       prefix-summing them to partition OFFSETS is the only ordered
+       window in the plan and runs over that bounded counts frame — the
+       CCNet-histogram pattern (bounded by config, not data), NOT over
+       the ranked rows themselves.
+    4. Offsets broadcast-join back on partition id:
+       ``rank = offset[pid] + intra_index + 1``.
+
+    ``total_col``, when set, also attaches the total row count n (needed
+    by closed-form ntile) from the same bounded counts frame — no extra
+    pass over the data.
+
+    Scale: one range shuffle of the data + one broadcast join; every
+    per-task frame is |n|/numPartitions. At 10⁹-row entity dimensions
+    this replaces a single-task global sort with 32-or-more-way
+    parallelism. Intra-partition index is exact to 2³³ rows/partition
+    (monotonically_increasing_id's record field).
+    """
+    ordered = (
+        df.repartitionByRange(*order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__dr_mid", F.monotonically_increasing_id())
+        .withColumn("__dr_pid", F.shiftright("__dr_mid", 33))
+        .withColumn(
+            "__dr_idx", F.col("__dr_mid").bitwiseAND(F.lit((1 << 33) - 1))
+        )
+    )
+    counts = ordered.groupBy("__dr_pid").agg(F.count(F.lit(1)).alias("__dr_cnt"))
+    w_off = Window.orderBy("__dr_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.orderBy("__dr_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "__dr_pid",
+        F.coalesce(F.sum("__dr_cnt").over(w_off), F.lit(0)).alias("__dr_off"),
+        F.sum("__dr_cnt").over(w_tot).alias("__dr_tot"),
+    )
+    out = ordered.join(F.broadcast(offsets), "__dr_pid").withColumn(
+        rank_col, (F.col("__dr_off") + F.col("__dr_idx") + 1).cast("long")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__dr_tot"))
+    return out.drop("__dr_mid", "__dr_pid", "__dr_idx", "__dr_off", "__dr_tot")
+
+
+def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
+    """SQL ``ntile(n)`` in closed form from an exact (1-based rank, total
+    count) pair — no window function at all.
+
+    SQL semantics: with t rows, the first ``t % n`` tiles hold
+    ``⌈t/n⌉`` rows and the rest ``⌊t/n⌋``. With base = ⌊t/n⌋,
+    rem = t % n, big = rem·(base+1)::
+
+        tile(r) = ⌈r / (base+1)⌉                 if r <= big
+                  rem + ⌈(r - big) / base⌉       otherwise
+
+    (t < n degenerates cleanly: base = 0, big = t, first branch covers
+    every row and assigns tile = r.) Division runs in doubles — exact for
+    operands below 2⁵³, far beyond any entity dimension — with the
+    divisor of the dead branch clamped ≥ 1 so ANSI mode never sees /0.
+    """
+    base = F.floor(total / F.lit(n)).cast("long")
+    rem = (total % F.lit(n)).cast("long")
+    big = rem * (base + 1)
+    tile_lo = F.ceil(rank / (base + 1))
+    tile_hi = rem + F.ceil((rank - big) / F.greatest(base, F.lit(1)))
+    return F.when(rank <= big, tile_lo).otherwise(tile_hi).cast("int")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n: int,
+    order_by: Sequence[Column | str],
+    tile_col: str,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_by)`` — hash-identical to
+    the SQL window function — built from :func:`distributed_rank` +
+    :func:`ntile_from_rank`, so no partition-less window ever sees the
+    data rows. ``order_by`` must be a total order (unique tie-break) for
+    deterministic tiles, same as the window form.
+
+    This is the 100 TB replacement for global-ntile segmentation
+    (RFM scores, user deciles): the naive window funnels the full entity
+    dimension (10⁸–10⁹ rows at scale) through ONE task; this form's
+    largest single-task frame is numShufflePartitions counter rows.
+    """
+    ranked = distributed_rank(
+        df, order_by, rank_col="__dn_rank", total_col="__dn_tot"
+    )
+    return ranked.withColumn(
+        tile_col, ntile_from_rank(F.col("__dn_rank"), F.col("__dn_tot"), n)
+    ).drop("__dn_rank", "__dn_tot")
 
 
 def lag_delta(

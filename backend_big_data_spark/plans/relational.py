@@ -382,19 +382,23 @@ FROM (
 """,
 )
 def customer_spend_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 global ranking of a PRE-AGGREGATED (bounded) input — /top50Owners +
-    /searchOwner rank semantics (queries.py:313-322). The global window runs
-    over one row per customer, not per order; decimal-exact spend makes the
-    rank deterministic."""
+    """W2 global ranking — /top50Owners + /searchOwner rank semantics
+    (queries.py:313-322). A rank-filtered top-k needs no global ranking
+    pass: TakeOrderedAndProject moves only the top 100 per partition and
+    the row_number window runs over the 100-row result (bounded by the
+    literal k — `operators/windows.global_topk_ranked`); decimal-exact
+    spend + custkey tie-break make the rank deterministic."""
+    from backend_big_data_spark.operators.windows import global_topk_ranked
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         money_sum(F.col("o_totalprice")).alias("total_spend"),
         F.count("*").alias("order_count"),
     )
-    ranked = global_rank(
-        spend, [F.desc("total_spend"), F.col("o_custkey")], rank_col="spend_rank"
-    )
-    return ranked.filter(F.col("spend_rank") <= 100).orderBy("spend_rank")
+    return global_topk_ranked(
+        spend, [F.desc("total_spend"), F.col("o_custkey")], 100,
+        rank_col="spend_rank",
+    ).orderBy("spend_rank")
 
 
 # --------------------------------------------------------------------------

@@ -730,9 +730,12 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid: per-customer MAX(orderdate)/COUNT/decimal-exact spend, each
     ntile(5)-scored with a unique (metric, custkey) tie-break (the
     deciles determinism convention), reported as per-cell counts and
-    monetary bounds. The three global ntile windows run ONLY over the
-    one-row-per-customer aggregate (bounded input)."""
-    from pyspark.sql import Window
+    monetary bounds. Each score is an EXACT distributed ntile
+    (`operators/windows.distributed_ntile`: range-partition on the sort
+    key + broadcast prefix offsets + closed-form tile) — at 100 TB the
+    customer dimension is 10⁸–10⁹ rows, and the former global ntile
+    windows would funnel it through ONE task."""
+    from backend_big_data_spark.operators.windows import distributed_ntile
 
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
@@ -742,20 +745,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    scored = (
-        rfm.withColumn(
-            "r_score",
-            F.ntile(5).over(Window.orderBy(F.asc("recency"), "o_custkey")).cast("int"),
+    scored = rfm
+    for col, key in (
+        ("r_score", "recency"),
+        ("f_score", "frequency"),
+        ("m_score", "monetary"),
+    ):
+        scored = distributed_ntile(
+            scored, 5, [F.asc(key), "o_custkey"], col
         )
-        .withColumn(
-            "f_score",
-            F.ntile(5).over(Window.orderBy(F.asc("frequency"), "o_custkey")).cast("int"),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(5).over(Window.orderBy(F.asc("monetary"), "o_custkey")).cast("int"),
-        )
-    )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
@@ -1213,15 +1211,15 @@ FROM ranked GROUP BY user_decile ORDER BY user_decile
 def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity concentration ("do 10% of users produce 80% of events?"):
     users deciled by event count (deterministic tie-break), each decile's
-    event share in exact integer ppm. The ntile window runs over the
-    one-row-per-user aggregate only."""
-    from pyspark.sql import Window
+    event share in exact integer ppm. The decile is an exact distributed
+    ntile (`operators/windows.distributed_ntile`) — the user dimension is
+    entity-cardinality (10⁸–10⁹ at 100 TB), so no global ntile window."""
+    from backend_big_data_spark.operators.windows import distributed_ntile
 
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    ranked = per.withColumn(
-        "user_decile",
-        F.ntile(10).over(Window.orderBy(F.desc("n"), "user_id")).cast("int"),
+    ranked = distributed_ntile(
+        per, 10, [F.desc("n"), "user_id"], "user_decile"
     )
     tot = per.agg(F.sum("n").alias("__t"))
     return (

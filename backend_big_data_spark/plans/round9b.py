@@ -50,8 +50,15 @@ r AS (
          AVG(CASE WHEN rn_b <= 4 THEN sim END) OVER (PARTITION BY b_id) AS db
   FROM r
 ), m AS (
-  SELECT a_id, b_id, sim, sim / ((da + db) / 2) AS margin,
-         ROUND(sim / ((da + db) / 2), 9) AS mkey
+  -- zero-denominator guard: Spark emits NULL margin when the two
+  -- neighborhoods cancel; DuckDB with ieee_floating_point_ops (the
+  -- modern default) would give 0/0 = NaN, which sorts GREATEST — so the
+  -- oracle must NULL it explicitly rather than rely on x/0 behavior
+  SELECT a_id, b_id, sim,
+         CASE WHEN (da + db) = 0 THEN NULL
+              ELSE sim / ((da + db) / 2) END AS margin,
+         ROUND(CASE WHEN (da + db) = 0 THEN NULL
+                    ELSE sim / ((da + db) / 2) END, 9) AS mkey
   FROM d
 ), best AS (
   SELECT a_id, b_id, sim, margin, mkey,
@@ -190,7 +197,16 @@ def embedding_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kcore_oracle(k: int = 3, rounds: int = 32) -> str:
+# Shared round budget: the SQL oracle replays the peel as a static
+# _KCORE_ROUNDS-step CTE chain (no-ops past the fixed point), and the Spark
+# loop gets max_iter = _KCORE_ROUNDS + 1 because it spends one extra no-op
+# round DETECTING convergence — deriving both from one constant means a
+# peel that exhausts the oracle's budget raises loudly on the Spark side
+# instead of silently hash-mismatching (sf0.1 converges in 24 rounds).
+_KCORE_ROUNDS = 32
+
+
+def _kcore_oracle(k: int = 3, rounds: int = _KCORE_ROUNDS) -> str:
     """Static CTE-chain replay of the batch peel (the PageRank/LPA oracle
     pattern): ``rounds`` is a generous budget — peeling is monotone, so
     every round past the fixed point is a no-op and the chain's tail
@@ -248,7 +264,7 @@ def supply_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 2)
         .select("src", "dst")
     )
-    return k_core(purchases, k=3).orderBy("node")
+    return k_core(purchases, k=3, max_iter=_KCORE_ROUNDS + 1).orderBy("node")
 
 
 @register(
@@ -331,8 +347,12 @@ WITH m0 AS (
          AVG(CASE WHEN rn_b <= 4 THEN sim END) OVER (PARTITION BY b_id) AS db
   FROM r
 ), sc AS (
-  SELECT a_id, b_id, sim, sim / ((da + db) / 2) AS margin,
-         ROUND(sim / ((da + db) / 2), 9) AS mkey
+  -- zero-denominator guard — see _MARGIN_TAIL: NULL, not NaN, on (da+db)=0
+  SELECT a_id, b_id, sim,
+         CASE WHEN (da + db) = 0 THEN NULL
+              ELSE sim / ((da + db) / 2) END AS margin,
+         ROUND(CASE WHEN (da + db) = 0 THEN NULL
+                    ELSE sim / ((da + db) / 2) END, 9) AS mkey
   FROM d
 ), ranked AS (
   SELECT a_id, b_id, sim, margin, mkey,
@@ -477,18 +497,25 @@ def _cov_oracle() -> str:
 def embedding_cov_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental covariance from the margin sink's MAINTAINED moment
     sidecars: the corpus is ingested as two micro-batches (even then odd
-    vec_ids; the link threshold is disarmed so every record admits), and
-    the covariance is finished from `read_master_moments` +
-    `pca.covariance_from_moments` — no vector is rescanned. The oracle is
-    the full-retrain twin (embedding_covariance's SQL verbatim): the
-    hash equality IS the claim, the lm_ingest incremental-model
-    discipline applied to the PCA training pass.
+    vec_ids; ``threshold=inf`` disarms linking UNCONDITIONALLY — ``mkey
+    >= inf`` is never true, with no finite sentinel a degenerate-denominator
+    margin could exceed — and ``dedup_exact=False`` disables the ER
+    admission dedup so every corpus row, including exact-duplicate
+    embeddings, reaches the master and its moments), and the covariance is
+    finished from `read_master_moments` + `pca.covariance_from_moments` —
+    no vector is rescanned. The oracle is the full-retrain twin
+    (embedding_covariance's SQL verbatim): the hash equality IS the claim,
+    the lm_ingest incremental-model discipline applied to the PCA training
+    pass. If the moment sidecar fails its coverage guard the query falls
+    back to the full-scan covariance (result-invariant, just slower).
 
     Throwaway per-invocation master dir; content is path-independent."""
-    import os as _os
     import tempfile as _tempfile
 
-    from backend_big_data_spark.similarity.pca import covariance_from_moments
+    from backend_big_data_spark.similarity.pca import (
+        covariance_from_moments,
+        embedding_covariance,
+    )
     from backend_big_data_spark.streaming.margin_ingest import (
         margin_ingest_sink,
         read_master_moments,
@@ -496,7 +523,9 @@ def embedding_cov_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     mdir = _tempfile.mkdtemp(prefix="cov_incremental_")
-    sink = margin_ingest_sink(mdir, dim=64, threshold=1e9)
+    sink = margin_ingest_sink(
+        mdir, dim=64, threshold=float("inf"), dedup_exact=False
+    )
     sink(
         emb.where(F.col("vec_id") % 2 == 0).select(
             F.col("vec_id").alias("id"), "embedding"
@@ -509,8 +538,10 @@ def embedding_cov_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     )
-    _ = _os  # tempdir path only; no reads outside the sink layout
-    return covariance_from_moments(read_master_moments(spark, mdir))
+    moments = read_master_moments(spark, mdir)
+    if moments is None:  # coverage guard tripped — documented fallback
+        return embedding_covariance(emb, dim=64)
+    return covariance_from_moments(moments)
 
 
 @register(

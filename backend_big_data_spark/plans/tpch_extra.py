@@ -247,14 +247,15 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifetime spend (W2 family — equi-height bucketing next to the
     existing rank/row_number/lag/RANGE-frame coverage).
 
-    The global ntile window runs ONLY over the pre-aggregated one-row-per-
-    customer frame (bounded input — the same discipline as the owner
-    rankings); spend is an exact decimal sum with a unique (spend desc,
+    The decile is an EXACT distributed ntile over the one-row-per-customer
+    aggregate (`operators/windows.distributed_ntile`: range-partition on
+    the sort key, broadcast prefix offsets, closed-form tile from
+    (rank, total)) — hash-identical to SQL ntile but with no
+    partition-less window, so the same plan survives a 10⁹-row customer
+    dimension; spend is an exact decimal sum with a unique (spend desc,
     custkey) tie-break, so tile boundaries are deterministic cross-engine.
-    At 100 TB, equi-height buckets over raw rows would instead come from
-    approx_percentile boundaries + a broadcast range join.
     """
-    from pyspark.sql.window import Window
+    from backend_big_data_spark.operators.windows import distributed_ntile
 
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     spend = orders.groupBy("o_custkey").agg(
@@ -262,8 +263,9 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_spend")
     )
-    w = Window.orderBy(F.desc("total_spend"), "o_custkey")
-    tiled = spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    tiled = distributed_ntile(
+        spend, 10, [F.desc("total_spend"), "o_custkey"], "decile"
+    )
     return (
         tiled.groupBy("decile")
         .agg(

@@ -76,10 +76,11 @@ def _margin_scores(pairs: DataFrame, k: int) -> DataFrame:
             "db", F.avg(F.when(F.col("rn_b") <= k, F.col("sim"))).over(w_part_b)
         )
         # NULL margin when the pair's two neighborhoods cancel to zero
-        # (all-orthogonal candidates) — the exact contract SQL engines
-        # give x/0 on doubles (DuckDB: NULL), so both engines drop such
-        # pairs at the threshold filter; under ANSI mode Spark would
-        # otherwise RAISE here.
+        # (all-orthogonal candidates), so such pairs drop at the
+        # threshold filter; under ANSI mode Spark would otherwise RAISE
+        # here. SQL twins must guard the SAME way (CASE WHEN (da+db)=0
+        # THEN NULL): DuckDB's ieee_floating_point_ops default makes
+        # 0/0 = NaN, which sorts/compares GREATEST — not NULL.
         .withColumn(
             "denom", (F.col("da") + F.col("db")) / F.lit(2.0)
         )

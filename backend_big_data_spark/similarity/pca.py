@@ -95,7 +95,18 @@ def covariance_from_moments(
     moment rows: keyed sum to the corpus totals, then the same
     cov = Sxy/n − (Sx/n)(Sy/n) + floor-quantization arithmetic as the
     one-shot :func:`embedding_covariance` — the maintained sidecar path
-    lands on the identical quantization grid."""
+    lands on the identical quantization grid.
+
+    Raises on ``None`` input: ``read_master_moments`` returns ``None``
+    when the sidecar fails its coverage guard, and the documented
+    contract is that CALLERS fall back to the full-scan covariance —
+    a silent AttributeError here would mask that decision."""
+    if moments is None:
+        raise ValueError(
+            "covariance_from_moments: moments is None — the sidecar "
+            "failed its coverage guard; fall back to the full-scan "
+            "embedding_covariance at the call site"
+        )
     tot = moments.groupBy("i", "j").agg(F.sum("v").alias("v"))
     n = tot.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("v").alias("n")

