@@ -38,6 +38,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round8,
     round9,
     round9b,
+    round10,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 

@@ -576,9 +576,13 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per dimension, floor-quantized (the covariance family's fixed-point
     parity discipline; a NULL var_ratio marks a degenerate reference
     dimension, matching SQL x/0). One pass per half — two hash
-    aggregates of dim-keyed partials, no window, no collect; at 100 TB
-    the same plan reads the maintained moment sidecars instead of the
-    corpus (`pca.embedding_moments` carries exactly these statistics)."""
+    aggregates of dim-keyed partials, no window, no collect; the readout
+    formula is shared with the sidecar twin
+    (`pca.drift_readout`) — at 100 TB the same readout reads the
+    maintained moment sidecars instead of the corpus, and
+    `embedding_drift_from_moments` certifies that equivalence."""
+    from backend_big_data_spark.similarity.pca import drift_readout
+
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         (F.col("vec_id") % 2).alias("half"),
@@ -589,34 +593,7 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.count(F.lit(1)).alias("n"),
     )
-    r = s.filter(F.col("half") == 0).select(
-        "i", (F.col("sx") / F.col("n")).alias("mu_ref"),
-        (F.col("sxx") / F.col("n")
-         - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
-         ).alias("var_ref"),
-    )
-    c = s.filter(F.col("half") == 1).select(
-        "i", (F.col("sx") / F.col("n")).alias("mu_cur"),
-        (F.col("sxx") / F.col("n")
-         - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
-         ).alias("var_cur"),
-    )
-
-    def q6(col):
-        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-
-    return (
-        r.join(c, "i")
-        .select(
-            F.col("i").cast("int").alias("i"),
-            q6(F.col("mu_ref")).alias("mean_ref"),
-            q6(F.col("mu_cur")).alias("mean_cur"),
-            q6(F.col("mu_cur") - F.col("mu_ref")).alias("mean_shift"),
-            q6(
-                F.when(
-                    F.col("var_ref") > 0, F.col("var_cur") / F.col("var_ref")
-                )
-            ).alias("var_ratio"),
-        )
-        .orderBy("i")
+    return drift_readout(
+        s.filter(F.col("half") == 0).select("i", "sx", "sxx", "n"),
+        s.filter(F.col("half") == 1).select("i", "sx", "sxx", "n"),
     )

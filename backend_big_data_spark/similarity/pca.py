@@ -143,6 +143,67 @@ def covariance_from_moments(
     )
 
 
+def dim_stats_from_moments(moments: DataFrame) -> DataFrame:
+    """Per-dimension sufficient statistics ``(i, sx, sxx, n)`` out of a
+    moment sidecar frame (possibly per-batch — keyed-summed here): the
+    dim sums live at ``(i, -1)``, the squared sums on the diagonal
+    ``(i, i)``, the row count at ``(-1, -1)``. Everything the drift
+    readout needs, with no corpus rescan."""
+    tot = moments.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    n = tot.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("v").alias("n")
+    )
+    sx = tot.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        "i", F.col("v").alias("sx")
+    )
+    sxx = tot.filter((F.col("i") >= 0) & (F.col("i") == F.col("j"))).select(
+        "i", F.col("v").alias("sxx")
+    )
+    return sx.join(sxx, "i").crossJoin(F.broadcast(n))
+
+
+def drift_readout(ref: DataFrame, cur: DataFrame) -> DataFrame:
+    """Per-dimension distribution-drift report from two ``(i, sx, sxx,
+    n)`` statistics frames (reference vs current): mean shift and
+    variance ratio, floor-quantized on the millionths grid (the
+    covariance family's fixed-point parity discipline; NULL var_ratio
+    marks a degenerate reference dimension). The SHARED readout behind
+    `plans.round9b.embedding_drift_report` (stats from the corpus) and
+    its sidecar twin (stats from maintained moments) — one formula, so
+    the drift-from-sidecars ≡ drift-from-corpus certification can never
+    drift itself. Input frames are dim-sized: every join here is
+    broadcast-cheap and corpus-size-independent."""
+
+    def stats(df, mu, var):
+        m = F.col("sx") / F.col("n")
+        return df.select(
+            "i",
+            m.alias(mu),
+            (F.col("sxx") / F.col("n") - m * m).alias(var),
+        )
+
+    def q6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    r = stats(ref, "mu_ref", "var_ref")
+    c = stats(cur, "mu_cur", "var_cur")
+    return (
+        r.join(c, "i")
+        .select(
+            F.col("i").cast("int").alias("i"),
+            q6(F.col("mu_ref")).alias("mean_ref"),
+            q6(F.col("mu_cur")).alias("mean_cur"),
+            q6(F.col("mu_cur") - F.col("mu_ref")).alias("mean_shift"),
+            q6(
+                F.when(
+                    F.col("var_ref") > 0, F.col("var_cur") / F.col("var_ref")
+                )
+            ).alias("var_ratio"),
+        )
+        .orderBy("i")
+    )
+
+
 def embedding_covariance(
     emb: DataFrame,
     *,
