@@ -168,13 +168,19 @@ def _prefix(sets: DataFrame, keep: Column) -> DataFrame:
 
 
 def _inter_size(a: Column, b: Column, sa: Column, sb: Column) -> Column:
-    """|a ∩ b| for distinct-element arrays, adaptive: nested scan for
-    small pairs (16-ish long comparisons beat a per-row hash-set
-    build), hash intersect above that."""
-    return F.when(
-        sa * sb <= F.lit(256),
-        F.size(F.filter(a, lambda x: F.array_contains(b, x))),
-    ).otherwise(F.size(F.array_intersect(a, b))).cast("long")
+    """|a ∩ b| for distinct-element arrays via the native ArrayIntersect
+    codegen, unconditionally. The previous "adaptive" form (HOF nested
+    scan below 256 comparisons, on the theory that ~16 long compares
+    beat a hash-set build) measured 2.8× SLOWER on the 16M-pair
+    containment verify at sf0.1 (12.7 s vs 4.6 s): the per-element
+    lambda invocation overhead dwarfs the hash build, and
+    ``size(filter(...))`` materializes a throwaway array per pair —
+    allocation churn that also drove the stage's run-to-run GC variance
+    (PERF.md round 10). ``sa``/``sb`` stay in the signature so a future
+    engine-version re-measurement can re-introduce dispatch without
+    touching call sites."""
+    _ = (sa, sb)
+    return F.size(F.array_intersect(a, b)).cast("long")
 
 
 def token_jaccard_join(
@@ -436,6 +442,24 @@ def token_jaccard_join_indexed(
     )
 
 
+#: Mean candidate fan-out per distinct prefix token above which the
+#: containment join CONSIDERS salting its verify join (see
+#: token_containment_join): ~50k array intersections is a fraction of one
+#: task's fair share on any sane partition count, so below it salting only
+#: adds replication cost.
+_SALT_FAN_THRESHOLD = 50_000
+
+#: Salting additionally requires the probe-prefix table to be too large to
+#: broadcast: below this row count Spark plans the verify join as a
+#: BroadcastHashJoin (prefix hash table on every core, base tokens stream
+#: map-side) — already perfectly parallel whatever the tid skew, and
+#: measured 1.5× FASTER than the salted shuffle at sf0.1 (PERF.md round
+#: 10: 15.6-19.3 s unsalted vs 22.9-24.9 s salted on the 25-hot-token
+#: parts corpus). Salting pays only in the sort-merge regime where a
+#: corpus-scale prefix table shuffles on tid and hot ids straggle.
+_SALT_MIN_PREFIX_ROWS = 2_000_000
+
+
 def token_containment_join(
     probe: DataFrame,
     base: DataFrame,
@@ -456,7 +480,21 @@ def token_containment_join(
     and base token tables before the equi-join; above the cap the join
     raises :class:`SetSimCandidateBlowup` instead of silently running
     quadratic (the containment bound is naturally larger than the
-    Jaccard form's — the base side exposes ALL its tokens)."""
+    Jaccard form's — the base side exposes ALL its tokens).
+
+    The same pre-join bound detects the HOT-KEY regime short of the cap:
+    a closed vocabulary concentrates the candidate mass on a handful of
+    token ids (sf0.1 parts: 25 distinct prefix tokens carry 16M pairs).
+    When the probe-prefix table is small enough to broadcast that skew is
+    harmless — the verify join plans as a BroadcastHashJoin and the
+    intersect work parallelizes over the BASE token partitions, whatever
+    the tid histogram (the plan golden pins this; salting here was
+    measured a 1.5× pessimization). Only when the prefix side ALSO
+    outgrows broadcast (``_SALT_MIN_PREFIX_ROWS`` — the corpus-scale
+    sort-merge regime, where hot tids really do straggle) does the join
+    salt: base tokens key on (tid, hash(base_id) % S), the probe prefix
+    replicates ×S, and every (probe, base) pair still meets exactly once
+    per shared tid, so the result is identical."""
     sets = _ranked_sets(_tag(probe, base))
     if candidate_cap is not None:
         sets = sets.localCheckpoint(eager=True)  # one scan: bound + join
@@ -477,6 +515,7 @@ def token_containment_join(
         F.col("sz").alias("b_sz"),
         F.explode("toks").alias("tid"),
     )
+    salt_n = 0
     if candidate_cap is not None:
         bound_row = (
             pp.groupBy("tid")
@@ -485,22 +524,46 @@ def token_containment_join(
             .agg(
                 F.coalesce(F.sum(F.col("np") * F.col("nb")), F.lit(0)).alias(
                     "b"
-                )
+                ),
+                F.count(F.lit(1)).alias("n_tids"),
+                F.coalesce(F.sum("np"), F.lit(0)).alias("n_prefix"),
             )
             .first()
         )
         bound = int(bound_row["b"])
+        n_tids = int(bound_row["n_tids"])
+        n_prefix = int(bound_row["n_prefix"])
         if bound > candidate_cap:
             raise SetSimCandidateBlowup(
                 f"closed-vocabulary token regime: containment candidate "
                 f"bound {bound} exceeds candidate_cap={candidate_cap}; "
                 f"raise the threshold or block on a coarser key first"
             )
+        if (
+            n_tids
+            and bound // n_tids > _SALT_FAN_THRESHOLD
+            and n_prefix > _SALT_MIN_PREFIX_ROWS
+        ):
+            salt_n = int(
+                probe.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+    join_keys = ["tid"]
+    if salt_n:
+        pp = pp.withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(salt_n - 1)).cast("array<int>")
+            ),
+        )
+        bt = bt.withColumn(
+            "_salt", F.pmod(F.hash("base_id"), F.lit(salt_n)).cast("int")
+        )
+        join_keys = ["tid", "_salt"]
     inter = _inter_size(
         F.col("p_toks"), F.col("b_toks"), F.col("probe_sz"), F.col("b_sz")
     )
     return (
-        pp.join(bt, "tid")
+        pp.join(bt, join_keys)
         .withColumn("inter_cnt", inter)
         .where(F.col("inter_cnt") * t_den >= F.col("probe_sz") * t_num)
         .dropDuplicates(["probe_id", "base_id"])

@@ -124,6 +124,27 @@ class TestTokenContainmentJoin:
             )
             assert got == _brute_containment(ROWS, t_num, t_den), (t_num, t_den)
 
+    def test_salted_verify_is_result_identical(self, spark, monkeypatch):
+        """The hot-key salting path (armed cap + fan-out over threshold —
+        the closed-vocabulary regime): forcing the threshold to 0 makes
+        every armed join salt, and the result must equal both the
+        unsalted plan and brute force — pairs meet exactly once per
+        shared (tid, salt-of-base)."""
+        from backend_big_data_spark.operators import setsimjoin
+
+        monkeypatch.setattr(setsimjoin, "_SALT_FAN_THRESHOLD", 0)
+        monkeypatch.setattr(setsimjoin, "_SALT_MIN_PREFIX_ROWS", 0)
+        df = _df(spark, ROWS)
+        got = sorted(
+            (r.probe_id, r.base_id, r.inter_cnt, r.probe_sz)
+            for r in token_containment_join(
+                df, df, 4, 5, candidate_cap=10_000
+            )
+            .where("probe_id != base_id")
+            .collect()
+        )
+        assert got == _brute_containment(ROWS, 4, 5)
+
     def test_asymmetry(self, spark):
         """Row 3 ('the red blue') is fully inside row 0 but not vice
         versa at t=1: containment must be directional."""
