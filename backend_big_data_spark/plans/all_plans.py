@@ -49,68 +49,35 @@ from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 #: ``python tools/gen_query_index.py --rotation 50`` reads every
 #: CORRECTNESS_r*.json, computes each query's newest fully-green external
 #: driver row, and emits never-checked queries first (registration order)
-#: then everything else oldest-row-first. The round-9 window below is that
-#: output with two adjustments the tool can't know: (a) queries whose
-#: implementing files DRIFTED this round are promoted (the setsim pair —
-#: `operators/setsimjoin.py` was rewritten to distribute the token-id
-#: assignment, so their r08 rows certify the old code), and (b) queries
-#: REGISTERED this round get same-round slots appended up front.
+#: then everything else oldest-row-first. The round-10 window below is
+#: that output with two adjustments the tool can't know: (a) queries
+#: whose implementations or oracle SQL DRIFTED this round are promoted
+#: (their prior rows certify the old code), and (b) queries REGISTERED
+#: this round get same-round slots appended up front.
 _FRONT = [
-    # -- (a) round-8 post-window registrations (first driver rows) ----------
-    "doc_wordpiece_token_stats",
-    "part_token_best_match",
-    "part_token_jaccard_indexed",
-    # -- (b) round-9 drift: operators/setsimjoin.py rewritten ----------------
-    "part_token_jaccard_match",
-    "part_token_containment_match",
-    # -- (c) round-9 registrations (same-round driver slots; uncommented as
-    #        each lands — _reorder() asserts every _FRONT name is registered)
-    "part_token_best_match_stream",
-    "doc_kn3_trigram_model",
-    "doc_kn3_perplexity",
-    "doc_kn_incremental_model",
-    "doc_kn3_incremental_model",
-    "doc_kn_crossfold_perplexity",
-    "doc_ccnet_ppl_buckets",
-    "doc_kn_stream_scored",
-    "part_fuzzy_best_match_stream",
+    # -- (a) round-10 registrations (first driver rows) ---------------------
+    "embedding_pca_project",
+    "embedding_drift_from_moments",
+    "lineitem_price_deciles",
+    # -- (b) round-10 drift: implementations or ORACLE SQL changed this
+    #        round, so their r07/r09 rows certify old code — the exact-ntile
+    #        family was redistributed (plans/round4b.py, tpch_extra.py,
+    #        relational.py, operators/windows.py), the margin-family oracles
+    #        gained the 0/0 CASE guard and the cov/kcore queries their
+    #        ADVICE fixes (plans/round9b.py). All 10 were hash-certified at
+    #        sf0.01 AND sf0.1 via tools/driver_sim.py when the change
+    #        landed; these slots add the external driver rows.
+    "customer_spend_deciles",
+    "customer_spend_ranking",
     "embedding_margin_pairs",
     "embedding_margin_pairs_lsh",
-    "embedding_trunc_recall",
-    "supply_graph_kcore",
-    "embedding_covariance",
     "embedding_margin_link_stream",
-    "ann_multiprobe_topk",
     "embedding_cov_incremental",
     "embedding_drift_report",
-    # -- (d) generated: oldest external rows first (r04 block, then r05) ----
-    "pricing_summary",
-    "revenue_by_region",
-    "revenue_forecast",
-    "part_min_price_suppliers",
-    "dominant_part_suppliers",
-    "customer_spend_deciles",
-    "ann_ivf_topk",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_sq8_topk",
-    "ann_ivf_sq8_topk",
-    "embedding_random_projection",
-    "doc_repetition_mix",
-    "q4_order_priority",
-    "q8_market_share",
-    "q13_order_count_distribution",
-    "q16_parts_supplier_counts",
-    "q22_sales_opportunity",
-    "kmeans_embedding_clusters",
-    "doc_token_itemsets",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q12_shipping_tiers",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "doc_segment_dedup",
-    "doc_blocklist_filter",
+    "supply_graph_kcore",
+    # -- (c) generated: oldest external rows first (the full r05 block +
+    #        the two oldest r06 rows; customer_rfm_segments and
+    #        events_power_users_pareto are both stale AND drifted) --------
     "doc_snapshot_diff",
     "events_funnel_conversion",
     "doc_corpus_dedup_best",
@@ -132,13 +99,37 @@ _FRONT = [
     "events_retention_cohorts",
     "customer_rfm_segments",
     "events_stickiness_daily",
+    "part_pair_lift",
+    "embedding_dup_triangles",
+    "corpus_token_budget",
+    "embedding_dup_degree_hist",
+    "doc_gopher_quality",
+    "doc_repetition_profile",
+    "customer_ltv_cohorts",
+    "events_power_users_pareto",
+    "corpus_vocab_growth",
+    "order_value_histogram",
+    "nation_supplier_hhi",
+    "events_interarrival_profile",
+    "events_user_lifecycle",
+    "events_ab_readout",
+    "orders_seasonality_index",
+    "doc_field_completeness",
+    "doc_filter_overlap",
+    "orders_page3",
 ]
-# Round-10 rotation note: regenerate with
-# ``python tools/gen_query_index.py --rotation 50`` once CORRECTNESS_r09
-# lands; promote any queries whose implementing files drift in round 9
-# after this window freezes, and append round-10 registrations up front.
-# The tool's QUERIES.md now carries a per-query "newest row / age" column
-# so staleness is auditable without reading the JSON files.
+# Round-10 window arithmetic: the r09 staleness backlog was exactly 50
+# (38 r05 + 12 r06), but 3 new registrations + 8 drifted promotions eat
+# 11 slots, so the 11 youngest r06 rows (parts_search_union,
+# multimodal_fingerprint .. doc_incremental_dedup) slip to round 11 —
+# they are unchanged on disk, pytest-green, and lead the r11 generated
+# rotation. QUERIES.md's
+# generated "Rotation ceiling" table now projects max-age per window
+# size so this trade-off is argued with data.
+# Round-11 rotation note: regenerate with
+# ``python tools/gen_query_index.py --rotation 50`` once CORRECTNESS_r10
+# lands; promote any queries whose implementing files drift after this
+# window freezes, and append round-11 registrations up front.
 
 
 def _reorder() -> None:

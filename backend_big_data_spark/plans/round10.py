@@ -180,3 +180,56 @@ def embedding_drift_from_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dim_stats_from_moments(moments)
 
     return drift_readout(stats(0), stats(1))
+
+
+@register(
+    "lineitem_price_deciles",
+    oracle="""
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DOUBLE) AS price,
+         ntile(10) OVER (ORDER BY CAST(l_extendedprice AS DOUBLE),
+                         l_orderkey, l_linenumber) AS decile
+  FROM lineitem
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       MIN(price) AS min_price, MAX(price) AS max_price,
+       CAST(floor(SUM(price) * 100 + 0.5) AS BIGINT) AS revenue_cents
+FROM t GROUP BY decile ORDER BY decile
+""",
+)
+def lineitem_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-height price deciles over the RAW lineitem fact table —
+    the demonstration that `operators/windows.distributed_ntile` removes
+    the entity-cardinality ceiling entirely: the frame being tiled here
+    is not a pre-aggregated dimension but the fact table itself (6M rows
+    at sf1, 600B at the 100 TB target), which the old
+    ``ntile().over(Window.orderBy(...))`` form could never survive — a
+    single task would sort the whole fact table. Cost is one range
+    shuffle + a broadcast of ≤ numShufflePartitions prefix offsets;
+    the tie-break (price, orderkey, linenumber) is a total order so the
+    tile boundaries replay deterministically cross-engine. Revenue per
+    decile in exact integer cents (floor fixed point both engines)."""
+    from backend_big_data_spark.operators.windows import distributed_ntile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    tiled = distributed_ntile(
+        li, 10, [F.col("price"), "l_orderkey", "l_linenumber"], "decile"
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+            F.floor(F.sum("price") * F.lit(100) + F.lit(0.5))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("decile")
+    )

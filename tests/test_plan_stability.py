@@ -244,6 +244,7 @@ def test_dsir_resampling_is_global_topk(spark):
         "customer_rfm_segments",
         "events_power_users_pareto",
         "customer_spend_deciles",
+        "lineitem_price_deciles",
     ],
 )
 def test_segmentation_has_no_entity_cardinality_window(spark, name):
