@@ -123,7 +123,12 @@ def distributed_rank(
     per-task frame is |n|/numPartitions. At 10⁹-row entity dimensions
     this replaces a single-task global sort with 32-or-more-way
     parallelism. Intra-partition index is exact to 2³³ rows/partition
-    (monotonically_increasing_id's record field).
+    (monotonically_increasing_id's record field). The rows branch and
+    the counts branch share one identical range exchange, and AQE plans
+    a ReusedExchange at runtime (verified on the lineitem deciles plan:
+    final adaptive plan carries 1 ReusedExchange), so the input is
+    scanned and shuffled ONCE even though the static plan prints two
+    subtrees.
     """
     ordered = (
         df.repartitionByRange(*order_by)

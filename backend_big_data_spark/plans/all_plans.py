@@ -59,6 +59,7 @@ _FRONT = [
     "embedding_pca_project",
     "embedding_drift_from_moments",
     "lineitem_price_deciles",
+    "doc_bm25_from_index",
     # -- (b) round-10 drift: implementations or ORACLE SQL changed this
     #        round, so their r07/r09 rows certify old code — the exact-ntile
     #        family was redistributed (plans/round4b.py, tpch_extra.py,
@@ -116,11 +117,10 @@ _FRONT = [
     "orders_seasonality_index",
     "doc_field_completeness",
     "doc_filter_overlap",
-    "orders_page3",
 ]
 # Round-10 window arithmetic: the r09 staleness backlog was exactly 50
-# (38 r05 + 12 r06), but 3 new registrations + 8 drifted promotions eat
-# 11 slots, so the 11 youngest r06 rows (parts_search_union,
+# (38 r05 + 12 r06), but 4 new registrations + 8 drifted promotions eat
+# 12 slots, so the 12 r06 rows (orders_page3, parts_search_union,
 # multimodal_fingerprint .. doc_incremental_dedup) slip to round 11 —
 # they are unchanged on disk, pytest-green, and lead the r11 generated
 # rotation. QUERIES.md's

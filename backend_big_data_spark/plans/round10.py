@@ -16,8 +16,15 @@ un-gated.
   — drift-from-sidecars ≡ drift-from-corpus, the lm_ingest incremental
   equality discipline.
 
+- ``lineitem_price_deciles`` — exact equi-height deciles over the RAW
+  fact table via `operators/windows.distributed_ntile`: the segmentation
+  family with its entity-cardinality ceiling removed.
+- ``doc_bm25_from_index`` — incremental lexical retrieval: BM25 top-k
+  scored entirely from the maintained postings/stats sidecars
+  (`streaming/bm25_ingest.py`) against the full-scan query's oracle.
+
 Reference scope note: the reference engine (CiccioRomeo/backend-big-data)
-has none of these; they extend the additive embedding-curation set.
+has none of these; they extend the additive curation/retrieval set.
 """
 
 from __future__ import annotations
@@ -233,3 +240,40 @@ def lineitem_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def _bm25_oracle() -> str:
+    return ORACLES["doc_bm25_search"]
+
+
+@register("doc_bm25_from_index", oracle=_bm25_oracle())
+def doc_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental lexical retrieval certificate: the documents table is
+    ingested through the BM25 index sink as two micro-batches
+    (`streaming/bm25_ingest.py` — per-batch postings (term, doc, tf, dl)
+    plus additive (N, Σdl) stats sidecars), and the top-20 for the query
+    {join, hash, customer} is scored ENTIRELY from the maintained index —
+    no document is re-read or re-tokenized. The oracle is
+    doc_bm25_search's SQL verbatim: hash equality proves
+    score-from-index ≡ score-from-corpus, the lm_ingest incremental
+    discipline applied to retrieval. Both paths share one scoring
+    finisher (`text.bm25.bm25_topk_from_postings`), so they cannot
+    drift; at 100 TB the postings sidecar IS the inverted index,
+    maintained by ingestion, never rebuilt.
+
+    Throwaway per-invocation index dir; content is path-independent."""
+    import tempfile as _tempfile
+
+    from backend_big_data_spark.streaming.bm25_ingest import (
+        bm25_ingest_sink,
+        bm25_topk_from_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idir = _tempfile.mkdtemp(prefix="bm25_index_")
+    sink = bm25_ingest_sink(idir)
+    sink(docs.where(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.where(F.col("doc_id") % 2 == 1), 1)
+    return bm25_topk_from_index(
+        spark, idir, ["join", "hash", "customer"], k=20
+    ).orderBy("rnk")

@@ -192,6 +192,16 @@ HEADLINE = [
     # certificate row, not a throughput row).
     "ann_multiprobe_topk",
     "embedding_drift_report",
+    # round-10: PCA projection/whitening against published literal axes
+    # (pure whole-stage-codegen dot products — the corpus-sized half of
+    # the PCA family) and exact equi-height deciles over the RAW lineitem
+    # fact table via distributed_ntile (one range shuffle + broadcast
+    # prefix offsets — the segmentation shape with no entity-cardinality
+    # ceiling). embedding_drift_from_moments and embedding_cov_incremental
+    # stay OFF the headline for the family reason (they drive their SINKS
+    # end to end — certificate rows, not throughput rows).
+    "embedding_pca_project",
+    "lineitem_price_deciles",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

@@ -1,0 +1,175 @@
+"""Maintained BM25 inverted index (`streaming/bm25_ingest.py`).
+
+The incremental-equality family's standard contract, in retrieval space:
+scoring from the maintained postings/stats sidecars equals the one-shot
+full-corpus `text.bm25.bm25_topk` row-for-row; stream ≡ sequential
+batches; fold compaction preserves scores; journaled erasure purges the
+id-keyed postings, recounts the aggregate stats, and scoring afterwards
+equals a fresh scan of the surviving corpus (no ghost postings)."""
+
+from __future__ import annotations
+
+import json
+
+from backend_big_data_spark.sources import fsutil
+from backend_big_data_spark.streaming.bm25_ingest import (
+    bm25_ingest_sink,
+    bm25_topk_from_index,
+    compact_bm25_index,
+    read_bm25_postings,
+    read_bm25_stats,
+    recover_bm25_retraction,
+    retract_from_bm25_index,
+)
+from backend_big_data_spark.text.bm25 import bm25_topk
+
+DOCS = [
+    (1, "hash join beats nested loop join for large tables"),
+    (2, "the customer table joins orders on the customer key"),
+    (3, "broadcast hash join avoids the shuffle entirely"),
+    (4, "sort merge join spills when memory is tight"),
+    (5, "customer churn analysis with hash aggregation"),
+    (6, "a totally unrelated document about penguins"),
+]
+QUERY = ["join", "hash", "customer"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rows(df):
+    return [(r.doc_id, r.score, r.rnk) for r in df.collect()]
+
+
+def _ingest(spark, idir, batches):
+    sink = bm25_ingest_sink(idir)
+    for i, rows in enumerate(batches):
+        sink(_df(spark, rows), i)
+    return sink
+
+
+class TestIndexEqualsFullScan:
+    def test_scoring_matches_one_shot(self, spark, tmp_path):
+        idir = str(tmp_path / "ix")
+        _ingest(spark, idir, [DOCS[:3], DOCS[3:]])
+        got = _rows(bm25_topk_from_index(spark, idir, QUERY, k=10))
+        want = _rows(bm25_topk(_df(spark, DOCS), QUERY, k=10))
+        assert got == want and len(got) > 0
+
+    def test_single_vs_many_batches_identical(self, spark, tmp_path):
+        one = str(tmp_path / "one")
+        many = str(tmp_path / "many")
+        _ingest(spark, one, [DOCS])
+        _ingest(spark, many, [DOCS[:2], DOCS[2:4], DOCS[4:]])
+        assert _rows(bm25_topk_from_index(spark, one, QUERY)) == _rows(
+            bm25_topk_from_index(spark, many, QUERY)
+        )
+
+    def test_stats_are_additive(self, spark, tmp_path):
+        idir = str(tmp_path / "ix")
+        _ingest(spark, idir, [DOCS[:3], DOCS[3:]])
+        row = read_bm25_stats(spark, idir).collect()[0]
+        assert row["__n"] == len(DOCS)
+        # postings carry every term (full index), not just query terms
+        n_terms = (
+            read_bm25_postings(spark, idir).select("term").distinct().count()
+        )
+        assert n_terms > 20
+
+
+class TestCompaction:
+    def test_fold_preserves_scores(self, spark, tmp_path):
+        idir = str(tmp_path / "ix")
+        _ingest(spark, idir, [DOCS[:2], DOCS[2:4], DOCS[4:]])
+        before = _rows(bm25_topk_from_index(spark, idir, QUERY))
+        assert compact_bm25_index(spark, idir, keep_latest=1) == [0, 1]
+        # one folded stats row + the kept batch's row
+        assert read_bm25_stats(spark, idir).collect()[0]["__n"] == len(DOCS)
+        assert _rows(bm25_topk_from_index(spark, idir, QUERY)) == before
+
+
+class TestErasure:
+    def test_retract_then_score_equals_surviving_scan(self, spark, tmp_path):
+        idir = str(tmp_path / "ix")
+        _ingest(spark, idir, [DOCS[:3], DOCS[3:]])
+        out = retract_from_bm25_index(spark, idir, [2, 5])
+        assert out["rows_removed"] == 2
+        assert out["posting_rows_removed"] > 0
+        survivors = [d for d in DOCS if d[0] not in (2, 5)]
+        got = _rows(bm25_topk_from_index(spark, idir, QUERY))
+        assert got == _rows(bm25_topk(_df(spark, survivors), QUERY))
+        # no ghost postings for the erased ids anywhere in the sidecar
+        assert (
+            read_bm25_postings(spark, idir)
+            .filter("doc_id in (2, 5)")
+            .count()
+            == 0
+        )
+        # stats recounted, not stale
+        assert read_bm25_stats(spark, idir).collect()[0]["__n"] == len(
+            survivors
+        )
+
+    def test_crash_window_replays_from_journal(self, spark, tmp_path):
+        """A journal written but not cleared (crash between commit point
+        and purge) must roll forward on the next entry — recount and
+        purge are fixed points of the current state."""
+        from backend_big_data_spark.streaming.bm25_ingest import (
+            _bm25_journal_path,
+        )
+
+        idir = str(tmp_path / "ix")
+        _ingest(spark, idir, [DOCS[:3], DOCS[3:]])
+        fsutil.write_text_atomic(
+            spark,
+            _bm25_journal_path(idir),
+            json.dumps({"ids": [1], "dirs": ["batch=0"]}),
+        )
+        recover_bm25_retraction(spark, idir)
+        assert fsutil.read_text(spark, _bm25_journal_path(idir)) is None
+        survivors = [d for d in DOCS if d[0] != 1]
+        assert _rows(bm25_topk_from_index(spark, idir, QUERY)) == _rows(
+            bm25_topk(_df(spark, survivors), QUERY)
+        )
+        # idempotent: a second retract of the same id is a no-op
+        out = retract_from_bm25_index(spark, idir, [1])
+        assert out["rows_removed"] == 0
+
+    def test_erase_after_fold_recounts_folded_stats(self, spark, tmp_path):
+        idir = str(tmp_path / "ix")
+        _ingest(spark, idir, [DOCS[:2], DOCS[2:4], DOCS[4:]])
+        compact_bm25_index(spark, idir, keep_latest=1)
+        retract_from_bm25_index(spark, idir, [1, 4])
+        survivors = [d for d in DOCS if d[0] not in (1, 4)]
+        assert _rows(bm25_topk_from_index(spark, idir, QUERY)) == _rows(
+            bm25_topk(_df(spark, survivors), QUERY)
+        )
+        assert read_bm25_stats(spark, idir).collect()[0]["__n"] == len(
+            survivors
+        )
+
+
+class TestStream:
+    def test_stream_matches_sequential_batches(self, spark, tmp_path):
+        import shutil
+
+        from backend_big_data_spark.streaming.bm25_ingest import (
+            bm25_ingest_stream,
+        )
+
+        src = str(tmp_path / "src")
+        _df(spark, DOCS).repartition(2).write.parquet(src)
+        sdir = str(tmp_path / "stream_ix")
+        q = bm25_ingest_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            sdir,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        bdir = str(tmp_path / "batch_ix")
+        _ingest(spark, bdir, [DOCS])
+        assert _rows(bm25_topk_from_index(spark, sdir, QUERY)) == _rows(
+            bm25_topk_from_index(spark, bdir, QUERY)
+        )
+        shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
