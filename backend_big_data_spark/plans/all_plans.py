@@ -60,6 +60,7 @@ _FRONT = [
     "embedding_drift_from_moments",
     "lineitem_price_deciles",
     "doc_bm25_from_index",
+    "doc_tfidf_from_index",
     # -- (b) round-10 drift: implementations or ORACLE SQL changed this
     #        round, so their r07/r09 rows certify old code — the exact-ntile
     #        family was redistributed (plans/round4b.py, tpch_extra.py,
@@ -76,6 +77,7 @@ _FRONT = [
     "embedding_cov_incremental",
     "embedding_drift_report",
     "supply_graph_kcore",
+    "doc_tfidf_top_terms",
     # -- (c) generated: oldest external rows first (the full r05 block +
     #        the two oldest r06 rows; customer_rfm_segments and
     #        events_power_users_pareto are both stale AND drifted) --------
@@ -115,15 +117,17 @@ _FRONT = [
     "events_user_lifecycle",
     "events_ab_readout",
     "orders_seasonality_index",
-    "doc_field_completeness",
-    "doc_filter_overlap",
 ]
 # Round-10 window arithmetic: the r09 staleness backlog was exactly 50
-# (38 r05 + 12 r06), but 4 new registrations + 8 drifted promotions eat
-# 12 slots, so the 12 r06 rows (orders_page3, parts_search_union,
-# multimodal_fingerprint .. doc_incremental_dedup) slip to round 11 —
-# they are unchanged on disk, pytest-green, and lead the r11 generated
-# rotation. QUERIES.md's
+# (38 r05 + 12 r06), but 5 new registrations + 9 drifted promotions
+# (incl. doc_tfidf_top_terms, r06-stale AND refactored through the
+# shared text/bm25.tfidf_top_terms finisher this round) eat 14 slots,
+# so doc_field_completeness + doc_filter_overlap (r05) and the other
+# 12 r06 rows (orders_page3, parts_search_union, multimodal_fingerprint
+# .. doc_incremental_dedup) slip to round 11 — all unchanged on disk,
+# pytest-green, and they lead the r11 generated rotation. The slipped
+# r05 pair was dual-scale spot-replayed via driver_sim at round close
+# as compensation. QUERIES.md's
 # generated "Rotation ceiling" table now projects max-age per window
 # size so this trade-off is argued with data.
 # Round-11 rotation note: regenerate with

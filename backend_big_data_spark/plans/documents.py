@@ -351,10 +351,10 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     of GB and a hard-coded broadcast would OOM — left as a keyed shuffle
     that AQE skew-splits. The corpus size N is a 1-row broadcast. Scores are
     half-up-rounded BEFORE ranking so the cross-engine ulp difference in
-    ``ln`` cannot flip the top-3 ordering (term is the tie-break)."""
-    from pyspark.sql.window import Window
-
-    from backend_big_data_spark.functions.scalars import round_half_up
+    ``ln`` cannot flip the top-3 ordering (term is the tie-break). Shares
+    its scoring finisher (`text/bm25.py::tfidf_top_terms`) with the
+    maintained-index twin `doc_tfidf_from_index`."""
+    from backend_big_data_spark.text.bm25 import tfidf_top_terms
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     terms = docs.select(
@@ -364,26 +364,8 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            round_half_up(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
-            ).alias("tfidf"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
-    return (
-        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("term_rank") <= 3)
-        .orderBy("doc_id", "term_rank")
-    )
+    return tfidf_top_terms(tf, n_docs, k=3).orderBy("doc_id", "term_rank")
 
 
 # -- training-data layout ops: rebalance, pack, decontaminate ---------------

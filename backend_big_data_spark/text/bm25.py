@@ -151,3 +151,47 @@ def bm25_topk(
     return bm25_topk_from_postings(
         postings, stats, query_terms, k=k, id_col=id_col
     )
+
+
+def tfidf_top_terms(
+    tf: DataFrame,
+    n_docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document from a term-frequency frame — the
+    SHARED finisher behind the full-scan `plans.documents.
+    doc_tfidf_top_terms` (tf from a corpus scan) and the maintained-index
+    path (tf straight out of the BM25 postings sidecar, which carries
+    exactly (term, doc, tf)), so the two cannot drift.
+
+    ``tf``: (id_col, term, tf). ``n_docs``: one row (n_docs). Document
+    frequency derives from ``tf`` itself (one row per (doc, term)); the
+    df join back by term carries NO broadcast hint (at 100 TB the
+    vocabulary is tens of GB — AQE decides); scores half-up-round BEFORE
+    ranking so the cross-engine ulp difference in ``ln`` cannot flip the
+    top-k ordering (term is the tie-break)."""
+    from pyspark.sql.window import Window
+
+    from backend_big_data_spark.functions.scalars import round_half_up
+
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            round_half_up(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= k)
+    )
