@@ -316,3 +316,63 @@ def doc_tfidf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__n").alias("n_docs")
     )
     return tfidf_top_terms(tf, n_docs, k=3).orderBy("doc_id", "term_rank")
+
+
+def _hybrid_oracle() -> str:
+    return ORACLES["doc_hybrid_search"]
+
+
+@register("doc_hybrid_from_index", oracle=_hybrid_oracle())
+def doc_hybrid_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full hybrid-search serving stack off MAINTAINED state only:
+    the lexical top-50 comes from the BM25 postings/stats sidecars
+    (`bm25_topk_from_index`) and the semantic top-50 from an embedding
+    master maintained by the margin sink (corpus-of-record mode:
+    threshold=inf, dedup_exact=False — the master IS the corpus), fused
+    with exact-integer RRF. Oracle is doc_hybrid_search's SQL verbatim:
+    hash equality proves the production serving path — where ingestion
+    maintains the indexes and queries never touch raw documents or a
+    fresh embedding scan — returns exactly what the from-scratch
+    computation returns. Completes the retrieval triple (BM25, TF-IDF,
+    hybrid) served from one maintained sidecar family.
+
+    Throwaway per-invocation dirs; content is path-independent."""
+    import tempfile as _tempfile
+
+    from backend_big_data_spark.similarity.ann import brute_force_cosine_topk
+    from backend_big_data_spark.similarity.hybrid import rrf_fuse
+    from backend_big_data_spark.streaming.bm25_ingest import (
+        bm25_ingest_sink,
+        bm25_topk_from_index,
+    )
+    from backend_big_data_spark.streaming.margin_ingest import (
+        margin_ingest_sink,
+        read_margin_master,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idir = _tempfile.mkdtemp(prefix="hybrid_bm25_")
+    bsink = bm25_ingest_sink(idir)
+    bsink(docs.where(F.col("doc_id") % 2 == 0), 0)
+    bsink(docs.where(F.col("doc_id") % 2 == 1), 1)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    mdir = _tempfile.mkdtemp(prefix="hybrid_master_")
+    msink = margin_ingest_sink(
+        mdir, dim=64, threshold=float("inf"), dedup_exact=False
+    )
+    msink(emb.where(F.col("id") % 2 == 0), 0)
+    msink(emb.where(F.col("id") % 2 == 1), 1)
+    master = read_margin_master(spark, mdir).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+
+    lexical = bm25_topk_from_index(
+        spark, idir, ["join", "hash", "customer"], k=50
+    ).select("doc_id", "rnk")
+    semantic = brute_force_cosine_topk(
+        master, master.filter(F.col("vec_id") == 0), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rnk"))
+    return rrf_fuse([lexical, semantic], top=10).orderBy("rnk")
