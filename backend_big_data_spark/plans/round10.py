@@ -376,3 +376,54 @@ def doc_hybrid_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         master, master.filter(F.col("vec_id") == 0), k=50
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rnk"))
     return rrf_fuse([lexical, semantic], top=10).orderBy("rnk")
+
+
+@register(
+    "lineitem_exact_quantiles",
+    oracle="""
+WITH t AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+         row_number() OVER (ORDER BY CAST(l_extendedprice AS DOUBLE),
+                            l_orderkey, l_linenumber) AS r,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+), marks AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+SELECT CAST(m.pct AS INTEGER) AS pct, t.price
+FROM marks m JOIN t ON t.r = CAST(ceil(m.pct * t.n / 100.0) AS BIGINT)
+ORDER BY pct
+""",
+)
+def lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics over the raw fact table — p25/p50/p75/p90/
+    p99 of l_extendedprice as the type-1 (discrete) quantile: the value
+    at rank ⌈p·n⌉ under a unique total order. approx_percentile is the
+    usual scale answer, but exact tail quantiles (the p99 a data
+    contract or an SLA names) are exactly what sketches blur — and with
+    `operators/windows.distributed_rank` the exact form costs one range
+    shuffle + a broadcast of per-partition offsets, not a single-task
+    global sort. Selection is a tiny broadcast of the 5 percentile marks
+    against the ranked frame; exactly one row survives per mark (the
+    order is total by (price, orderkey, linenumber) tie-break)."""
+    from backend_big_data_spark.operators.windows import distributed_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    ranked = distributed_rank(
+        li,
+        [F.col("price"), "l_orderkey", "l_linenumber"],
+        rank_col="r",
+        total_col="n",
+    )
+    marks = spark.createDataFrame([(25,), (50,), (75,), (90,), (99,)], "pct int")
+    return (
+        ranked.crossJoin(F.broadcast(marks))
+        .where(
+            F.col("r")
+            == F.ceil(F.col("pct") * F.col("n") / F.lit(100.0)).cast("long")
+        )
+        .select("pct", "price")
+        .orderBy("pct")
+    )

@@ -271,3 +271,13 @@ def test_spend_ranking_is_topk_not_global_rank(spark):
     assert "TakeOrderedAndProject" in plan
     assert "ntile(" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_exact_quantiles_no_entity_window(spark):
+    """Exact order statistics over the raw fact table: no ntile/rank
+    window over data rows — the only ordered window is distributed_rank's
+    bounded per-partition counts frame."""
+    plan = _plan(spark, "lineitem_exact_quantiles")
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__dr_pid" in line, f"entity-cardinality window: {line}"
