@@ -427,3 +427,207 @@ def lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pct", "price")
         .orderBy("pct")
     )
+
+
+_KMV_PREF = 1 << 59  # half the 60-bit hash domain survives map-side
+
+
+@register(
+    "events_user_kmv",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+  WHERE CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             AS BIGINT) < 576460752303423488
+), r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_seen
+  FROM h
+), est AS (
+  SELECT event_type,
+         CAST(CASE WHEN MAX(n_seen) >= 32
+              THEN floor(31.0 * CAST(1152921504606846976 AS DOUBLE)
+                         / MAX(CASE WHEN r = 32 THEN h END))
+              ELSE MAX(n_seen) END AS BIGINT) AS approx_users
+  FROM r GROUP BY 1
+), ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT est.event_type, approx_users,
+       CAST(exact_users AS BIGINT) AS exact_users,
+       CAST(floor(abs(CAST(approx_users AS DOUBLE) - exact_users) * 1000000
+                  / exact_users) AS BIGINT) AS err_ppm
+FROM est JOIN ex USING (event_type)
+ORDER BY event_type
+""",
+)
+def events_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a KMV sketch
+    (`operators/kmv.py`, k=32) with the map-side hash prefilter ARMED at
+    half the domain — the oracle-gateable sketch next to the rows-only
+    DataSketches HLL rollup: the k smallest md5-60bit hashes replay
+    bit-for-bit in SQL, so the ESTIMATE itself is hash-certified, not
+    just sanity-checked. Reports approx vs exact with the error in ppm
+    (k=32 ⇒ ~18% standard error — the readout shows what the sketch
+    buys and what it costs). The corpus-sized work is one map-side
+    hash+filter; the k-smallest window runs over the surviving half of
+    the per-type user hashes."""
+    from backend_big_data_spark.operators.kmv import kmv_estimate, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(
+        ev, ["event_type"], F.col("user_id"), k=32, prefilter=_KMV_PREF
+    )
+    est = sk.select(
+        "event_type", kmv_estimate(F.col("sketch"), k=32).alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "approx_users",
+            "exact_users",
+            F.floor(
+                F.abs(
+                    F.col("approx_users").cast("double")
+                    - F.col("exact_users")
+                )
+                * F.lit(1e6)
+                / F.col("exact_users")
+            )
+            .cast("long")
+            .alias("err_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "source_vocab_kmv_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT source,
+         unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS tok
+  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+), h AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+), r AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r
+  FROM h
+), sk AS (
+  SELECT source, list_sort(list(h)) AS sketch FROM r WHERE r <= 16 GROUP BY 1
+), pairs AS (
+  SELECT a.source AS s1, b.source AS s2, a.sketch AS sa, b.sketch AS sb
+  FROM sk a JOIN sk b ON a.source < b.source
+), fused AS (
+  SELECT s1, s2,
+         list_sort(list_distinct(list_concat(sa, sb)))[1:16] AS u, sa, sb
+  FROM pairs
+), estj AS (
+  SELECT s1, s2,
+         CAST(floor(len(list_filter(u, x -> list_contains(sa, x)
+                                       AND list_contains(sb, x))) * 10000.0
+                    / len(u)) AS BIGINT) AS jacc_est_fp,
+         CAST(CASE WHEN len(u) >= 16
+              THEN floor(15.0 * CAST(1152921504606846976 AS DOUBLE) / u[16])
+              ELSE len(u) END AS BIGINT) AS union_vocab_est
+  FROM fused
+), v AS (SELECT source, tok FROM toks), sizes AS (
+  SELECT source, COUNT(*) AS n FROM v GROUP BY 1
+), inter AS (
+  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS i
+  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+), exact AS (
+  SELECT i.s1, i.s2,
+         CAST(floor(i.i * 10000.0 / (x.n + y.n - i.i)) AS BIGINT)
+           AS jacc_exact_fp
+  FROM inter i JOIN sizes x ON x.source = i.s1
+               JOIN sizes y ON y.source = i.s2
+)
+SELECT e.s1, e.s2, e.jacc_est_fp, e.union_vocab_est, x.jacc_exact_fp
+FROM estj e JOIN exact x ON e.s1 = x.s1 AND e.s2 = x.s2
+ORDER BY e.s1, e.s2
+""",
+)
+def source_vocab_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap estimated from per-source KMV
+    sketches ALONE (k=16): union sketch = k smallest of the merged
+    sketches, Jaccard = fraction of the union sketch present in both —
+    the set-operation algebra HLL cannot do, fully hash-oracle-gated,
+    and the 100 TB shape for "how much do these sources share?"
+    questions: per-source sketches are maintained rows; any pair fuses
+    in O(k). The exact Jaccard rides alongside so the estimate's error
+    is visible in the output. No prefilter: per-source vocabularies here
+    are interactive-sized (the events_user_kmv row demonstrates the
+    armed-prefilter regime)."""
+    from backend_big_data_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_jaccard_fp,
+        kmv_sketch,
+        kmv_union_sketch,
+    )
+
+    srcs = ["src0", "src1", "src2", "src3"]
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin(srcs)
+    )
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{2,}"), F.lit(0))
+        ).alias("tok"),
+    ).distinct()
+    sk = kmv_sketch(toks, ["source"], F.col("tok"), k=16)
+    a = sk.select(F.col("source").alias("s1"), F.col("sketch").alias("sa"))
+    b = sk.select(F.col("source").alias("s2"), F.col("sketch").alias("sb"))
+    est = (
+        a.join(b, F.col("s1") < F.col("s2"))
+        .select(
+            "s1",
+            "s2",
+            kmv_jaccard_fp(F.col("sa"), F.col("sb"), k=16).alias(
+                "jacc_est_fp"
+            ),
+            kmv_estimate(
+                kmv_union_sketch(F.col("sa"), F.col("sb"), k=16), k=16
+            ).alias("union_vocab_est"),
+        )
+    )
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    va = toks.select(F.col("source").alias("s1"), "tok")
+    vb = toks.select(F.col("source").alias("s2"), "tok")
+    inter = (
+        va.join(vb, ["tok"])
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("source").alias("s1"), F.col("n").alias("na")), "s1")
+        .join(sizes.select(F.col("source").alias("s2"), F.col("n").alias("nb")), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.floor(
+                F.col("i") * F.lit(1e4) / (F.col("na") + F.col("nb") - F.col("i"))
+            )
+            .cast("long")
+            .alias("jacc_exact_fp"),
+        )
+    )
+    return (
+        est.join(exact, ["s1", "s2"])
+        .select("s1", "s2", "jacc_est_fp", "union_vocab_est", "jacc_exact_fp")
+        .orderBy("s1", "s2")
+    )
