@@ -146,10 +146,29 @@ def kmv_jaccard_fp(
     ).cast("long")
 
 
+def kmv_merge(sketches: Column, k: int = 64) -> Column:
+    """Merge an ARRAY OF SKETCHES (e.g. ``collect_list(sketch)`` over
+    per-batch or per-shard sketch rows) into one: k smallest of the
+    distinct union — the N-way form of :func:`kmv_union_sketch`, and the
+    reason maintained per-batch sketch rows ARE an incremental distinct
+    counter: merging the sidecar rows equals sketching the full corpus,
+    exactly (closure under union), so a streaming ingest can append one
+    k-array per (group, batch) and any window of batches folds in O(k·N)
+    with no corpus rescan."""
+    return F.slice(
+        F.array_sort(
+            F.array_distinct(F.flatten(sketches))
+        ),
+        1,
+        k,
+    )
+
+
 __all__ = [
     "HASH_DOMAIN",
     "kmv_estimate",
     "kmv_jaccard_fp",
+    "kmv_merge",
     "kmv_sketch",
     "kmv_union_sketch",
 ]

@@ -65,6 +65,7 @@ _FRONT = [
     "lineitem_exact_quantiles",
     "events_user_kmv",
     "source_vocab_kmv_overlap",
+    "events_user_kmv_merged",
     # -- (b) round-10 drift: implementations or ORACLE SQL changed this
     #        round, so their r07/r09 rows certify old code — the exact-ntile
     #        family was redistributed (plans/round4b.py, tpch_extra.py,
@@ -116,19 +117,19 @@ _FRONT = [
     "events_power_users_pareto",
     "corpus_vocab_growth",
     "order_value_histogram",
-    "nation_supplier_hhi",
 ]
 # Round-10 window arithmetic: the r09 staleness backlog was exactly 50
-# (38 r05 + 12 r06), but 9 new registrations + 9 drifted promotions
+# (38 r05 + 12 r06), but 10 new registrations + 9 drifted promotions
 # (incl. doc_tfidf_top_terms, r06-stale AND refactored through the
-# shared text/bm25.tfidf_top_terms finisher this round) eat 18 slots,
-# so six r05 rows (events_interarrival_profile, events_user_lifecycle,
-# events_ab_readout, orders_seasonality_index, doc_field_completeness,
-# doc_filter_overlap) and the 12 r06 rows (orders_page3,
-# parts_search_union, multimodal_fingerprint .. doc_incremental_dedup)
-# slip to round 11 — all unchanged on disk, pytest-green, and they lead
-# the r11 generated rotation. Every slipped r05 row was dual-scale
-# spot-replayed via driver_sim at round close as compensation. QUERIES.md's
+# shared text/bm25.tfidf_top_terms finisher this round) eat 19 slots,
+# so seven r05 rows (nation_supplier_hhi, events_interarrival_profile,
+# events_user_lifecycle, events_ab_readout, orders_seasonality_index,
+# doc_field_completeness, doc_filter_overlap) and the 12 r06 rows
+# (orders_page3, parts_search_union, multimodal_fingerprint ..
+# doc_incremental_dedup) slip to round 11 — all unchanged on disk,
+# pytest-green, and they lead the r11 generated rotation. Every slipped
+# r05 row was dual-scale spot-replayed via driver_sim at round close as
+# compensation. QUERIES.md's
 # generated "Rotation ceiling" table now projects max-age per window
 # size so this trade-off is argued with data.
 # Round-11 rotation note: regenerate with

@@ -631,3 +631,62 @@ def source_vocab_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s1", "s2", "jacc_est_fp", "union_vocab_est", "jacc_exact_fp")
         .orderBy("s1", "s2")
     )
+
+
+def _kmv_oracle() -> str:
+    return ORACLES["events_user_kmv"]
+
+
+@register("events_user_kmv_merged", oracle=_kmv_oracle())
+def events_user_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV mergeability certificate — incremental distinct counting:
+    events split into three batches (event_id % 3), ONE k=32 sketch per
+    (event_type, batch) with the armed prefilter, then the per-type
+    answer comes from `kmv_merge` over the batch sketches alone — k
+    arrays fold in O(k·batches), no event revisited. The oracle is
+    events_user_kmv's SQL verbatim (a single full-scan sketch): hash
+    equality IS the closure-under-union proof that per-batch sketch
+    sidecars are an incremental cardinality counter — the lm_ingest
+    equality discipline applied to sketches (a streaming ingest appends
+    one sketch row per batch; any batch window folds without a rescan)."""
+    from backend_big_data_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__b", F.col("event_id") % 3
+    )
+    per_batch = kmv_sketch(
+        ev, ["event_type", "__b"], F.col("user_id"), k=32,
+        prefilter=_KMV_PREF,
+    )
+    merged = per_batch.groupBy("event_type").agg(
+        kmv_merge(F.collect_list("sketch"), k=32).alias("sketch")
+    )
+    est = merged.select(
+        "event_type", kmv_estimate(F.col("sketch"), k=32).alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "approx_users",
+            "exact_users",
+            F.floor(
+                F.abs(
+                    F.col("approx_users").cast("double")
+                    - F.col("exact_users")
+                )
+                * F.lit(1e6)
+                / F.col("exact_users")
+            )
+            .cast("long")
+            .alias("err_ppm"),
+        )
+        .orderBy("event_type")
+    )
