@@ -33,6 +33,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.operators.kmv import HASH_DOMAIN
 from backend_big_data_spark.plans.registry import ORACLES, register
 from backend_big_data_spark.sources.catalog import load_table
 
@@ -429,19 +430,35 @@ def lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMV_PREF = 1 << 59  # half the 60-bit hash domain survives map-side
+def _kmv_adaptive_pref(d_min: int, margin: int = 256) -> int | None:
+    """The sizing rule for the KMV hash ceiling (the candidate_cap
+    eager-bound discipline): aim the map-side filter at ~``margin``
+    expected survivors per group (8× k=32, far above starvation noise),
+    computed from an exact per-group cardinality FLOOR in pure 64-bit
+    integer arithmetic — ``(2⁶⁰ // d) * margin`` — which the SQL twin
+    reproduces verbatim (DuckDB ``//`` is the same floor division).
+    Below the margin the filter DISARMS (returns None): tiny groups are
+    the small-set regime where the sketch is their exact distinct set
+    and any ceiling would only starve the guard."""
+    return (HASH_DOMAIN // d_min) * margin if d_min > margin else None
 
 
 @register(
     "events_user_kmv",
     oracle="""
-WITH h AS (
+WITH dmin AS (
+  SELECT MIN(c) AS d FROM (
+    SELECT COUNT(DISTINCT user_id) AS c FROM events GROUP BY event_type)
+), th AS (
+  SELECT CASE WHEN d > 256 THEN (1152921504606846976 // d) * 256
+              ELSE 1152921504606846976 END AS t FROM dmin
+), h AS (
   SELECT DISTINCT event_type,
          CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
               AS BIGINT) AS h
   FROM events
   WHERE CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-             AS BIGINT) < 576460752303423488
+             AS BIGINT) < (SELECT t FROM th)
 ), r AS (
   SELECT event_type, h,
          row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
@@ -468,8 +485,11 @@ ORDER BY event_type
 )
 def events_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via a KMV sketch
-    (`operators/kmv.py`, k=32) with the map-side hash prefilter ARMED at
-    half the domain — the oracle-gateable sketch next to the rows-only
+    (`operators/kmv.py`, k=32) with the map-side hash prefilter sized
+    ADAPTIVELY from the exact per-type floor (which the readout computes
+    anyway): armed at ~256 expected survivors per type when the floor
+    exceeds 256 distinct users (sf0.1 and beyond), disarmed into the
+    small-set regime below it — the oracle-gateable sketch next to the rows-only
     DataSketches HLL rollup: the k smallest md5-60bit hashes replay
     bit-for-bit in SQL, so the ESTIMATE itself is hash-certified, not
     just sanity-checked. Reports approx vs exact with the error in ppm
@@ -480,8 +500,18 @@ def events_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from backend_big_data_spark.operators.kmv import kmv_estimate, kmv_sketch
 
     ev = load_table(spark, sf_dir, "events")
+    d_min = int(
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("c"))
+        .agg(F.min("c").alias("m"))
+        .first()["m"]
+    )
     sk = kmv_sketch(
-        ev, ["event_type"], F.col("user_id"), k=32, prefilter=_KMV_PREF
+        ev,
+        ["event_type"],
+        F.col("user_id"),
+        k=32,
+        prefilter=_kmv_adaptive_pref(d_min),
     )
     est = sk.select(
         "event_type", kmv_estimate(F.col("sketch"), k=32).alias("approx_users")
@@ -641,7 +671,9 @@ def _kmv_oracle() -> str:
 def events_user_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KMV mergeability certificate — incremental distinct counting:
     events split into three batches (event_id % 3), ONE k=32 sketch per
-    (event_type, batch) with the armed prefilter, then the per-type
+    (event_type, batch) with the adaptively-sized prefilter (per-type
+    floor ÷ 3 keeps ~85 expected survivors per batch slice when armed —
+    comfortably above k), then the per-type
     answer comes from `kmv_merge` over the batch sketches alone — k
     arrays fold in O(k·batches), no event revisited. The oracle is
     events_user_kmv's SQL verbatim (a single full-scan sketch): hash
@@ -658,9 +690,15 @@ def events_user_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "__b", F.col("event_id") % 3
     )
+    d_min = int(
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("c"))
+        .agg(F.min("c").alias("m"))
+        .first()["m"]
+    )
     per_batch = kmv_sketch(
         ev, ["event_type", "__b"], F.col("user_id"), k=32,
-        prefilter=_KMV_PREF,
+        prefilter=_kmv_adaptive_pref(d_min),
     )
     merged = per_batch.groupBy("event_type").agg(
         kmv_merge(F.collect_list("sketch"), k=32).alias("sketch")
