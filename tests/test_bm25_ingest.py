@@ -173,3 +173,28 @@ class TestStream:
             bm25_topk_from_index(spark, bdir, QUERY)
         )
         shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+
+
+class TestIndexPlanShape:
+    def test_lookup_pushes_term_filter_into_postings_scan(
+        self, spark, tmp_path
+    ):
+        """The index LOOKUP is the query-term filter reaching the
+        postings parquet scan as a pushed predicate — with the sidecar
+        written term-sorted, row-group stats prune the scan to the index
+        fraction that matters (the at-rest analog of an index seek)."""
+        import contextlib
+        import io
+
+        idir = str(tmp_path / "ix")
+        _ingest(spark, idir, [DOCS[:3], DOCS[3:]])
+        df = bm25_topk_from_index(spark, idir, QUERY, k=10)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        scan_lines = [
+            l for l in plan.splitlines() if "PushedFilters" in l
+        ]
+        assert any("In(term" in l for l in scan_lines), scan_lines
+        assert "CartesianProduct" not in plan
