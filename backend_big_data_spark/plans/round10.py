@@ -203,7 +203,8 @@ WITH t AS (
 SELECT CAST(decile AS INTEGER) AS decile,
        CAST(COUNT(*) AS BIGINT) AS n_items,
        MIN(price) AS min_price, MAX(price) AS max_price,
-       CAST(floor(SUM(price) * 100 + 0.5) AS BIGINT) AS revenue_cents
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS revenue_cents
 FROM t GROUP BY decile ORDER BY decile
 """,
 )
@@ -218,7 +219,10 @@ def lineitem_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle + a broadcast of ≤ numShufflePartitions prefix offsets;
     the tie-break (price, orderkey, linenumber) is a total order so the
     tile boundaries replay deterministically cross-engine. Revenue per
-    decile in exact integer cents (floor fixed point both engines)."""
+    decile sums through DECIMAL(18,2) (the money_sum discipline): a
+    double sum over ~10⁵ prices carries addition-order error comparable
+    to the cent grid, so only an exact decimal sum makes the cents
+    column order-independent."""
     from backend_big_data_spark.operators.windows import distributed_ntile
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -235,7 +239,7 @@ def lineitem_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.min("price").alias("min_price"),
             F.max("price").alias("max_price"),
-            F.floor(F.sum("price") * F.lit(100) + F.lit(0.5))
+            (F.sum(F.col("price").cast("decimal(18,2)")) * 100)
             .cast("long")
             .alias("revenue_cents"),
         )
