@@ -138,11 +138,14 @@ def kmv_jaccard_fp(
 ) -> Column:
     """Fixed-point Jaccard estimate from two sketches as a BIGINT:
     ⌊scale · |U ∩ A ∩ B| / |U|⌋ where U is the union sketch — exact
-    small-integer arithmetic, no float crosses an engine."""
+    small-integer arithmetic, no float crosses an engine. NULL when both
+    sketches are empty (two empty sets have no defined Jaccard; an
+    unguarded division would ANSI-raise)."""
     u = kmv_union_sketch(a, b, k)
     both = F.size(F.array_intersect(F.array_intersect(u, a), b))
-    return F.floor(
-        (both * F.lit(scale)).cast("double") / F.size(u)
+    return F.when(
+        F.size(u) > 0,
+        F.floor((both * F.lit(scale)).cast("double") / F.size(u)),
     ).cast("long")
 
 

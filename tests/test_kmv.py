@@ -103,3 +103,10 @@ def test_armed_prefilter_starvation_raises(spark):
     )
     with pytest.raises((SparkRuntimeException, Py4JJavaError), match="KmvPrefilterStarved"):
         starved.collect()
+
+
+def test_jaccard_of_two_empty_sketches_is_null(spark):
+    row = spark.createDataFrame(
+        [([], [])], "sa array<long>, sb array<long>"
+    ).select(kmv_jaccard_fp(F.col("sa"), F.col("sb"), k=8).alias("j"))
+    assert row.collect()[0]["j"] is None  # defined-NULL, not an ANSI raise
