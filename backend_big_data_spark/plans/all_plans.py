@@ -55,87 +55,77 @@ from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 #: (their prior rows certify the old code), and (b) queries REGISTERED
 #: this round get same-round slots appended up front.
 _FRONT = [
-    # -- (a) round-10 registrations (first driver rows) ---------------------
-    "embedding_pca_project",
-    "embedding_drift_from_moments",
-    "lineitem_price_deciles",
-    "doc_bm25_from_index",
-    "doc_tfidf_from_index",
-    "doc_hybrid_from_index",
-    "lineitem_exact_quantiles",
-    "events_user_kmv",
-    "source_vocab_kmv_overlap",
-    "events_user_kmv_merged",
-    # -- (b) round-10 drift: implementations or ORACLE SQL changed this
-    #        round, so their r07/r09 rows certify old code — the exact-ntile
-    #        family was redistributed (plans/round4b.py, tpch_extra.py,
-    #        relational.py, operators/windows.py), the margin-family oracles
-    #        gained the 0/0 CASE guard and the cov/kcore queries their
-    #        ADVICE fixes (plans/round9b.py). All 10 were hash-certified at
-    #        sf0.01 AND sf0.1 via tools/driver_sim.py when the change
-    #        landed; these slots add the external driver rows.
-    "customer_spend_deciles",
-    "customer_spend_ranking",
-    "embedding_margin_pairs",
-    "embedding_margin_pairs_lsh",
-    "embedding_margin_link_stream",
-    "embedding_cov_incremental",
-    "embedding_drift_report",
-    "supply_graph_kcore",
-    "doc_tfidf_top_terms",
-    # -- (c) generated: oldest external rows first (the full r05 block +
-    #        the two oldest r06 rows; customer_rfm_segments and
-    #        events_power_users_pareto are both stale AND drifted) --------
-    "doc_snapshot_diff",
-    "events_funnel_conversion",
-    "doc_corpus_dedup_best",
-    "ann_pq_topk",
-    "ann_ivf_pq_topk",
-    "doc_prefix_join_pairs",
-    "doc_cleaning_pipeline_funnel",
-    "doc_dsir_weights",
-    "doc_pii_redacted",
-    "doc_bigram_perplexity",
-    "doc_unimax_mix",
-    "embedding_hard_negatives",
-    "doc_dsir_resampled",
-    "doc_bm25_search",
-    "doc_hybrid_search",
-    "doc_similar_to_query",
-    "embedding_training_triplets",
-    "doc_removal_audit",
-    "events_retention_cohorts",
-    "customer_rfm_segments",
-    "events_stickiness_daily",
-    "part_pair_lift",
-    "embedding_dup_triangles",
-    "corpus_token_budget",
-    "embedding_dup_degree_hist",
-    "doc_gopher_quality",
-    "doc_repetition_profile",
-    "customer_ltv_cohorts",
-    "events_power_users_pareto",
-    "corpus_vocab_growth",
-    "order_value_histogram",
+    # Round-11 window: EXACTLY the generated 50-slot oldest-first rotation
+    # (``python tools/gen_query_index.py --rotation 50`` over r01-r10) —
+    # the full r05 residue (7) plus the 43 oldest r06 rows. Per the r10
+    # verdict, round-11 registrations and drift promotions are parked
+    # BEHIND slot 50 (appended after this block); any query whose
+    # implementation or oracle drifts in round 11 is dual-scale certified
+    # via tools/driver_sim.py when the change lands, and leads the r12
+    # generated rotation.
+    "nation_supplier_hhi",  # r05
+    "events_interarrival_profile",  # r05
+    "events_user_lifecycle",  # r05
+    "events_ab_readout",  # r05
+    "orders_seasonality_index",  # r05
+    "doc_field_completeness",  # r05
+    "doc_filter_overlap",  # r05
+    "orders_page3",  # r06
+    "parts_search_union",  # r06
+    "multimodal_fingerprint",  # r06
+    "doc_exact_dedup",  # r06
+    "doc_quality_profile",  # r06
+    "doc_stats_by_lang",  # r06
+    "doc_langid",  # r06
+    "doc_sha256_fingerprint",  # r06
+    "doc_ngram_jaccard_pairs",  # r06
+    "doc_ngram_jaccard_capped",  # r06
+    "doc_minhash_lsh_pairs",  # r06
+    "doc_simhash",  # r06
+    "doc_stratified_sample",  # r06
+    "doc_pack_sequences",  # r06
+    "doc_contamination",  # r06
+    "doc_winnowing",  # r06
+    "doc_lsh_verified_dedup",  # r06
+    "doc_corpus_deduped",  # r06
+    "doc_corpus_deduped_cc",  # r06
+    "doc_dup_clusters",  # r06
+    "doc_incremental_dedup",  # r06
+    "doc_incremental_dedup_full",  # r06
+    "doc_contamination_bloom",  # r06
+    "events_user_sessions",  # r06
+    "events_daily_gapfilled",  # r06
+    "customer_spend_distribution",  # r06
+    "orders_profile",  # r06
+    "events_value_ewma",  # r06
+    "events_zorder_codes",  # r06
+    "events_scd2_intervals",  # r06
+    "pyds_catalog_scan",  # r06
+    "doc_temperature_mix",  # r06
+    "order_value_geomean_by_priority",  # r06
+    "lineitem_stats_profile",  # r06
+    "events_daily_anomalies",  # r06
+    "doc_quality_score_lr",  # r06
+    "doc_duplicate_spans",  # r06
+    "doc_normalized_dedup",  # r06
+    "corpus_token_spectrum",  # r06
+    "ann_recall_eval",  # r06
+    "lsh_banding_eval",  # r06
+    "source_overlap_matrix",  # r06
+    "corpus_kl_drift",  # r06
+    # ---- behind slot 50: round-11 drift promotions + registrations ----
+    # (appended here as the round progresses; certified via driver_sim
+    # at sf0.01 AND sf0.1 when each lands, external rows expected in r12)
 ]
-# Round-10 window arithmetic: the r09 staleness backlog was exactly 50
-# (38 r05 + 12 r06), but 10 new registrations + 9 drifted promotions
-# (incl. doc_tfidf_top_terms, r06-stale AND refactored through the
-# shared text/bm25.tfidf_top_terms finisher this round) eat 19 slots,
-# so seven r05 rows (nation_supplier_hhi, events_interarrival_profile,
-# events_user_lifecycle, events_ab_readout, orders_seasonality_index,
-# doc_field_completeness, doc_filter_overlap) and the 12 r06 rows
-# (orders_page3, parts_search_union, multimodal_fingerprint ..
-# doc_incremental_dedup) slip to round 11 — all unchanged on disk,
-# pytest-green, and they lead the r11 generated rotation. Every slipped
-# r05 row was dual-scale spot-replayed via driver_sim at round close as
-# compensation. QUERIES.md's
-# generated "Rotation ceiling" table now projects max-age per window
-# size so this trade-off is argued with data.
-# Round-11 rotation note: regenerate with
-# ``python tools/gen_query_index.py --rotation 50`` once CORRECTNESS_r10
-# lands; promote any queries whose implementing files drift after this
-# window freezes, and append round-11 registrations up front.
+# Round-11 window arithmetic: the r10 staleness backlog was exactly 50
+# (the 7 slipped r05 rows + 43 r06 rows), and per the r10 verdict NOTHING
+# jumps the queue this round — the window above IS the generated rotation
+# verbatim, so at round-11 close every registered query's newest external
+# row is r07+ (staleness backlog = 0, steady-state max-age 4 begins).
+# Round-12 rotation note: regenerate with
+# ``python tools/gen_query_index.py --rotation 50`` once CORRECTNESS_r11
+# lands; the round-11 registrations/promotions parked behind slot 50
+# lead that window.
 
 
 def _reorder() -> None:
