@@ -113,12 +113,29 @@ def kmv_estimate(sketch: Column, k: int = 64) -> Column:
     """Distinct-count estimate from a sketch as a BIGINT:
     ⌊(k−1)·2⁶⁰ / m_k⌋ when the sketch is full, else the exact element
     count (small-set convention). Double arithmetic on identical
-    operands — bit-identical cross-engine (see module docstring)."""
+    operands — bit-identical cross-engine (see module docstring).
+
+    ``stable_hash``'s range is [0, 2⁶⁰), so hash value 0 is in-domain —
+    but a sketch holds DISTINCT hashes sorted ascending, so a full
+    sketch's kth slot can be 0 only when every slot is 0, i.e. only in
+    the degenerate k=1 configuration (probability 2⁻⁶⁰ per group). A
+    zero divisor would yield Infinity and a silent garbage estimate;
+    consistent with the starvation guard, it raises instead."""
     m_k = F.element_at(sketch, k).cast("double")
     return (
         F.when(
             F.size(sketch) >= F.lit(k),
-            F.floor(F.lit(float((k - 1) * HASH_DOMAIN)) / m_k),
+            F.when(
+                m_k > 0.0,
+                F.floor(F.lit(float((k - 1) * HASH_DOMAIN)) / m_k),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "KmvDegenerateSketch: kth minimum hash is 0 "
+                        "(k=1 with hash value 0); estimate undefined"
+                    )
+                )
+            ),
         )
         .otherwise(F.size(sketch))
         .cast("long")

@@ -459,6 +459,15 @@ _SALT_FAN_THRESHOLD = 50_000
 #: corpus-scale prefix table shuffles on tid and hot ids straggle.
 _SALT_MIN_PREFIX_ROWS = 2_000_000
 
+#: Hard ceiling on the salt factor. The salt replicates the probe-prefix
+#: table ×salt_n, so salt_n must be bounded independently of cluster
+#: width: at the arming minimum (2M prefix rows) a 32-way salt costs a
+#: bounded 64M replicated rows, while inheriting
+#: spark.sql.shuffle.partitions (200-2000 on a real cluster) would cost
+#: 0.4-4B — a cost cliff in exactly the sort-merge regime the salt
+#: targets.
+_SALT_MAX = 32
+
 
 def token_containment_join(
     probe: DataFrame,
@@ -544,8 +553,29 @@ def token_containment_join(
             and bound // n_tids > _SALT_FAN_THRESHOLD
             and n_prefix > _SALT_MIN_PREFIX_ROWS
         ):
-            salt_n = int(
-                probe.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            # Size the salt from the measured skew (mean per-tid fan over
+            # the straggler threshold), hard-capped at _SALT_MAX: the salt
+            # replicates the ENTIRE probe-prefix table ×salt_n, and the
+            # arming condition already guarantees that table exceeds
+            # _SALT_MIN_PREFIX_ROWS — tying salt_n to
+            # spark.sql.shuffle.partitions (200-2000 on a real cluster)
+            # would make the replication itself the blowup. 32 ways is
+            # enough to split any single hot tid across a full executor's
+            # worth of tasks; the cap bounds replication at
+            # n_prefix × 32 regardless of cluster config.
+            try:
+                shuffle_n = int(
+                    probe.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions", "200"
+                    )
+                )
+            except (TypeError, ValueError):  # e.g. "auto" on some platforms
+                shuffle_n = 200
+            fan = bound // n_tids
+            salt_n = min(
+                _SALT_MAX,
+                max(2, shuffle_n),
+                max(2, fan // max(1, _SALT_FAN_THRESHOLD)),
             )
     join_keys = ["tid"]
     if salt_n:

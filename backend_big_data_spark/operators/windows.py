@@ -55,12 +55,13 @@ def global_rank(
     total views). Delegates to :func:`distributed_rank` (range-partition +
     broadcast prefix offsets), so there is NO partition-less window and no
     bounded-input contract to police: the same call ranks a 50-row owner
-    table and a 10⁹-row entity dimension. Rank is int for schema parity
-    with the reference's ``row_number`` idiom.
+    table and a 10⁹-row entity dimension. Rank stays LONG: beyond 2³¹−1
+    rows an int cast would silently wrap under non-ANSI mode, and this
+    function's whole contract is unbounded input. Call sites that need
+    the reference's int ``row_number`` schema (photo W2) cast at the
+    edge, where the input is known to be owner-cardinality.
     """
-    return distributed_rank(df, order_by, rank_col=rank_col).withColumn(
-        rank_col, F.col(rank_col).cast("int")
-    )
+    return distributed_rank(df, order_by, rank_col=rank_col)
 
 
 def global_topk_ranked(

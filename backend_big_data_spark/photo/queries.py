@@ -396,7 +396,9 @@ def search_owner(df: DataFrame, username: str | None = None) -> DataFrame:
     ranked = global_rank(
         totals, [F.desc("total_views"), F.col("owner_id")], rank_col="rank"
     ).select(
-        "rank",
+        # int for schema parity with the reference's row_number idiom —
+        # safe here: the frame is owner-cardinality, not entity-cardinality.
+        F.col("rank").cast("int").alias("rank"),
         F.col("owner_id").alias("user_id"),
         F.col("owner_username").alias("username"),
         "total_photos",

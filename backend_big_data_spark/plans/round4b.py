@@ -1236,14 +1236,24 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Vocabulary-growth curve resolution: the bucket COUNT is capped at this
+#: constant (bucket width grows with the corpus instead), so the cumsum
+#: window's input is bounded by config, never by data — the same
+#: adaptive-integer-sizing discipline as the KMV prefilter floor. 256
+#: points is plenty for a Heaps'-law readout; at the historical width
+#: floor of 50 docs/bucket the cap only engages beyond 12,800 docs.
+_HEAPS_MAX_BUCKETS = 256
+
 _HEAPS_ORACLE = """
-WITH toks AS (
+WITH w AS (
+  SELECT GREATEST(50, (MAX(doc_id) + 1) // 256) AS width FROM documents
+), toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS tok
   FROM documents
 ), firstseen AS (
   SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
 ), buckets AS (
-  SELECT CAST(first_doc // 50 AS INTEGER) AS doc_bucket,
+  SELECT CAST(first_doc // (SELECT width FROM w) AS INTEGER) AS doc_bucket,
          COUNT(*) AS new_types
   FROM firstseen GROUP BY 1
 )
@@ -1256,15 +1266,22 @@ FROM buckets ORDER BY doc_bucket
 
 @register("corpus_vocab_growth", oracle=_HEAPS_ORACLE)
 def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary-growth (Heaps'-law) curve: per 50-doc bucket, the
-    count of word types first seen there and the cumulative vocabulary
-    size — the corpus statistic behind tokenizer sizing and dedup health
-    (a flattening curve = saturating corpus; a jump = a new domain
+    """Vocabulary-growth (Heaps'-law) curve: per doc-bucket, the count
+    of word types first seen there and the cumulative vocabulary size —
+    the corpus statistic behind tokenizer sizing and dedup health (a
+    flattening curve = saturating corpus; a jump = a new domain
     arrived). Cumulative DISTINCT becomes first-occurrence MIN + integer
-    cumsum — exact, two keyed aggregates and a bounded window."""
+    cumsum — exact, two keyed aggregates and a window over a frame the
+    bucket-width rule bounds at ``_HEAPS_MAX_BUCKETS`` rows whatever the
+    corpus size: width = max(50, (max_doc_id+1) // 256), pure BIGINT
+    arithmetic computed eagerly from a column-pruned doc_id scan and
+    replayed bit-for-bit in the oracle's scalar subquery (Python ``//``
+    == DuckDB ``//`` on BIGINT)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    width = max(50, (int(max_id) + 1) // _HEAPS_MAX_BUCKETS)
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -1273,7 +1290,7 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
     buckets = first.groupBy(
-        F.expr("first_doc DIV 50").cast("int").alias("doc_bucket")
+        F.expr(f"first_doc DIV {width}").cast("int").alias("doc_bucket")
     ).agg(F.count("*").alias("new_types"))
     w = Window.orderBy("doc_bucket")
     return buckets.select(

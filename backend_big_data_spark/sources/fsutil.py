@@ -73,7 +73,22 @@ def write_text_atomic(spark: SparkSession, path_str: str, data: str) -> None:
         out.close()
     if fs.exists(dest):
         fs.delete(dest, False)
-    fs.rename(tmp, dest)
+    if not fs.rename(tmp, dest):
+        raise IOError(f"atomic text publish rename failed: {tmp} -> {dest}")
+
+
+def rename_checked(spark: SparkSession, src: str, dest: str) -> None:
+    """Rename ``src`` to ``dest``, raising on failure.
+
+    Hadoop's ``FileSystem.rename`` reports failure through its boolean
+    return, not an exception; every tmp-then-publish protocol in
+    ``streaming/`` depends on the publish actually landing before the
+    journal that would replay it is cleared, so a silent False here
+    becomes a permanently missing sidecar row. All call sites must go
+    through this (or check an equivalent post-condition)."""
+    fs, dest_path, jvm = _fs(spark, dest)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(src), dest_path):
+        raise IOError(f"rename failed: {src} -> {dest}")
 
 
 def delete(spark: SparkSession, path_str: str, recursive: bool = True) -> bool:
@@ -84,4 +99,11 @@ def delete(spark: SparkSession, path_str: str, recursive: bool = True) -> bool:
     return bool(fs.delete(hpath, recursive))
 
 
-__all__ = ["delete", "exists", "list_subdirs", "read_text", "write_text_atomic"]
+__all__ = [
+    "delete",
+    "exists",
+    "list_subdirs",
+    "read_text",
+    "rename_checked",
+    "write_text_atomic",
+]

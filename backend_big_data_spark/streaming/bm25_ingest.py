@@ -230,8 +230,12 @@ def _recount_stats(
             "overwrite"
         ).parquet(tmp)
         fsutil.delete(spark, os.path.join(s_base, name))
-        fs, tgt, jvm = fsutil._fs(spark, os.path.join(s_base, name))
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), tgt)
+        # Checked rename: a silent Hadoop rename failure here, after the
+        # old stats dir is deleted, would leave the sidecar permanently
+        # missing this batch row (__n/__sum_dl undercount) once the
+        # journal is cleared. Raising keeps the retraction journal
+        # pending so the next recover_bm25_retraction replays the recount.
+        fsutil.rename_checked(spark, tmp, os.path.join(s_base, name))
         rebuilt.append(f"stats/{name}")
     # orphans go LAST (transient over-count beats a loss window)
     for name in orphans:

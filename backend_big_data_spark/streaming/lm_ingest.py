@@ -281,8 +281,7 @@ def _recount_sidecars(
                 "overwrite"
             ).parquet(tmp)
             fsutil.delete(spark, os.path.join(base, name))
-            fs, tgt, jvm = fsutil._fs(spark, os.path.join(base, name))
-            fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), tgt)
+            fsutil.rename_checked(spark, tmp, os.path.join(base, name))
             rebuilt.append(f"{side}/{name}")
         # orphans go LAST: until the covering recount above lands, the
         # orphan still holds its batch's (non-erased) mass — a reader in

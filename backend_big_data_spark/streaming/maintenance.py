@@ -117,8 +117,7 @@ def _finish_fold(spark: SparkSession, base: str, prefix: str, meta: dict) -> Non
     if fsutil.exists(spark, tmp):
         # Superseded source dir of the same id: its rows are inside tmp.
         fsutil.delete(spark, target)
-        fs, tgt, jvm = fsutil._fs(spark, target)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), tgt)
+        fsutil.rename_checked(spark, tmp, target)
     if not fsutil.exists(spark, target):
         # Protocol violation (journal without tmp or published dir) —
         # refuse to destroy anything; leave the journal for inspection.

@@ -74,8 +74,7 @@ def recover_retraction(spark: SparkSession, base: str) -> None:
         tmp = os.path.join(base, meta["tmp"])
         if fsutil.exists(spark, tmp):
             fsutil.delete(spark, target)
-            fs, tgt, jvm = fsutil._fs(spark, target)
-            fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), tgt)
+            fsutil.rename_checked(spark, tmp, target)
         if not fsutil.exists(spark, target):
             raise RuntimeError(
                 f"retraction journal {_journal_path(base)} names {target} "

@@ -110,3 +110,23 @@ def test_jaccard_of_two_empty_sketches_is_null(spark):
         [([], [])], "sa array<long>, sb array<long>"
     ).select(kmv_jaccard_fp(F.col("sa"), F.col("sb"), k=8).alias("j"))
     assert row.collect()[0]["j"] is None  # defined-NULL, not an ANSI raise
+
+
+def test_degenerate_zero_kth_minimum_raises(spark):
+    """A full sketch whose kth slot is hash 0 (only possible at k=1 with
+    hash value 0 landing — distinct ascending hashes make it impossible
+    for k>=2) must raise, not emit the Infinity-floor garbage estimate."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([([0],)], "sketch array<long>")
+    with pytest.raises(SparkRuntimeException, match="KmvDegenerateSketch"):
+        df.select(kmv_estimate(F.col("sketch"), k=1).alias("e")).collect()
+
+
+def test_nonzero_kth_minimum_unaffected_by_guard(spark):
+    """The zero guard must not change any estimate on the in-contract
+    path: a hand-built full sketch replays the closed-form floor."""
+    sk = [HASH_DOMAIN // 100, HASH_DOMAIN // 50, HASH_DOMAIN // 10]
+    df = spark.createDataFrame([(sk,)], "sketch array<long>")
+    got = df.select(kmv_estimate(F.col("sketch"), k=3).alias("e")).collect()
+    assert got[0]["e"] == (2 * HASH_DOMAIN) // (HASH_DOMAIN // 10)
