@@ -39,6 +39,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round9,
     round9b,
     round10,
+    round11,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -114,8 +115,25 @@ _FRONT = [
     "source_overlap_matrix",  # r06
     "corpus_kl_drift",  # r06
     # ---- behind slot 50: round-11 drift promotions + registrations ----
-    # (appended here as the round progresses; certified via driver_sim
-    # at sf0.01 AND sf0.1 when each lands, external rows expected in r12)
+    # (certified via driver_sim at sf0.01 AND sf0.1 when each landed,
+    # external rows expected in r12)
+    "corpus_vocab_growth",  # drift: bucket count capped at 256 (r11)
+    "lineitem_quantile_sketch",  # r11 registration (3-scale certified)
+    "lineitem_quantile_sketch_merged",  # r11 registration (3-scale certified)
+    "events_user_kmv_sidecar",  # r11 registration (3-scale certified)
+    # r11 drift (ADVICE fixes touched their implementing files; all
+    # re-certified sf0.01 via the full verify sweep AND sf0.1 via
+    # driver_sim when the change landed):
+    "events_user_kmv",  # kmv.py zero-divisor guard
+    "source_vocab_kmv_overlap",  # kmv.py zero-divisor guard
+    "events_user_kmv_merged",  # kmv.py zero-divisor guard
+    "photo_top_owners",  # global_rank long + call-site int cast
+    "doc_bm25_from_index",  # bm25_ingest checked-rename
+    "doc_tfidf_from_index",  # bm25_ingest checked-rename
+    "doc_hybrid_from_index",  # bm25_ingest checked-rename
+    "part_token_containment_match",  # setsimjoin salt cap; sf0.1 skip per
+    # the quadratic-oracle convention (result identity is unit-tested and
+    # the salted path cannot arm below 2M prefix rows)
 ]
 # Round-11 window arithmetic: the r10 staleness backlog was exactly 50
 # (the 7 slipped r05 rows + 43 r06 rows), and per the r10 verdict NOTHING

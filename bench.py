@@ -202,6 +202,15 @@ HEADLINE = [
     # end to end — certificate rows, not throughput rows).
     "embedding_pca_project",
     "lineitem_price_deciles",
+    # round-11: the quantile-sketch pair (bottom-k-by-hash sample vs the
+    # distributed_rank exact truth; merged-vs-direct losslessness) and
+    # the KMV sidecar readout. The sidecar query drives its sink end to
+    # end like the other maintained-state certificates, but its 3-batch
+    # ingest IS the measured capability (flat per-batch sketch cost), so
+    # it earns a throughput row.
+    "lineitem_quantile_sketch",
+    "lineitem_quantile_sketch_merged",
+    "events_user_kmv_sidecar",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
@@ -305,19 +314,31 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "cache_warm_sec": cache_sec,
-                "shingle_warm_sec": shingle_sec,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "cache_warm_sec": cache_sec,
+        "shingle_warm_sec": shingle_sec,
+        "sf": sf_val,
+    }
+    # The recording harness keeps only a bounded TAIL of stdout; at 107
+    # headline queries a pretty-printed line outgrows it and the head
+    # (metric/value + the first ~40 rows) is lost (r10: 65 of 107 rows
+    # captured, parsed=None). Two mitigations: (a) the printed line is
+    # COMPACT (no separators' spaces — ~25% smaller), (b) the complete
+    # payload also lands in BENCH_FULL.json next to this script, so every
+    # per-query row survives whatever stdout window the harness keeps.
+    try:
+        full = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_FULL.json")
+        with open(full, "w") as f:
+            json.dump(payload, f, separators=(",", ":"))
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line is still the contract
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":
