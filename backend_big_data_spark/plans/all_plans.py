@@ -121,6 +121,8 @@ _FRONT = [
     "lineitem_quantile_sketch",  # r11 registration (3-scale certified)
     "lineitem_quantile_sketch_merged",  # r11 registration (3-scale certified)
     "events_user_kmv_sidecar",  # r11 registration (3-scale certified)
+    "lineitem_quantile_sidecar",  # r11 registration (3-scale certified)
+    "lineitem_quantile_by_flag",  # r11 registration (3-scale certified)
     # r11 drift (ADVICE fixes touched their implementing files; all
     # re-certified sf0.01 via the full verify sweep AND sf0.1 via
     # driver_sim when the change landed):

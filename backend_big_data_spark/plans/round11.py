@@ -374,3 +374,148 @@ def events_user_kmv_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_QSIDECAR_ORACLE = f"""
+WITH t AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+         {_H_SQL} AS h, {_KEY_SQL} AS k
+  FROM lineitem
+), direct AS (
+  SELECT price, k, row_number() OVER (ORDER BY h, k) AS r
+  FROM t
+), samp AS (
+  SELECT price, k,
+         row_number() OVER (ORDER BY price, k) AS sr,
+         COUNT(*) OVER () AS s
+  FROM direct WHERE r <= {_QS_K}
+), marks AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+SELECT CAST(m.pct AS INTEGER) AS pct, samp.price AS est_price,
+       CAST(3 AS BIGINT) AS n_batches
+FROM marks m JOIN samp
+  ON samp.sr = CAST(ceil(m.pct * samp.s / 100.0) AS BIGINT)
+ORDER BY pct
+"""
+
+
+@register("lineitem_quantile_sidecar", oracle=_QSIDECAR_ORACLE)
+def lineitem_quantile_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch as MAINTAINED STATE
+    (`streaming/qsketch_ingest.py`): lineitem arrives as three
+    micro-batches (l_orderkey % 3), each appends only its k=1024
+    bottom-k sample rows to a sidecar, and the readout merges sample
+    rows ALONE — no fact row is rescanned. The oracle computes the
+    single-pass sketch estimates over the whole table WITHOUT any
+    prefilter: hash equality certifies that per-batch sampling (each
+    batch armed with its own adaptively-sized map-side ceiling) +
+    lossless merge lands on the identical sample — union closure, the
+    kmv_sidecar discipline applied to order statistics. ``n_batches``
+    pins that three batch dirs really fed the merge.
+
+    Throwaway per-invocation sidecar dir; content is path-independent."""
+    import tempfile as _tempfile
+
+    from backend_big_data_spark.operators.qsketch import sample_prefilter
+    from backend_big_data_spark.streaming.qsketch_ingest import (
+        qsketch_ingest_sink,
+        qsketch_merged_readout,
+        read_qsketch_sidecar,
+    )
+
+    li = _li(spark, sf_dir).withColumn("b", F.col("l_orderkey") % 3)
+    bn_min = int(
+        li.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .agg(F.min("bn").alias("m"))
+        .first()["m"]
+    )
+    sdir = _tempfile.mkdtemp(prefix="qsketch_sidecar_")
+    sink = qsketch_ingest_sink(
+        sdir, [], _key(), F.col("price"), k=_QS_K,
+        prefilter=sample_prefilter(bn_min, 4096),
+    )
+    for b in range(3):
+        sink(li.where(F.col("b") == b), b)
+
+    sidecar = read_qsketch_sidecar(spark, sdir)
+    # the basePath read surfaces the batch=N partition key as a column
+    n_batches = sidecar.select(F.countDistinct("batch").alias("nb"))
+    est = qsketch_merged_readout(
+        sidecar, [], _QS_PCTS, k=_QS_K, est_col="est_price"
+    )
+    return (
+        est.crossJoin(F.broadcast(n_batches))
+        .select("pct", "est_price", F.col("nb").cast("long").alias("n_batches"))
+        .orderBy("pct")
+    )
+
+
+_QGROUPED_ORACLE = f"""
+WITH params AS (
+  SELECT MIN(bn) AS bn_min,
+         CASE WHEN MIN(bn) > 4096
+              THEN ({_H60} // MIN(bn)) * 4096 END AS ceil_g
+  FROM (SELECT COUNT(*) OVER (PARTITION BY l_returnflag) AS bn
+        FROM lineitem)
+), t AS (
+  SELECT l_returnflag AS flag, CAST(l_extendedprice AS DOUBLE) AS price,
+         {_H_SQL} AS h, {_KEY_SQL} AS k
+  FROM lineitem
+), surv AS (
+  SELECT flag, price, h, k,
+         row_number() OVER (PARTITION BY flag ORDER BY h, k) AS r
+  FROM t WHERE h < COALESCE((SELECT ceil_g FROM params), {_H60})
+), samp AS (
+  SELECT flag, price, k,
+         row_number() OVER (PARTITION BY flag ORDER BY price, k) AS sr,
+         COUNT(*) OVER (PARTITION BY flag) AS s
+  FROM surv WHERE r <= {_QS_K}
+), marks AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+SELECT samp.flag AS l_returnflag, CAST(m.pct AS INTEGER) AS pct,
+       samp.price AS est_price
+FROM marks m JOIN samp
+  ON samp.sr = CAST(ceil(m.pct * samp.s / 100.0) AS BIGINT)
+ORDER BY l_returnflag, pct
+"""
+
+
+@register("lineitem_quantile_by_flag", oracle=_QGROUPED_ORACLE)
+def lineitem_quantile_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED quantile estimates from the bottom-k sample — the
+    per-group form of `lineitem_quantile_sketch`: p25..p99 of
+    l_extendedprice per return flag, each group sampled independently
+    (the bottom-k window is KEYED on the group, so there is no global
+    window at all here). The shared map-side prefilter is sized from
+    the SMALLEST group's exact count (the KMV d_min discipline —
+    correctness for every group follows a fortiori; the readout's
+    grouped count is one keyed aggregate), pure-BIGINT, replayed in the
+    oracle's scalar subquery; groups below the target disarm into the
+    small-set regime where each group's sample is its population and
+    the estimates are exact."""
+    from backend_big_data_spark.operators.qsketch import (
+        bottomk_sample,
+        sample_prefilter,
+        sample_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    bn_min = int(
+        li.groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .agg(F.min("bn").alias("m"))
+        .first()["m"]
+    )
+    samp = bottomk_sample(
+        li, ["flag"], _key(), F.col("price"), k=_QS_K,
+        prefilter=sample_prefilter(bn_min, 4096),
+    )
+    return (
+        sample_quantiles(samp, ["flag"], _QS_PCTS, est_col="est_price")
+        .select(F.col("flag").alias("l_returnflag"), "pct", "est_price")
+        .orderBy("l_returnflag", "pct")
+    )

@@ -211,6 +211,8 @@ HEADLINE = [
     "lineitem_quantile_sketch",
     "lineitem_quantile_sketch_merged",
     "events_user_kmv_sidecar",
+    "lineitem_quantile_sidecar",
+    "lineitem_quantile_by_flag",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

@@ -365,6 +365,12 @@ _BOUNDED_GLOBAL_WINDOWS = {
         "counts+k: same qsketch survivor/sample frames; the merge "
         "window input is ≤ k·n_batches pooled sample rows",
     ),
+    "lineitem_quantile_sidecar": (
+        {"__h", "val"},
+        "counts+k: per-batch qsketch survivor frames at ingest; the "
+        "readout's merge window input is ≤ k·n_batches stored sample "
+        "rows (streaming/qsketch_ingest.py)",
+    ),
 }
 
 
