@@ -209,6 +209,103 @@ def distributed_ntile(
     ).drop("__dn_rank", "__dn_tot")
 
 
+def grouped_distributed_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column | str],
+    rank_col: str = "rank",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact per-group 1-based ``row_number() OVER (PARTITION BY group
+    ORDER BY order_by)`` with NO per-group window over the data rows —
+    the group-wise form of :func:`distributed_rank` (ROADMAP round-11
+    candidate), for when single GROUPS are entity-cardinality (a hot
+    key's rows would otherwise funnel through one window task even in
+    the keyed form).
+
+    1. ``repartitionByRange(group_cols ++ order_by)``: each partition
+       holds a contiguous (group, key) range, so a group's rows occupy a
+       contiguous run of partitions and are contiguous WITHIN each
+       partition after ``sortWithinPartitions``.
+    2. ``monotonically_increasing_id`` recovers (partition id,
+       intra-partition index) map-side.
+    3. One keyed aggregate to (partition, group): row count + the
+       group's FIRST intra-partition index. The per-group prefix sum
+       over partitions is a window KEYED ON THE GROUP whose input is ≤
+       numShufflePartitions rows per group (a group spans at most all
+       partitions) — bounded by config, never by group size.
+    4. Join the (partition, group) offsets back: rank = offset +
+       (intra_index − group_base) + 1. The offsets frame holds ≤
+       (#groups + #partitions) rows — AQE broadcasts it when small,
+       hash-joins otherwise; either way nothing aggregates a group
+       through one task.
+
+    ``order_by`` must be a total order within each group (unique
+    tie-break), same contract as the window form. ``total_col`` attaches
+    the per-group row count (closed-form grouped ntile needs it) from
+    the same bounded counts frame.
+    """
+    gcols = list(group_cols)
+    ordered = (
+        df.repartitionByRange(*gcols, *order_by)
+        .sortWithinPartitions(*gcols, *order_by)
+        .withColumn("__dr_mid", F.monotonically_increasing_id())
+        .withColumn("__dr_pid", F.shiftright("__dr_mid", 33))
+        .withColumn(
+            "__dr_idx", F.col("__dr_mid").bitwiseAND(F.lit((1 << 33) - 1))
+        )
+    )
+    counts = ordered.groupBy("__dr_pid", *gcols).agg(
+        F.count(F.lit(1)).alias("__dr_cnt"),
+        F.min("__dr_idx").alias("__dr_base"),
+    )
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("__dr_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy(*gcols)
+        .orderBy("__dr_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = counts.select(
+        "__dr_pid",
+        *gcols,
+        "__dr_base",
+        F.coalesce(F.sum("__dr_cnt").over(w_off), F.lit(0)).alias("__dr_off"),
+        F.sum("__dr_cnt").over(w_tot).alias("__dr_tot"),
+    )
+    out = ordered.join(offsets, ["__dr_pid", *gcols]).withColumn(
+        rank_col,
+        (
+            F.col("__dr_off") + F.col("__dr_idx") - F.col("__dr_base") + 1
+        ).cast("long"),
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__dr_tot"))
+    return out.drop("__dr_mid", "__dr_pid", "__dr_idx", "__dr_base", "__dr_off", "__dr_tot")
+
+
+def grouped_distributed_ntile(
+    df: DataFrame,
+    n: int,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column | str],
+    tile_col: str,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (PARTITION BY group ORDER BY order_by)`` —
+    :func:`grouped_distributed_rank` + the closed-form
+    :func:`ntile_from_rank` with each group's own total, so a hot
+    group's segmentation never runs through one window task."""
+    ranked = grouped_distributed_rank(
+        df, group_cols, order_by, rank_col="__dn_rank", total_col="__dn_tot"
+    )
+    return ranked.withColumn(
+        tile_col, ntile_from_rank(F.col("__dn_rank"), F.col("__dn_tot"), n)
+    ).drop("__dn_rank", "__dn_tot")
+
+
 def lag_delta(
     df: DataFrame,
     partition_by: Sequence[Column | str],

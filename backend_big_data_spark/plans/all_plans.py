@@ -123,6 +123,8 @@ _FRONT = [
     "events_user_kmv_sidecar",  # r11 registration (3-scale certified)
     "lineitem_quantile_sidecar",  # r11 registration (3-scale certified)
     "lineitem_quantile_by_flag",  # r11 registration (3-scale certified)
+    "customer_spend_deciles_by_region",  # r11 registration (3-scale certified)
+    "doc_bm25_from_bucketed_index",  # r11 registration (3-scale certified)
     # r11 drift (ADVICE fixes touched their implementing files; all
     # re-certified sf0.01 via the full verify sweep AND sf0.1 via
     # driver_sim when the change landed):
@@ -130,9 +132,9 @@ _FRONT = [
     "source_vocab_kmv_overlap",  # kmv.py zero-divisor guard
     "events_user_kmv_merged",  # kmv.py zero-divisor guard
     "photo_top_owners",  # global_rank long + call-site int cast
-    "doc_bm25_from_index",  # bm25_ingest checked-rename
-    "doc_tfidf_from_index",  # bm25_ingest checked-rename
-    "doc_hybrid_from_index",  # bm25_ingest checked-rename
+    "doc_bm25_from_index",  # bm25_ingest checked-rename + bucketed-reader
+    "doc_tfidf_from_index",  # bm25_ingest checked-rename + bucketed-reader
+    "doc_hybrid_from_index",  # bm25_ingest checked-rename + bucketed-reader
     "part_token_containment_match",  # setsimjoin salt cap; sf0.1 skip per
     # the quadratic-oracle convention (result identity is unit-tested and
     # the salted path cannot arm below 2M prefix rows)

@@ -519,3 +519,132 @@ def lineitem_quantile_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("flag").alias("l_returnflag"), "pct", "est_price")
         .orderBy("l_returnflag", "pct")
     )
+
+
+_DECILES_BY_REGION_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_spend
+  FROM orders GROUP BY o_custkey
+), tagged AS (
+  SELECT r.r_name AS region, s.o_custkey, s.total_spend
+  FROM spend s
+  JOIN customer c ON s.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+), tiled AS (
+  SELECT region, o_custkey, total_spend,
+         CAST(ntile(10) OVER (PARTITION BY region
+                              ORDER BY total_spend DESC, o_custkey)
+              AS INTEGER) AS decile
+  FROM tagged
+)
+SELECT region, decile, COUNT(*) AS n_customers,
+       MIN(total_spend) AS min_spend, MAX(total_spend) AS max_spend
+FROM tiled GROUP BY region, decile ORDER BY region, decile
+"""
+
+
+@register("customer_spend_deciles_by_region", oracle=_DECILES_BY_REGION_ORACLE)
+def customer_spend_deciles_by_region(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUP-WISE exact decile segmentation — ntile(10) over customer
+    lifetime spend WITHIN each region, via
+    `operators/windows.grouped_distributed_ntile` (ROADMAP round-11
+    candidate): even a keyed ntile window funnels each GROUP through one
+    task, which at 10⁸ customers per region is the same B6 hazard the
+    global family just eliminated — the grouped form range-partitions on
+    (region, spend, custkey), so a region's segmentation parallelizes
+    across all its partitions and the only per-group frame is the ≤
+    numShufflePartitions counts-prefix. Exact decimal spend + unique
+    (spend desc, custkey) tie-break keep tiles deterministic
+    cross-engine; region arrives through broadcast dimension joins."""
+    from backend_big_data_spark.operators.windows import (
+        grouped_distributed_ntile,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    tagged = (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("region", "o_custkey", "total_spend")
+    )
+    tiled = grouped_distributed_ntile(
+        tagged, 10, ["region"], [F.desc("total_spend"), "o_custkey"], "decile"
+    )
+    return (
+        tiled.groupBy("region", "decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("total_spend").alias("min_spend"),
+            F.max("total_spend").alias("max_spend"),
+        )
+        .orderBy("region", "decile")
+    )
+
+
+def _bm25_bucketed_oracle() -> str:
+    """doc_bm25_search's SQL verbatim (the doc_bm25_from_index pattern):
+    the term-bucketed layout is a result-invariant re-organization of
+    the at-rest postings, so the same oracle certifies it."""
+    from backend_big_data_spark.plans import round4b  # noqa: F401
+    from backend_big_data_spark.plans.registry import ORACLES
+
+    return ORACLES["doc_bm25_search"]
+
+
+@register("doc_bm25_from_bucketed_index", oracle=_bm25_bucketed_oracle())
+def doc_bm25_from_bucketed_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retrieval from the TERM-BUCKETED maintained index (ROADMAP
+    round-11 candidate): after ingest the postings fold to a layout
+    partitioned by ``__tb = stable_hash(term) % 8``
+    (`streaming/bm25_ingest.compact_bm25_index(term_buckets=8)`), and
+    the query's bucket set prunes the at-rest read AT THE DIRECTORY
+    LEVEL (PartitionFilters, plan-tested in tests/test_bm25_ingest.py)
+    — the cluster-scale shape where a 3-term lookup against a 10⁶-term
+    index opens 3 buckets' directories, not the whole postings tree. A
+    third batch arrives AFTER the fold so the certified read exercises
+    the mixed flat+bucketed layout (pruned bulk + scanned tail). The
+    oracle is doc_bm25_search's SQL verbatim: hash equality proves the
+    layout is result-invariant.
+
+    Throwaway per-invocation index dir; content is path-independent."""
+    import tempfile as _tempfile
+
+    from backend_big_data_spark.streaming.bm25_ingest import (
+        bm25_ingest_sink,
+        bm25_topk_from_index,
+        compact_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idir = _tempfile.mkdtemp(prefix="bm25_bucketed_")
+    sink = bm25_ingest_sink(idir)
+    sink(docs.where(F.col("doc_id") % 3 == 0), 0)
+    sink(docs.where(F.col("doc_id") % 3 == 1), 1)
+    compact_bm25_index(spark, idir, keep_latest=0, term_buckets=8)
+    sink(docs.where(F.col("doc_id") % 3 == 2), 2)  # flat post-fold tail
+    return bm25_topk_from_index(
+        spark, idir, ["join", "hash", "customer"], k=20
+    ).orderBy("rnk")

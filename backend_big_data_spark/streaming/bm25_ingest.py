@@ -77,15 +77,76 @@ def read_bm25_docs(
     return _read_dirs(spark, index_dir, exclude_batch)
 
 
+#: Fold metadata marking a TERM-BUCKETED postings layout (written by
+#: ``compact_bm25_index(term_buckets=B)``): folded postings live under
+#: ``postings/batch=K/__tb=<stable_hash(term) % B>/``, so a query's
+#: bucket filter becomes a PARTITION PRUNE — at cluster scale the
+#: at-rest postings read touches only the buckets the query's terms
+#: hash into, a directory-level index seek instead of a full postings
+#: scan (ROADMAP round-11 candidate).
+_TERM_BUCKET_META = "_term_buckets.json"
+
+
+def _term_bucket_count(spark: SparkSession, index_dir: str) -> int | None:
+    raw = fsutil.read_text(
+        spark, os.path.join(index_dir, "postings", _TERM_BUCKET_META)
+    )
+    return json.loads(raw)["n_buckets"] if raw else None
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Python twin of ``stable_hash(term) % n_buckets`` (md5, 15 hex
+    chars = 60 bits) — the reader computes the query's buckets
+    driver-side; must stay bit-identical to the fold's column expr."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_buckets
+
+
 def read_bm25_postings(
-    spark: SparkSession, index_dir: str, exclude_batch: int | None = None
+    spark: SparkSession,
+    index_dir: str,
+    exclude_batch: int | None = None,
+    query_terms: list[str] | None = None,
 ) -> DataFrame | None:
     """(term, doc_id, tf, dl) across the maintained per-batch postings —
     equals `text.bm25.doc_postings` over the full corpus exactly
-    (doc ids are disjoint across batches, so union IS the merge)."""
-    return _read_dirs(
-        spark, os.path.join(index_dir, "postings"), exclude_batch
-    )
+    (doc ids are disjoint across batches, so union IS the merge).
+
+    Handles MIXED layouts after a term-bucketed fold: folded dirs carry
+    the ``__tb`` partition column, the un-folded recent tail doesn't —
+    each dir is read separately and unioned by name (null ``__tb`` for
+    the tail). With ``query_terms`` given and a bucketed layout present,
+    the bucket membership filter prunes the folded bulk to the query's
+    own buckets AT THE DIRECTORY LEVEL (PartitionFilters, plan-tested);
+    the flat tail passes through the null arm and is scanned — the right
+    asymmetry: the bulk is pruned, the small recent tail isn't worth a
+    layout."""
+    from backend_big_data_spark.streaming.maintenance import fold_exclusions
+
+    base = os.path.join(index_dir, "postings")
+    skip = fold_exclusions(spark, base, "batch")
+    names = [
+        n
+        for n in fsutil.list_subdirs(spark, base, prefix="batch=")
+        if n != f"batch={exclude_batch}" and n not in skip
+    ]
+    if not names:
+        return None
+    frames = [
+        spark.read.option("basePath", base).parquet(os.path.join(base, n))
+        for n in names
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    n_buckets = _term_bucket_count(spark, index_dir)
+    if n_buckets and query_terms and "__tb" in out.columns:
+        buckets = sorted({_term_bucket_py(t, n_buckets) for t in query_terms})
+        out = out.filter(
+            F.col("__tb").isNull() | F.col("__tb").isin(buckets)
+        )
+    return out.drop("__tb") if "__tb" in out.columns else out
 
 
 def read_bm25_stats(
@@ -112,7 +173,9 @@ def bm25_topk_from_index(
     `text.bm25.bm25_topk` (`bm25_topk_from_postings`), so scores are
     identical by construction; the query-term filter pushes into the
     postings parquet scan (term-sorted row groups prune)."""
-    postings = read_bm25_postings(spark, index_dir)
+    postings = read_bm25_postings(
+        spark, index_dir, query_terms=query_terms
+    )
     stats = read_bm25_stats(spark, index_dir)
     if postings is None or stats is None:
         raise ValueError(
@@ -154,25 +217,64 @@ def bm25_ingest_stream(doc_stream: DataFrame, index_dir: str, checkpoint: str):
 
 
 def compact_bm25_index(
-    spark: SparkSession, index_dir: str, keep_latest: int = 1
+    spark: SparkSession,
+    index_dir: str,
+    keep_latest: int = 1,
+    term_buckets: int | None = None,
 ) -> list[int]:
     """Fold the commit-stable prefix of the corpus, the postings index
     (concatenation — rows are disjoint; re-sorted by term so the folded
     dir keeps its row-group pruning), and the stats sidecar (keyed sum).
     Sidecar folds run unconditionally (the crash-realignment
-    discipline)."""
+    discipline).
+
+    ``term_buckets``: lay the folded postings out PARTITIONED BY
+    ``__tb = stable_hash(term) % term_buckets`` — the cluster-scale
+    layout where a query's postings lookup becomes a directory-level
+    partition prune instead of a scan (`read_bm25_postings` consumes the
+    recorded bucket count and prunes automatically). Use with
+    ``keep_latest=0`` to bucket the whole index; batches arriving after
+    the fold stay flat until the next fold (the reader handles the mixed
+    layout). Erasure on a bucketed index goes through
+    `retract_from_bm25_index` unchanged — it folds a flat tail first so
+    the purge probe sees one consistent layout."""
+    from backend_big_data_spark.text.sampling import stable_hash
     from backend_big_data_spark.streaming.maintenance import _fold
 
     folded = _fold(spark, index_dir, "batch", keep_latest)
     p_dir = os.path.join(index_dir, "postings")
+    if term_buckets is None:
+        # sticky layout: once bucketed, later compactions re-bucket at
+        # the recorded width unless the caller overrides
+        term_buckets = _term_bucket_count(spark, index_dir)
     if fsutil.list_subdirs(spark, p_dir, prefix="batch="):
-        _fold(
-            spark,
-            p_dir,
-            "batch",
-            keep_latest,
-            reducer=lambda df: df.sortWithinPartitions("term"),
-        )
+        if term_buckets:
+            _fold(
+                spark,
+                p_dir,
+                "batch",
+                keep_latest,
+                reducer=lambda df: df.withColumn(
+                    "__tb",
+                    (stable_hash(F.col("term")) % term_buckets).cast("int"),
+                ).sortWithinPartitions("__tb", "term"),
+                partition_by=("__tb",),
+            )
+            fsutil.write_text_atomic(
+                spark,
+                os.path.join(p_dir, _TERM_BUCKET_META),
+                json.dumps({"n_buckets": int(term_buckets)}),
+            )
+        else:
+            _fold(
+                spark,
+                p_dir,
+                "batch",
+                keep_latest,
+                reducer=lambda df: (
+                    df.drop("__tb") if "__tb" in df.columns else df
+                ).sortWithinPartitions("term"),
+            )
     s_dir = os.path.join(index_dir, "stats")
     if fsutil.list_subdirs(spark, s_dir, prefix="batch="):
         _fold(
@@ -281,6 +383,9 @@ def recover_bm25_retraction(spark: SparkSession, index_dir: str) -> None:
         spark,
         os.path.join(index_dir, "postings"),
         meta["ids"],
+        partition_by=(
+            ("__tb",) if _term_bucket_count(spark, index_dir) else ()
+        ),
         drop_band_sidecar=False,
     )
     _recount_stats(spark, index_dir, meta["dirs"])
@@ -298,6 +403,13 @@ def retract_from_bm25_index(
     from backend_big_data_spark.streaming.retraction import retract_ids
 
     recover_bm25_retraction(spark, index_dir)
+    bucketed = _term_bucket_count(spark, index_dir)
+    if bucketed:
+        # A bucketed index may carry a FLAT post-fold tail; the purge's
+        # partition-discovered probe needs one consistent layout, so
+        # fold the tail into the bucketed bulk first (sticky width —
+        # cheap: erasure is rare, the tail is small by construction).
+        compact_bm25_index(spark, index_dir, keep_latest=0)
     dirs = _affected_dirs(spark, index_dir, ids)
     fsutil.write_text_atomic(
         spark,
@@ -309,6 +421,7 @@ def retract_from_bm25_index(
         spark,
         os.path.join(index_dir, "postings"),
         ids,
+        partition_by=(("__tb",) if bucketed else ()),
         drop_band_sidecar=False,
     )
     out["posting_dirs_rewritten"] = purged["dirs_rewritten"]

@@ -251,11 +251,15 @@ def _fold(
     prefix: str,
     keep_latest: int,
     reducer=None,
+    partition_by: tuple[str, ...] | None = None,
 ) -> list[int]:
     """Fold all but the ``keep_latest`` newest ``{prefix}=N`` dirs under
     ``base`` into the oldest folded id's directory. Returns folded ids
     (empty when there is nothing to do). ``reducer`` post-processes the
-    unioned frame (the drift counts' keyed sum)."""
+    unioned frame (the drift counts' keyed sum). ``partition_by`` lays
+    the folded directory out by those columns (the BM25 term-bucketed
+    fold) — the journal/recovery protocol is layout-agnostic (dir-level
+    renames), so crash semantics are unchanged."""
     recover_fold(spark, base, prefix)
     ids = _batch_ids(spark, base, prefix)
     fold = ids[: len(ids) - keep_latest] if keep_latest else ids
@@ -264,14 +268,23 @@ def _fold(
     paths = [os.path.join(base, f"{prefix}={i}") for i in fold]
     # no basePath: the {prefix}=N component must NOT surface as a
     # partition column, or the rewrite would bake it into the data files
-    # and collide with the readers' partition-discovered column
-    df = spark.read.parquet(*paths)
+    # and collide with the readers' partition-discovered column.
+    # Per-directory reads + unionByName: folded dirs may carry their own
+    # partition layout (the BM25 term-bucketed fold) while newer dirs are
+    # flat — a single multi-path read would reject the mixed structure.
+    frames = [spark.read.parquet(p) for p in paths]
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f, allowMissingColumns=True)
     if prefix in df.columns:
         df = df.drop(prefix)
     if reducer is not None:
         df = reducer(df)
     tmp_name = f"_compacting_{prefix}_{fold[0]}"
-    df.write.mode("overwrite").parquet(os.path.join(base, tmp_name))
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(base, tmp_name))
     # Journal AFTER the folded copy is fully on disk: its presence is the
     # commit point. Crash before this line → rollback (sources intact);
     # crash after → roll-forward (tmp is complete by construction).

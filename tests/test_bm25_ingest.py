@@ -198,3 +198,70 @@ class TestIndexPlanShape:
         ]
         assert any("In(term" in l for l in scan_lines), scan_lines
         assert "CartesianProduct" not in plan
+
+
+class TestTermBucketedFold:
+    def test_bucketed_fold_preserves_scores(self, spark, tmp_path):
+        """Folding the postings into a term-bucketed layout changes only
+        the at-rest directory structure — scoring through it equals the
+        flat index and the one-shot scan."""
+        idir = str(tmp_path / "ix")
+        _ingest(spark, idir, [DOCS[:3], DOCS[3:]])
+        want = _rows(bm25_topk_from_index(spark, idir, QUERY, k=10))
+        compact_bm25_index(spark, idir, keep_latest=0, term_buckets=4)
+        got = _rows(bm25_topk_from_index(spark, idir, QUERY, k=10))
+        assert got == want == _rows(bm25_topk(_df(spark, DOCS), QUERY, k=10))
+
+    def test_bucket_filter_prunes_partitions(self, spark, tmp_path):
+        """With the bucketed layout, the query's bucket set must appear
+        as a PARTITION filter on the postings scan — a directory-level
+        prune, not just row-group stats."""
+        import contextlib
+        import io
+
+        idir = str(tmp_path / "ix")
+        _ingest(spark, idir, [DOCS[:3], DOCS[3:]])
+        compact_bm25_index(spark, idir, keep_latest=0, term_buckets=4)
+        df = bm25_topk_from_index(spark, idir, QUERY, k=10)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        part_lines = [
+            l for l in plan.splitlines() if "PartitionFilters" in l
+        ]
+        assert any("__tb" in l for l in part_lines), part_lines
+
+    def test_mixed_layout_reads_and_next_fold_rebuckets(self, spark, tmp_path):
+        """Batches arriving AFTER a bucketed fold stay flat; the reader
+        unions the mixed layout (flat tail scanned, bulk pruned) and the
+        next compaction re-buckets everything at the sticky width."""
+        idir = str(tmp_path / "ix")
+        _ingest(spark, idir, [DOCS[:3]])
+        compact_bm25_index(spark, idir, keep_latest=0, term_buckets=4)
+        bm25_ingest_sink(idir)(_df(spark, DOCS[3:]), 1)  # flat tail
+        got = _rows(bm25_topk_from_index(spark, idir, QUERY, k=10))
+        assert got == _rows(bm25_topk(_df(spark, DOCS), QUERY, k=10))
+        compact_bm25_index(spark, idir, keep_latest=0)  # sticky width
+        meta = json.loads(
+            fsutil.read_text(spark, f"{idir}/postings/_term_buckets.json")
+        )
+        assert meta == {"n_buckets": 4}
+        got2 = _rows(bm25_topk_from_index(spark, idir, QUERY, k=10))
+        assert got2 == got
+
+    def test_retraction_on_bucketed_index(self, spark, tmp_path):
+        """Erasure through the bucketed layout: purge preserves the
+        __tb partitioning (and folds any flat tail first), and scoring
+        afterwards equals a fresh scan of the surviving corpus."""
+        idir = str(tmp_path / "ix")
+        _ingest(spark, idir, [DOCS[:3]])
+        compact_bm25_index(spark, idir, keep_latest=0, term_buckets=4)
+        bm25_ingest_sink(idir)(_df(spark, DOCS[3:]), 1)  # flat tail
+        out = retract_from_bm25_index(spark, idir, [2, 5])
+        assert out["rows_removed"] >= 2
+        surviving = [d for d in DOCS if d[0] not in (2, 5)]
+        got = _rows(bm25_topk_from_index(spark, idir, QUERY, k=10))
+        assert got == _rows(bm25_topk(_df(spark, surviving), QUERY, k=10))
+        sub = fsutil.list_subdirs(spark, f"{idir}/postings/batch=0", prefix="__tb=")
+        assert sub, "purge must preserve the bucketed layout"

@@ -201,3 +201,70 @@ class TestDistributedNtile:
         for line in plan.splitlines():
             if "windowspecdefinition(" in line:
                 assert "__dr_pid" in line
+
+
+def test_grouped_distributed_rank_equals_window(spark):
+    """Property: grouped_distributed_rank == row_number() OVER
+    (PARTITION BY g ORDER BY ...) on uneven multi-partition groups."""
+    from pyspark.sql import Window
+
+    from backend_big_data_spark.operators.windows import (
+        grouped_distributed_rank,
+    )
+
+    rows = [(g, i, float((i * 17 + g * 7) % 101)) for g in range(5) for i in range(g * 37 + 3)]
+    df = spark.createDataFrame(rows, "g int, id int, v double").repartition(7)
+    got = {
+        (r.g, r.id): r.rnk
+        for r in grouped_distributed_rank(
+            df, ["g"], [F.desc("v"), F.col("id")], rank_col="rnk"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.col("id"))
+    want = {
+        (r.g, r.id): r.rnk
+        for r in df.withColumn("rnk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_grouped_distributed_ntile_equals_window(spark):
+    from pyspark.sql import Window
+
+    from backend_big_data_spark.operators.windows import (
+        grouped_distributed_ntile,
+    )
+
+    rows = [(g % 3, i, float((i * 29 + g) % 97)) for g in range(3) for i in range(g * 23 + 4)]
+    df = spark.createDataFrame(rows, "g int, id int, v double").repartition(5)
+    got = {
+        (r.g, r.id): r.tile
+        for r in grouped_distributed_ntile(
+            df, 4, ["g"], [F.col("v"), F.col("id")], "tile"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v"), F.col("id"))
+    want = {
+        (r.g, r.id): r.tile
+        for r in df.withColumn("tile", F.ntile(4).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_grouped_distributed_rank_totals(spark):
+    from backend_big_data_spark.operators.windows import (
+        grouped_distributed_rank,
+    )
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 4)]
+    df = spark.createDataFrame(rows, "g string, id int")
+    out = grouped_distributed_rank(
+        df, ["g"], [F.col("id")], rank_col="r", total_col="n"
+    ).collect()
+    by_g = {(r.g, r.id): (r.r, r.n) for r in out}
+    assert by_g == {
+        ("a", 1): (1, 3),
+        ("a", 2): (2, 3),
+        ("a", 3): (3, 3),
+        ("b", 4): (1, 1),
+    }

@@ -245,6 +245,7 @@ def test_dsir_resampling_is_global_topk(spark):
         "events_power_users_pareto",
         "customer_spend_deciles",
         "lineitem_price_deciles",
+        "customer_spend_deciles_by_region",
     ],
 )
 def test_segmentation_has_no_entity_cardinality_window(spark, name):
@@ -325,6 +326,11 @@ _BOUNDED_GLOBAL_WINDOWS = {
         "k: rank over the limit(k) match result (text/bm25.py:116)",
     ),
     "doc_bm25_from_index": ({"score"}, "k: same bm25 limit(k) rank frame"),
+    "doc_bm25_from_bucketed_index": (
+        {"score"},
+        "k: same bm25 limit(k) rank frame (bucketed at-rest layout "
+        "changes only the scan, not the rank stage)",
+    ),
     "doc_hybrid_search": (
         {"score", "rrf_fp"},
         "k: per-modality limit(k) frames + RRF fuse over ≤Σk fused rows",

@@ -35,6 +35,7 @@ from backend_big_data_spark.sources.catalog import load_table  # noqa: E402
 from backend_big_data_spark.streaming.bm25_ingest import (  # noqa: E402
     bm25_ingest_sink,
     bm25_topk_from_index,
+    compact_bm25_index,
     read_bm25_stats,
 )
 from backend_big_data_spark.text.bm25 import bm25_topk  # noqa: E402
@@ -83,9 +84,18 @@ def main() -> None:
         )
         q_scan = timed(lambda: bm25_topk(rep, QUERY, k=20).collect())
         ingest = timed(lambda: sink(probe_batch, 1))
+        # round-11: term-bucketed fold — the same query served through the
+        # directory-level bucket prune (64 buckets; the 3-term query opens
+        # <= 3 of them, so wall should track the query's own buckets'
+        # postings, not the index)
+        compact_bm25_index(spark, idir, keep_latest=0, term_buckets=64)
+        q_bucketed = timed(
+            lambda: bm25_topk_from_index(spark, idir, QUERY, k=20).collect()
+        )
         print(
             f"{k}x ({n} docs): build {build:.2f} s | query-from-index "
-            f"{q_index:.2f} s | query-full-scan {q_scan:.2f} s | "
+            f"{q_index:.2f} s | query-from-bucketed-index {q_bucketed:.2f} s"
+            f" | query-full-scan {q_scan:.2f} s | "
             f"fixed-batch ingest {ingest:.2f} s",
             flush=True,
         )
