@@ -125,6 +125,7 @@ _FRONT = [
     "lineitem_quantile_by_flag",  # r11 registration (3-scale certified)
     "customer_spend_deciles_by_region",  # r11 registration (3-scale certified)
     "doc_bm25_from_bucketed_index",  # r11 registration (3-scale certified)
+    "corpus_heavy_hitters_from_counts",  # r11 registration (3-scale certified)
     # r11 drift (ADVICE fixes touched their implementing files; all
     # re-certified sf0.01 via the full verify sweep AND sf0.1 via
     # driver_sim when the change landed):

@@ -371,6 +371,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
         "counts+k: same qsketch survivor/sample frames; the merge "
         "window input is ≤ k·n_batches pooled sample rows",
     ),
+    "corpus_heavy_hitters_from_counts": (
+        {"n"},
+        "k: rank window over the limit(20) TakeOrderedAndProject result",
+    ),
     "lineitem_quantile_sidecar": (
         {"__h", "val"},
         "counts+k: per-batch qsketch survivor frames at ingest; the "
