@@ -124,12 +124,23 @@ def distributed_rank(
     per-task frame is |n|/numPartitions. At 10⁹-row entity dimensions
     this replaces a single-task global sort with 32-or-more-way
     parallelism. Intra-partition index is exact to 2³³ rows/partition
-    (monotonically_increasing_id's record field). The rows branch and
-    the counts branch share one identical range exchange, and AQE plans
-    a ReusedExchange at runtime (verified on the lineitem deciles plan:
-    final adaptive plan carries 1 ReusedExchange), so the input is
-    scanned and shuffled ONCE even though the static plan prints two
-    subtrees.
+    (monotonically_increasing_id's record field).
+
+    The rows branch and the counts branch MUST see ONE physical
+    evaluation of the ordered frame: ``monotonically_increasing_id`` is
+    only meaningful relative to the partitioning that produced it, and
+    AQE does not guarantee a ReusedExchange — over a CACHED input it
+    re-plans the range exchange per branch (adaptive coalescing can
+    differ run to run), the two branches' (pid, idx) spaces diverge,
+    and ranks duplicate/drop nondeterministically (caught round 11 by
+    the grouped form's hot-group scale study; this global form
+    reproduced the same corruption on a persisted sf0.1 input —
+    duplicate ranks AND a join that dropped rows). ``localCheckpoint
+    (eager=True)`` pins the evaluation — the setsimjoin one-scan
+    discipline: one range shuffle + one executor-local materialization,
+    both branches read the SAME partitioning; linear local-storage
+    cost, no extra shuffle. Persisted-input determinism tests in
+    tests/test_operators.py guard the contract for both forms.
     """
     ordered = (
         df.repartitionByRange(*order_by)
@@ -139,6 +150,7 @@ def distributed_rank(
         .withColumn(
             "__dr_idx", F.col("__dr_mid").bitwiseAND(F.lit((1 << 33) - 1))
         )
+        .localCheckpoint(eager=True)
     )
     counts = ordered.groupBy("__dr_pid").agg(F.count(F.lit(1)).alias("__dr_cnt"))
     w_off = Window.orderBy("__dr_pid").rowsBetween(
@@ -254,6 +266,10 @@ def grouped_distributed_rank(
         .withColumn(
             "__dr_idx", F.col("__dr_mid").bitwiseAND(F.lit((1 << 33) - 1))
         )
+        # single physical evaluation — see distributed_rank: the counts
+        # and data branches must share ONE (pid, idx) space, which AQE's
+        # ReusedExchange does not guarantee (corrupts over cached inputs)
+        .localCheckpoint(eager=True)
     )
     counts = ordered.groupBy("__dr_pid", *gcols).agg(
         F.count(F.lit(1)).alias("__dr_cnt"),

@@ -126,6 +126,7 @@ _FRONT = [
     "customer_spend_deciles_by_region",  # r11 registration (3-scale certified)
     "doc_bm25_from_bucketed_index",  # r11 registration (3-scale certified)
     "corpus_heavy_hitters_from_counts",  # r11 registration (3-scale certified)
+    "events_user_kmv_window",  # r11 registration (3-scale certified)
     # r11 drift (ADVICE fixes touched their implementing files; all
     # re-certified sf0.01 via the full verify sweep AND sf0.1 via
     # driver_sim when the change landed):
@@ -139,6 +140,17 @@ _FRONT = [
     "part_token_containment_match",  # setsimjoin salt cap; sf0.1 skip per
     # the quadratic-oracle convention (result identity is unit-tested and
     # the salted path cannot arm below 2M prefix rows)
+    "events_user_kmv_window",  # r11 registration (3-scale certified)
+    # r11 drift: distributed_rank/global_rank gained the localCheckpoint
+    # single-evaluation pin (operators/windows.py — the cached-input rank
+    # corruption fix); all consumers re-certified sf0.01 via the full
+    # verify sweep AND sf0.1 via driver_sim when the fix landed:
+    "customer_rfm_segments",
+    "events_power_users_pareto",
+    "customer_spend_deciles",
+    "customer_spend_ranking",
+    "lineitem_price_deciles",
+    "lineitem_exact_quantiles",
 ]
 # Round-11 window arithmetic: the r10 staleness backlog was exactly 50
 # (the 7 slipped r05 rows + 43 r06 rows), and per the r10 verdict NOTHING

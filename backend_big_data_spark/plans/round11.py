@@ -735,3 +735,78 @@ def corpus_heavy_hitters_from_counts(
     return top.withColumn(
         "rnk", F.row_number().over(w).cast("int")
     ).select("rnk", "tok", "n").orderBy("rnk")
+
+
+_KMV_WINDOW_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events WHERE event_id % 3 IN (1, 2)
+), r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+  FROM h
+), sk AS (
+  SELECT event_type,
+         CAST(CASE WHEN COUNT(*) >= 32
+              THEN floor(31.0 * CAST(1152921504606846976 AS DOUBLE)
+                         / MAX(CASE WHEN r = 32 THEN h END))
+              ELSE COUNT(*) END AS BIGINT) AS approx_users
+  FROM r WHERE r <= 32 GROUP BY event_type
+), ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events WHERE event_id % 3 IN (1, 2) GROUP BY event_type
+)
+SELECT sk.event_type, sk.approx_users, ex.exact_users
+FROM sk JOIN ex USING (event_type)
+ORDER BY event_type
+"""
+
+
+@register("events_user_kmv_window", oracle=_KMV_WINDOW_ORACLE)
+def events_user_kmv_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED rollup from the KMV sidecar: distinct users per type
+    over a BATCH SUBRANGE (batches 1-2 of 3, "the last N ingest
+    windows") served by merging only those batches' stored sketch rows
+    — the sidecar supports arbitrary time-window readouts because
+    bottom-k sketches merge over any subset, which is exactly what an
+    exact distinct counter (or a counts table) cannot do without
+    keeping per-window state. The oracle computes the single-pass
+    sketch AND the exact distinct count over the same subrange: hash
+    equality certifies subrange-merge ≡ subrange-sketch, and the exact
+    column keeps the readout honest about estimator error.
+
+    Throwaway per-invocation sidecar dir; content is path-independent."""
+    import tempfile as _tempfile
+
+    from backend_big_data_spark.streaming.kmv_ingest import (
+        kmv_ingest_sink,
+        kmv_merged_readout,
+        read_kmv_sidecar,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    sdir = _tempfile.mkdtemp(prefix="kmv_window_")
+    sink = kmv_ingest_sink(sdir, ["event_type"], F.col("user_id"), k=32)
+    for b in range(3):
+        sink(ev.where(F.col("event_id") % 3 == b), b)
+
+    sidecar = read_kmv_sidecar(spark, sdir).where(
+        F.col("batch").isin(1, 2)  # the window: newest two ingest batches
+    )
+    merged = kmv_merged_readout(sidecar, ["event_type"], k=32)
+    exact = (
+        ev.where(F.col("event_id") % 3 != 0)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        merged.select(
+            "event_type", F.col("approx_distinct").alias("approx_users")
+        )
+        .join(exact, "event_type")
+        .orderBy("event_type")
+    )

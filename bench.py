@@ -216,6 +216,7 @@ HEADLINE = [
     "customer_spend_deciles_by_region",
     "doc_bm25_from_bucketed_index",
     "corpus_heavy_hitters_from_counts",
+    "events_user_kmv_window",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

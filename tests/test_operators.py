@@ -268,3 +268,62 @@ def test_grouped_distributed_rank_totals(spark):
         ("a", 3): (3, 3),
         ("b", 4): (1, 1),
     }
+
+
+def test_distributed_rank_deterministic_over_cached_input(spark):
+    """Regression (r11): over a PERSISTED input, AQE re-planned the
+    range exchange separately for the counts and data branches and the
+    two (partition, index) spaces diverged — duplicate/dropped ranks,
+    nondeterministically. The localCheckpoint pin must keep ranks a
+    total 1..n however the input is materialized."""
+    from backend_big_data_spark.operators.windows import distributed_rank
+
+    rows = [(i, float((i * 2654435761) % 1000003)) for i in range(50_000)]
+    df = spark.createDataFrame(rows, "id long, v double").persist()
+    df.count()
+    try:
+        for _ in range(2):
+            r = distributed_rank(df, [F.col("v"), "id"], rank_col="rk")
+            stats = r.agg(
+                F.count("*").alias("n"),
+                F.countDistinct("rk").alias("d"),
+                F.min("rk").alias("mn"),
+                F.max("rk").alias("mx"),
+            ).first()
+            assert (
+                stats["n"] == stats["d"] == stats["mx"] == 50_000
+                and stats["mn"] == 1
+            ), stats
+    finally:
+        df.unpersist()
+
+
+def test_grouped_distributed_rank_deterministic_over_cached_input(spark):
+    from backend_big_data_spark.operators.windows import (
+        grouped_distributed_rank,
+    )
+
+    rows = [
+        ("hot" if i % 20 else f"g{i % 7}", i, float((i * 48271) % 99991))
+        for i in range(50_000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, v double").persist()
+    df.count()
+    try:
+        for _ in range(2):
+            r = grouped_distributed_rank(
+                df, ["grp"], [F.col("v"), "id"], rank_col="rk"
+            )
+            bad = (
+                r.groupBy("grp")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.countDistinct("rk").alias("d"),
+                    F.max("rk").alias("mx"),
+                )
+                .filter("n != d OR n != mx")
+                .count()
+            )
+            assert bad == 0
+    finally:
+        df.unpersist()
