@@ -15,6 +15,46 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pin_single_evaluation(df: DataFrame, pin: str) -> DataFrame:
+    """Materialize ``df`` ONCE so every downstream plan branch reads the
+    same physical partitioning (the ``monotonically_increasing_id``
+    two-branch contract — see :func:`distributed_rank`).
+
+    ``pin="local"`` (default): ``localCheckpoint(eager=True)`` —
+    executor-local, UNREPLICATED blocks, lineage truncated. One range
+    shuffle + one local write, no DFS involved: the right mode for
+    gate/bench runs and short jobs. Operational caveat at cluster
+    scale: losing ANY executor after the pin kills the job (no
+    recompute path), and dynamic-allocation executor decommission has
+    the same effect — do not use under executor churn.
+
+    ``pin="reliable"``: ``checkpoint(eager=True)`` — writes the frame to
+    the directory set via ``spark.sparkContext.setCheckpointDir`` (must
+    be a DFS path on a real cluster) and reads it back with DFS
+    replication semantics: survives executor loss and dynamic
+    allocation, at the cost of one distributed write+read of the frame.
+    The mode for long-lived cluster jobs. Raises at call time with a
+    clear message if no checkpoint dir is configured.
+
+    Both modes are EAGER — a Spark job runs at plan-construction time,
+    not at the first action. That is the point: the pin must happen
+    before either branch compiles its plan.
+    """
+    if pin == "local":
+        return df.localCheckpoint(eager=True)
+    if pin == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "pin='reliable' needs spark.sparkContext.setCheckpointDir"
+                "(<DFS path>) — on a cluster, point it at replicated "
+                "storage; localCheckpoint (pin='local') does not survive "
+                "executor loss"
+            )
+        return df.checkpoint(eager=True)
+    raise ValueError(f"pin must be 'local' or 'reliable', got {pin!r}")
+
+
 def paginate(df: DataFrame, order_by: Sequence[Column | str], page: int, page_size: int) -> DataFrame:
     """Stable pagination — fixes reference B6 (``queries.py:10-28``).
 
@@ -89,6 +129,7 @@ def distributed_rank(
     order_by: Sequence[Column | str],
     rank_col: str = "rank",
     total_col: str | None = None,
+    pin: str = "local",
 ) -> DataFrame:
     """Exact global 1-based ``row_number`` over a total order WITHOUT a
     partition-less window — the two-pass distributed ranking that
@@ -135,22 +176,27 @@ def distributed_rank(
     and ranks duplicate/drop nondeterministically (caught round 11 by
     the grouped form's hot-group scale study; this global form
     reproduced the same corruption on a persisted sf0.1 input —
-    duplicate ranks AND a join that dropped rows). ``localCheckpoint
-    (eager=True)`` pins the evaluation — the setsimjoin one-scan
-    discipline: one range shuffle + one executor-local materialization,
-    both branches read the SAME partitioning; linear local-storage
-    cost, no extra shuffle. Persisted-input determinism tests in
-    tests/test_operators.py guard the contract for both forms.
+    duplicate ranks AND a join that dropped rows). The pin
+    (:func:`_pin_single_evaluation`) materializes one evaluation that
+    both branches read — the setsimjoin one-scan discipline: one range
+    shuffle + one materialization, no extra shuffle, eager (a Spark
+    job runs at plan-construction). ``pin="local"`` (default) is
+    executor-local and unreplicated — fast, but the job CANNOT survive
+    executor loss after the pin; ``pin="reliable"`` checkpoints to the
+    configured DFS checkpoint dir and is the mode for long-lived
+    cluster runs under executor churn. Persisted-input determinism
+    tests in tests/test_operators.py guard the contract for both forms
+    in both modes.
     """
-    ordered = (
+    ordered = _pin_single_evaluation(
         df.repartitionByRange(*order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("__dr_mid", F.monotonically_increasing_id())
         .withColumn("__dr_pid", F.shiftright("__dr_mid", 33))
         .withColumn(
             "__dr_idx", F.col("__dr_mid").bitwiseAND(F.lit((1 << 33) - 1))
-        )
-        .localCheckpoint(eager=True)
+        ),
+        pin,
     )
     counts = ordered.groupBy("__dr_pid").agg(F.count(F.lit(1)).alias("__dr_cnt"))
     w_off = Window.orderBy("__dr_pid").rowsBetween(
@@ -227,6 +273,7 @@ def grouped_distributed_rank(
     order_by: Sequence[Column | str],
     rank_col: str = "rank",
     total_col: str | None = None,
+    pin: str = "local",
 ) -> DataFrame:
     """Exact per-group 1-based ``row_number() OVER (PARTITION BY group
     ORDER BY order_by)`` with NO per-group window over the data rows —
@@ -255,21 +302,25 @@ def grouped_distributed_rank(
     ``order_by`` must be a total order within each group (unique
     tie-break), same contract as the window form. ``total_col`` attaches
     the per-group row count (closed-form grouped ntile needs it) from
-    the same bounded counts frame.
+    the same bounded counts frame. NULL group keys form a valid
+    partition (SQL ``PARTITION BY`` semantics): the offsets join is
+    null-safe on every group column. ``pin`` selects the
+    single-evaluation mode — see :func:`_pin_single_evaluation` for the
+    local-vs-reliable executor-loss tradeoff.
     """
     gcols = list(group_cols)
-    ordered = (
+    ordered = _pin_single_evaluation(
         df.repartitionByRange(*gcols, *order_by)
         .sortWithinPartitions(*gcols, *order_by)
         .withColumn("__dr_mid", F.monotonically_increasing_id())
         .withColumn("__dr_pid", F.shiftright("__dr_mid", 33))
         .withColumn(
             "__dr_idx", F.col("__dr_mid").bitwiseAND(F.lit((1 << 33) - 1))
-        )
+        ),
         # single physical evaluation — see distributed_rank: the counts
         # and data branches must share ONE (pid, idx) space, which AQE's
         # ReusedExchange does not guarantee (corrupts over cached inputs)
-        .localCheckpoint(eager=True)
+        pin,
     )
     counts = ordered.groupBy("__dr_pid", *gcols).agg(
         F.count(F.lit(1)).alias("__dr_cnt"),
@@ -292,7 +343,22 @@ def grouped_distributed_rank(
         F.coalesce(F.sum("__dr_cnt").over(w_off), F.lit(0)).alias("__dr_off"),
         F.sum("__dr_cnt").over(w_tot).alias("__dr_tot"),
     )
-    out = ordered.join(offsets, ["__dr_pid", *gcols]).withColumn(
+    # Null-safe equi-join on the group columns: a NULL group key is a
+    # valid PARTITION BY partition, and plain `=` would silently drop
+    # every row of it (NULL != NULL). eqNullSafe (SQL `<=>`) plans as
+    # the same hash join — null-safe equality is still an equi-join key
+    # for Spark's planner, so this costs nothing over the name join.
+    offsets = offsets.select(
+        F.col("__dr_pid").alias("__off_pid"),
+        *[F.col(c).alias(f"__off_g{i}") for i, c in enumerate(gcols)],
+        "__dr_base",
+        "__dr_off",
+        "__dr_tot",
+    )
+    cond = F.col("__dr_pid") == F.col("__off_pid")
+    for i, c in enumerate(gcols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__off_g{i}"))
+    out = ordered.join(offsets, cond).withColumn(
         rank_col,
         (
             F.col("__dr_off") + F.col("__dr_idx") - F.col("__dr_base") + 1
@@ -300,7 +366,10 @@ def grouped_distributed_rank(
     )
     if total_col is not None:
         out = out.withColumn(total_col, F.col("__dr_tot"))
-    return out.drop("__dr_mid", "__dr_pid", "__dr_idx", "__dr_base", "__dr_off", "__dr_tot")
+    return out.drop(
+        "__dr_mid", "__dr_pid", "__dr_idx", "__dr_base", "__dr_off",
+        "__dr_tot", "__off_pid", *[f"__off_g{i}" for i in range(len(gcols))],
+    )
 
 
 def grouped_distributed_ntile(

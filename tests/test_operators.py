@@ -327,3 +327,103 @@ def test_grouped_distributed_rank_deterministic_over_cached_input(spark):
             assert bad == 0
     finally:
         df.unpersist()
+
+
+def test_distributed_rank_reliable_pin(spark, tmp_path):
+    """pin='reliable' (DFS checkpoint — the cluster-safe mode that
+    survives executor loss) must produce the same total ranking as the
+    default localCheckpoint pin, including over a persisted input."""
+    from backend_big_data_spark.operators.windows import distributed_rank
+
+    old_dir = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    rows = [(i, float((i * 2654435761) % 1000003)) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id long, v double").persist()
+    df.count()
+    try:
+        r = distributed_rank(
+            df, [F.col("v"), "id"], rank_col="rk", pin="reliable"
+        )
+        stats = r.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("rk").alias("d"),
+            F.min("rk").alias("mn"),
+            F.max("rk").alias("mx"),
+        ).first()
+        assert (
+            stats["n"] == stats["d"] == stats["mx"] == 20_000
+            and stats["mn"] == 1
+        ), stats
+    finally:
+        df.unpersist()
+        if old_dir is not None:
+            spark.sparkContext.setCheckpointDir(old_dir)
+
+
+def test_grouped_distributed_rank_reliable_pin(spark, tmp_path):
+    from backend_big_data_spark.operators.windows import (
+        grouped_distributed_rank,
+    )
+    from pyspark.sql import Window
+
+    old_dir = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    rows = [(f"g{i % 5}", i, float((i * 48271) % 9991)) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    try:
+        got = {
+            (r.grp, r.id): r.rk
+            for r in grouped_distributed_rank(
+                df, ["grp"], [F.col("v"), "id"], rank_col="rk",
+                pin="reliable",
+            ).collect()
+        }
+        w = Window.partitionBy("grp").orderBy(F.col("v"), "id")
+        want = {
+            (r.grp, r.id): r.rk
+            for r in df.withColumn("rk", F.row_number().over(w)).collect()
+        }
+        assert got == want
+    finally:
+        if old_dir is not None:
+            spark.sparkContext.setCheckpointDir(old_dir)
+
+
+def test_distributed_rank_pin_validation(spark):
+    import pytest as _pytest
+
+    from backend_big_data_spark.operators.windows import distributed_rank
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with _pytest.raises(ValueError, match="pin"):
+        distributed_rank(df, ["v", "id"], pin="bogus")
+
+
+def test_grouped_distributed_rank_null_group_keys(spark):
+    """NULL is a valid PARTITION BY partition: rows whose group key is
+    NULL must rank within their own group, not vanish (the offsets join
+    is null-safe — plain `=` would drop them silently)."""
+    from backend_big_data_spark.operators.windows import (
+        grouped_distributed_rank,
+    )
+    from pyspark.sql import Window
+
+    rows = [
+        (None, 1, 5.0), (None, 2, 3.0), (None, 3, 4.0),
+        ("a", 4, 2.0), ("a", 5, 1.0), (None, 6, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = grouped_distributed_rank(
+        df, ["grp"], [F.col("v"), "id"], rank_col="rk", total_col="n"
+    ).collect()
+    assert len(out) == len(rows)  # nothing dropped
+    got = {(r.grp, r.id): (r.rk, r.n) for r in out}
+    w = Window.partitionBy("grp").orderBy(F.col("v"), "id")
+    wn = Window.partitionBy("grp")
+    want = {
+        (r.grp, r.id): (r.rk, r.n)
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .collect()
+    }
+    assert got == want
