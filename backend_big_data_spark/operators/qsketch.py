@@ -98,6 +98,19 @@ def bottomk_sample(
     that admits ≥ k rows, and a group starved below k while armed
     poisons its sample with ``raise_error`` (loud, never a silent
     narrow sample) — the same contract as `operators/kmv.kmv_sketch`.
+
+    The guard counts survivors per group on the UNFILTERED frame (a
+    conditional count with map-side combine — the shuffled guard frame
+    is #groups·#partitions counter rows, never data) and UNIONS one
+    raising sentinel row per starved group into the sample. Counting
+    the surviving sample rows themselves (the r11 form) had a silent
+    hole: a group starved to ZERO survivors left no row to carry the
+    error and simply vanished from the sample (round-11 ADVICE). The
+    sentinel exists independently of the survivors, so total
+    starvation is just as loud as partial. Cost: the guard branch is a
+    second scan of ``df`` column-pruned to (group, key) — acceptable
+    for a loudness contract; callers that cannot afford it disarm the
+    prefilter instead.
     """
     h = stable_hash(key)
     t = df.select(
@@ -106,37 +119,41 @@ def bottomk_sample(
         key.cast("string").alias("__k"),
         value.alias("val"),
     )
-    if prefilter is not None:
-        t = t.filter(F.col("__h") < F.lit(int(prefilter)))
+    if prefilter is None:
+        w = _part(group_cols).orderBy("__h", "__k")
+        return (
+            t.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .drop("__r")
+        )
+    ceiling = F.lit(int(prefilter))
     w = _part(group_cols).orderBy("__h", "__k")
     samp = (
-        t.withColumn("__r", F.row_number().over(w))
+        t.filter(F.col("__h") < ceiling)
+        .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= k)
         .drop("__r")
     )
-    if prefilter is not None:
-        # The guard anchors on the surviving sample itself: an armed
-        # group with < k sample rows means the ceiling starved it (the
-        # sizing rule aims for >= 4x k in expectation, so this firing
-        # means the floor fed to sample_prefilter was wrong).
-        cnt = F.count(F.lit(1)).over(
-            _part(group_cols).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
+    surv = t.groupBy(*group_cols).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__h") < ceiling, 1).otherwise(0)), F.lit(0)
+        ).alias("__surv")
+    )
+    starved = surv.filter(F.col("__surv") < k).select(
+        *group_cols,
+        F.lit(-1).cast("long").alias("__h"),
+        F.lit("").alias("__k"),
+        F.raise_error(
+            F.lit(
+                f"QuantileSampleStarved: a group has fewer than {k} "
+                f"survivors under prefilter={int(prefilter)}; raise "
+                "the ceiling"
             )
         )
-        samp = samp.withColumn(
-            "val",
-            F.when(cnt >= F.lit(k), F.col("val")).otherwise(
-                F.raise_error(
-                    F.lit(
-                        f"QuantileSampleStarved: a group has fewer than "
-                        f"{k} survivors under prefilter={int(prefilter)}; "
-                        "raise the ceiling"
-                    )
-                )
-            ),
-        )
-    return samp
+        .cast(dict(t.dtypes)["val"])
+        .alias("val"),
+    )
+    return samp.unionByName(starved)
 
 
 def sample_quantiles(

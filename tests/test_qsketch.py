@@ -88,6 +88,35 @@ def test_armed_starvation_raises(spark):
         samp.collect()
 
 
+def test_armed_total_starvation_raises(spark):
+    """Zero-survivor regression (r11 ADVICE): a ceiling of 1 admits NO
+    rows, so the old sample-anchored guard had no row to carry the
+    error and the group silently vanished. The sentinel-union guard
+    must raise even when the surviving sample is empty."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = _df(spark, 400)
+    samp = bottomk_sample(df, [], F.col("id"), F.col("v"), k=K, prefilter=1)
+    with pytest.raises(SparkRuntimeException, match="QuantileSampleStarved"):
+        samp.collect()
+
+
+def test_armed_grouped_total_starvation_raises(spark):
+    """Grouped form of the zero-survivor hole: one group fully starved
+    while the others survive must still raise, not silently disappear
+    from the per-group sample."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = _df(spark, 300, batches=3)
+    # ceiling admitting >= k survivors for every group would need the
+    # per-group kth hash; ceiling=1 starves all three groups to zero.
+    samp = bottomk_sample(
+        df, ["b"], F.col("id"), F.col("v"), k=K, prefilter=1
+    )
+    with pytest.raises(SparkRuntimeException, match="QuantileSampleStarved"):
+        samp.collect()
+
+
 def test_sample_prefilter_sizing_rule(spark):
     assert sample_prefilter(100, target=4096) is None  # small-set: disarm
     n = 1_000_000
