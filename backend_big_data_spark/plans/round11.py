@@ -704,9 +704,11 @@ def corpus_heavy_hitters_from_counts(
     TakeOrdered(20) — no document is re-tokenized. The oracle recounts
     the corpus from scratch: hash equality certifies maintained counts
     ≡ full recount THROUGH a compaction boundary — the exact-mergeable
-    counts twin of the KMV/qsketch sidecars (counts are subtractable,
-    so this family needs no recount-on-erasure: the id-keyed delta
-    purge story lives with the ingest corpora).
+    counts twin of the KMV/qsketch sidecars. Erasure: counts are the
+    one exactly-subtractable family, so retraction is a journaled
+    negate-delta append (`drift_monitor.retract_from_drift_counts`,
+    round 12) — post-erasure parity vs a surviving-corpus recount is
+    asserted crash-window-included in test_erasure_readout_parity.py.
 
     Throwaway per-invocation dirs; content is path-independent."""
     import tempfile as _tempfile

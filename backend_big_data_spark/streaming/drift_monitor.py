@@ -14,10 +14,25 @@ per-document filter fires. Distribution-level drift per batch is the
 canary; the fixed-point convention makes each score bit-identical across
 engines and replays, so a replayed micro-batch writes the identical
 metric row (idempotent, like the ingest sinks).
+
+Erasure (round 12): counts are the one maintained family that is exactly
+SUBTRACTABLE, so retraction needs no recount — `retract_from_drift_counts`
+appends one journaled NEGATE-DELTA directory (``delta=-K``, the erased
+documents' token counts with ``n`` negated; streaming batch ids are
+always ≥ 0, so negative ids can never collide with a replayed batch's
+own overwrite) and every reader's keyed sum lands on exactly the
+surviving corpus's counts. The negate delta folds through
+`compaction <streaming.maintenance.compact_drift_counts>` like any other
+delta (sum semantics). `read_corpus_counts` drops fully-erased tokens
+(merged n = 0) so maintained state stays row-identical to a from-scratch
+recount of the surviving corpus, and RAISES on a negative merged count —
+the signature of erasing documents that were never ingested (or twice),
+never a silent corruption.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,9 +64,18 @@ def read_corpus_counts(
     ``exclude_batch``: drop that batch's own delta from the merge — a
     REPLAYED micro-batch must score against the same corpus state it saw
     the first time, not against its own earlier write (idempotent
-    replay, like the ingest sinks)."""
+    replay, like the ingest sinks). (If an erasure landed between first
+    play and replay, the replay scores against the post-erasure corpus —
+    erasure rewrites history by design.)
+
+    Post-erasure exactness: negate-deltas can zero a token out — those
+    rows are dropped so the merge is row-identical to recounting the
+    surviving corpus — and a NEGATIVE merged count (erasing documents
+    never ingested, or twice) raises at evaluation instead of silently
+    skewing every downstream readout."""
     from backend_big_data_spark.streaming.maintenance import fold_exclusions
 
+    recover_drift_retraction(spark, counts_dir)
     skip = fold_exclusions(spark, counts_dir, "delta")
     names = [
         n
@@ -63,7 +87,25 @@ def read_corpus_counts(
     deltas = spark.read.option("basePath", counts_dir).parquet(
         *[os.path.join(counts_dir, n) for n in names]
     )
-    return deltas.groupBy("tok").agg(F.sum("n").alias("n"))
+    merged = deltas.groupBy("tok").agg(F.sum("n").alias("n"))
+    return merged.select(
+        "tok",
+        F.when(
+            F.col("n") < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "DriftCountsNegative: token count went below zero "
+                        "after erasure (document erased that was never "
+                        "ingested, or erased twice): "
+                    ),
+                    F.col("tok"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("n"))
+        .alias("n"),
+    ).where(F.col("n") != 0)
 
 
 def drift_score(batch_counts: DataFrame, corpus_counts: DataFrame) -> DataFrame:
@@ -166,11 +208,104 @@ def read_drift_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
     )
 
 
+def _erase_journal_path(counts_dir: str) -> str:
+    return os.path.join(counts_dir, "_erase_journal.json")
+
+
+def recover_drift_retraction(spark: SparkSession, counts_dir: str) -> None:
+    """Roll a crashed `retract_from_drift_counts` forward (idempotent;
+    called on entry by every reader and by the retraction itself).
+
+    The journal is written only AFTER the negate-delta temp directory is
+    completely on disk (the fold/retraction commit-point discipline), so
+    its presence means publish is safe to repeat: rename temp over the
+    target if the target is still missing, then drop the journal. A
+    temp directory with NO journal is a pre-commit crash — rolled BACK
+    by deleting it (the erasure never happened; the caller re-runs)."""
+    raw = fsutil.read_text(spark, _erase_journal_path(counts_dir))
+    if raw is None:
+        return
+    meta = json.loads(raw)
+    target = os.path.join(counts_dir, meta["dir"])
+    tmp = os.path.join(counts_dir, meta["tmp"])
+    if not fsutil.exists(spark, target):
+        if not fsutil.exists(spark, tmp):
+            raise RuntimeError(
+                f"drift erasure journal {_erase_journal_path(counts_dir)} "
+                f"names {meta['dir']} but neither it nor {meta['tmp']} "
+                "exists"
+            )
+        fsutil.rename_checked(spark, tmp, target)
+    elif fsutil.exists(spark, tmp):
+        fsutil.delete(spark, tmp)
+    fsutil.delete(spark, _erase_journal_path(counts_dir), recursive=False)
+
+
+def retract_from_drift_counts(
+    spark: SparkSession,
+    counts_dir: str,
+    erased_docs: DataFrame,
+    text_col: str = "text",
+) -> dict:
+    """Erase documents from the maintained token-count log by appending
+    ONE journaled negate-delta directory — counts are exactly
+    subtractable, so unlike the sketch/BM25 sidecars no batch is
+    recounted and no corpus is rescanned: cost is O(erased docs), the
+    same shape as one arriving batch.
+
+    ``erased_docs`` must be the documents' CONTENT (the ``text_col`` is
+    re-tokenized with the sink's own tokenizer) — grab the rows from the
+    at-rest corpus BEFORE purging them there (the
+    `retraction.retract_from_ingest_corpus` caller order). Erasing
+    documents that were never ingested (or erasing twice) drives merged
+    counts negative, which every subsequent read raises on loudly —
+    see `read_corpus_counts`.
+
+    The negate delta lands as ``delta=-K`` (K = 1, 2, ... per erasure):
+    streaming batch ids are non-negative, so no replayed batch can ever
+    overwrite it, while compaction and readers treat it as an ordinary
+    delta (keyed sum). Crash windows: temp written but journal absent →
+    rolled back (no-op); journal present → rolled forward by any reader
+    (`recover_drift_retraction`). Returns ``{"dir": name,
+    "tokens_negated": n_rows}``."""
+    recover_drift_retraction(spark, counts_dir)
+    neg = token_counts(erased_docs, text_col=text_col).select(
+        "tok", (-F.col("n")).alias("n")
+    )
+    ids = [
+        int(n.split("=", 1)[1])
+        for n in fsutil.list_subdirs(spark, counts_dir, prefix="delta=")
+    ]
+    next_id = min([i for i in ids if i < 0], default=0) - 1
+    name = f"delta={next_id}"
+    tmp = f"_erasing_{-next_id}"
+    neg.write.mode("overwrite").parquet(os.path.join(counts_dir, tmp))
+    n_rows = spark.read.parquet(os.path.join(counts_dir, tmp)).count()
+    if n_rows == 0:
+        # nothing to subtract (empty erasure set / all-empty texts):
+        # publishing an empty delta would be harmless but noisy
+        fsutil.delete(spark, os.path.join(counts_dir, tmp))
+        return {"dir": None, "tokens_negated": 0}
+    # commit point: journal AFTER the temp dir is complete on disk
+    fsutil.write_text_atomic(
+        spark,
+        _erase_journal_path(counts_dir),
+        json.dumps({"dir": name, "tmp": tmp}),
+    )
+    fsutil.rename_checked(
+        spark, os.path.join(counts_dir, tmp), os.path.join(counts_dir, name)
+    )
+    fsutil.delete(spark, _erase_journal_path(counts_dir), recursive=False)
+    return {"dir": name, "tokens_negated": n_rows}
+
+
 __all__ = [
     "drift_monitor_sink",
     "drift_monitor_stream",
     "drift_score",
     "read_corpus_counts",
     "read_drift_metrics",
+    "recover_drift_retraction",
+    "retract_from_drift_counts",
     "token_counts",
 ]

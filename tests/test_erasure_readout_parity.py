@@ -279,3 +279,156 @@ def test_ivf_parity_through_crash_window(spark, tmp_path):
     assert _rows(_serve_maintained(spark, corpus, queries)) == _rows(
         _serve_recomputed(spark, corpus, queries)
     )
+
+
+# ---------------------------------------------------------------------------
+# Drift-monitor count log (round 12): negate-delta erasure — the one
+# maintained family that is exactly subtractable, so parity is asserted
+# against a from-scratch recount of the surviving corpus with NO recount
+# step in the erasure itself.
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+
+def _doc_frame(spark, ids):
+    rows = [
+        (i, " ".join(_WORDS[(i + j) % len(_WORDS)] for j in range(3 + i % 4)))
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _drift_log(spark, tmp_path, name="dc"):
+    from backend_big_data_spark.streaming.drift_monitor import (
+        drift_monitor_sink,
+    )
+
+    cdir = str(tmp_path / name)
+    mdir = str(tmp_path / (name + "_metrics"))
+    sink = drift_monitor_sink(cdir, mdir)
+    for b in range(3):
+        sink(_doc_frame(spark, range(b * 10, b * 10 + 10)), b)
+    return cdir
+
+
+def test_post_erasure_drift_counts_equal_recount(spark, tmp_path):
+    """Maintained counts after a negate-delta erasure must be
+    row-identical to re-tokenizing the surviving documents — including
+    tokens zeroed out entirely — and every readout built on them
+    (heavy hitters, drift score of a probe batch) must match the
+    recompute bit-for-bit."""
+    from backend_big_data_spark.streaming.drift_monitor import (
+        drift_score,
+        read_corpus_counts,
+        retract_from_drift_counts,
+        token_counts,
+    )
+
+    cdir = _drift_log(spark, tmp_path)
+    erased_ids = [3, 11, 12, 25]
+    res = retract_from_drift_counts(
+        spark, cdir, _doc_frame(spark, erased_ids)
+    )
+    assert res["dir"] == "delta=-1" and res["tokens_negated"] > 0
+    surviving = _doc_frame(
+        spark, [i for i in range(30) if i not in erased_ids]
+    )
+    maintained = read_corpus_counts(spark, cdir)
+    recount = token_counts(surviving)
+    assert _rows(maintained) == _rows(recount)
+    # heavy-hitters readout parity (the registered query's shape)
+    top_m = _rows(maintained.orderBy(F.desc("n"), "tok").limit(3))
+    top_r = _rows(recount.orderBy(F.desc("n"), "tok").limit(3))
+    assert top_m == top_r
+    # drift readout parity: a probe batch scores identically against
+    # maintained state and against the recount
+    probe = token_counts(_doc_frame(spark, range(100, 105)))
+    assert _rows(drift_score(probe, maintained)) == _rows(
+        drift_score(probe, recount)
+    )
+
+
+def test_drift_erasure_crash_window_rolls_forward(spark, tmp_path):
+    """Journal present + negate-delta tmp on disk but publish lost: the
+    next reader rolls the erasure forward and parity holds."""
+    from backend_big_data_spark.streaming.drift_monitor import (
+        read_corpus_counts,
+        token_counts,
+    )
+
+    cdir = _drift_log(spark, tmp_path)
+    erased = _doc_frame(spark, [0, 1])
+    token_counts(erased).select("tok", (-F.col("n")).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(f"{cdir}/_erasing_1")
+    fsutil.write_text_atomic(
+        spark,
+        f"{cdir}/_erase_journal.json",
+        json.dumps({"dir": "delta=-1", "tmp": "_erasing_1"}),
+    )
+    maintained = read_corpus_counts(spark, cdir)  # recovery on entry
+    assert not fsutil.exists(spark, f"{cdir}/_erase_journal.json")
+    recount = token_counts(_doc_frame(spark, range(2, 30)))
+    assert _rows(maintained) == _rows(recount)
+
+
+def test_drift_erasure_precommit_crash_rolls_back(spark, tmp_path):
+    """Negate-delta tmp on disk but NO journal (crash before the commit
+    point): the erasure never happened — readers must serve the
+    pre-erasure counts and the orphan tmp must not leak into the merge."""
+    from backend_big_data_spark.streaming.drift_monitor import (
+        read_corpus_counts,
+        token_counts,
+    )
+
+    cdir = _drift_log(spark, tmp_path)
+    token_counts(_doc_frame(spark, [0, 1])).select(
+        "tok", (-F.col("n")).alias("n")
+    ).write.mode("overwrite").parquet(f"{cdir}/_erasing_1")
+    maintained = read_corpus_counts(spark, cdir)
+    assert _rows(maintained) == _rows(token_counts(_doc_frame(spark, range(30))))
+
+
+def test_drift_erasure_survives_compaction(spark, tmp_path):
+    """Folding the delta log AFTER an erasure (negate delta included in
+    the fold) must preserve parity — the negate rows sum away inside the
+    folded directory exactly as they did across directories."""
+    from backend_big_data_spark.streaming.drift_monitor import (
+        read_corpus_counts,
+        retract_from_drift_counts,
+        token_counts,
+    )
+    from backend_big_data_spark.streaming.maintenance import (
+        compact_drift_counts,
+    )
+
+    cdir = _drift_log(spark, tmp_path)
+    retract_from_drift_counts(spark, cdir, _doc_frame(spark, [5, 15]))
+    folded = compact_drift_counts(spark, cdir, keep_latest=1)
+    assert folded, "fold must have work: 3 batch deltas + 1 negate delta"
+    maintained = read_corpus_counts(spark, cdir)
+    recount = token_counts(
+        _doc_frame(spark, [i for i in range(30) if i not in (5, 15)])
+    )
+    assert _rows(maintained) == _rows(recount)
+
+
+def test_drift_over_erasure_raises(spark, tmp_path):
+    """Erasing documents that were never ingested drives merged counts
+    negative — the read path must raise, never serve silently skewed
+    counts."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from backend_big_data_spark.streaming.drift_monitor import (
+        read_corpus_counts,
+        retract_from_drift_counts,
+    )
+
+    cdir = _drift_log(spark, tmp_path)
+    never_ingested = spark.createDataFrame(
+        [(999, "omega omega omega")], "doc_id long, text string"
+    )
+    retract_from_drift_counts(spark, cdir, never_ingested)
+    with pytest.raises(SparkRuntimeException, match="DriftCountsNegative"):
+        read_corpus_counts(spark, cdir).collect()
