@@ -1281,7 +1281,11 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     max_id = docs.agg(F.max("doc_id")).first()[0]
-    width = max(50, (int(max_id) + 1) // _HEAPS_MAX_BUCKETS)
+    # empty corpus: max() is NULL (the oracle's scalar subquery is NULL
+    # too, and its GREATEST(50, NULL//256) floors at 50 in DuckDB only
+    # via the same guard) — any positive width yields the same empty
+    # result, so pin 50
+    width = max(50, (int(max_id) + 1) // _HEAPS_MAX_BUCKETS) if max_id is not None else 50
     toks = docs.select(
         "doc_id",
         F.explode(

@@ -347,6 +347,19 @@ def test_pareto_shares_and_vocab_growth_invariants(spark):
         assert growth[0].new_types > growth[-1].new_types
 
 
+def test_vocab_growth_empty_corpus(spark, tmp_path):
+    """Empty documents table: max(doc_id) is NULL — the width rule must
+    guard int(None) (r11 ADVICE) and the query return an empty frame,
+    not raise at plan-build time."""
+    from backend_big_data_spark.plans.all_plans import QUERIES
+    from backend_big_data_spark.sources.catalog import load_table
+
+    full = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full.limit(0).write.parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["corpus_vocab_growth"](spark, str(tmp_path))
+    assert out.count() == 0
+
+
 def test_histogram_and_hhi_invariants(spark):
     from backend_big_data_spark.plans.all_plans import QUERIES
 
