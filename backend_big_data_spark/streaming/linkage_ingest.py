@@ -41,6 +41,8 @@ levenshtein verify. The master fold-compacts like every family sidecar
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +56,28 @@ from backend_big_data_spark.sources import fsutil
 
 DEFAULT_MAX_DIST = 2
 DEFAULT_Q = 3
+
+#: Gram-bucketed at-rest layout (round 12 — the BM25 ``__tb`` term-bucket
+#: fold pattern applied to the linkage gram index): folded gram dirs live
+#: under ``grams/batch=N/__gb=B`` with ``B = stable_hash(gram) %
+#: n_buckets``, so a probe's at-rest index read prunes to ITS grams'
+#: buckets at the directory level (PartitionFilters) — the listing cost
+#: tracks the probe, not the index size.
+_GRAM_BUCKET_META = "_gram_buckets.json"
+
+
+def _gram_bucket_count(spark: SparkSession, master_dir: str) -> int | None:
+    raw = fsutil.read_text(
+        spark, os.path.join(master_dir, "grams", _GRAM_BUCKET_META)
+    )
+    return json.loads(raw)["n_buckets"] if raw else None
+
+
+def _gram_bucket_py(gram: str, n_buckets: int) -> int:
+    """Python twin of ``stable_hash(gram) % n_buckets`` (md5, 15 hex
+    chars = 60 bits) — the reader computes a probe's buckets
+    driver-side, so the prune is a literal partition filter."""
+    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16) % n_buckets
 
 
 def _read_dirs(
@@ -82,10 +106,81 @@ def read_master(
 
 
 def read_master_grams(
-    spark: SparkSession, master_dir: str, exclude_batch: int | None = None
+    spark: SparkSession,
+    master_dir: str,
+    exclude_batch: int | None = None,
+    probe_grams: list[str] | None = None,
 ) -> DataFrame | None:
-    """The maintained (id, gram) index over the admitted master."""
-    return _read_dirs(spark, os.path.join(master_dir, "grams"), exclude_batch)
+    """The maintained (id, gram) index over the admitted master.
+
+    Handles MIXED layouts after a gram-bucketed fold
+    (`compact_linkage_master` with ``gram_buckets``): folded dirs carry
+    the ``__gb`` partition column, the un-folded recent tail doesn't —
+    each dir is read separately and unioned by name. With
+    ``probe_grams`` given and a bucketed layout present, the bucket
+    membership filter prunes the folded bulk to the probe's own grams'
+    buckets AT THE DIRECTORY LEVEL (PartitionFilters, plan-tested); the
+    flat tail passes through the null arm and is scanned — the right
+    asymmetry: the bulk is pruned, the small recent tail isn't worth a
+    layout. Pruning is result-invariant for any candidate join keyed on
+    the probe's grams: every (id, gram) row with gram ∈ probe_grams
+    lives in a retained bucket by construction."""
+    from backend_big_data_spark.streaming.maintenance import fold_exclusions
+
+    base = os.path.join(master_dir, "grams")
+    skip = fold_exclusions(spark, base, "batch")
+    names = [
+        n
+        for n in fsutil.list_subdirs(spark, base, prefix="batch=")
+        if n != f"batch={exclude_batch}" and n not in skip
+    ]
+    if not names:
+        return None
+    frames = [
+        spark.read.option("basePath", base).parquet(os.path.join(base, n))
+        for n in names
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    if "batch" in out.columns:
+        out = out.drop("batch")
+    n_buckets = _gram_bucket_count(spark, master_dir)
+    if n_buckets and probe_grams is not None and "__gb" in out.columns:
+        buckets = sorted({_gram_bucket_py(g, n_buckets) for g in probe_grams})
+        out = out.filter(
+            F.col("__gb").isNull() | F.col("__gb").isin(buckets)
+        )
+    return out.drop("__gb") if "__gb" in out.columns else out
+
+
+def probe_master_grams(
+    spark: SparkSession,
+    master_dir: str,
+    probe: DataFrame,
+    q: int = DEFAULT_Q,
+    exclude_batch: int | None = None,
+) -> DataFrame | None:
+    """The gram index pruned to a PROBE batch's own grams — the
+    bucketed-layout serving read. Collects the probe's distinct grams
+    driver-side (bounded by |batch|·max_grams_per_string for a
+    micro-batch probe; vocabulary-bounded for shared-vocabulary
+    masters), maps them to buckets, and returns the
+    directory-level-pruned index. On a flat (never-folded) layout this
+    is exactly `read_master_grams`."""
+    from backend_big_data_spark.operators.fuzzyjoin import qgrams
+
+    grams = [
+        r["gram"]
+        for r in probe.select(
+            F.explode(F.array_distinct(qgrams(F.col("s"), q))).alias("gram")
+        )
+        .distinct()
+        .collect()
+    ]
+    return read_master_grams(
+        spark, master_dir, exclude_batch=exclude_batch, probe_grams=grams
+    )
 
 
 def _covered_names(
@@ -239,6 +334,35 @@ def linkage_ingest_sink(
     return apply
 
 
+def seed_master_batch(
+    spark: SparkSession,
+    master_dir: str,
+    entities: DataFrame,
+    batch_id: int,
+    q: int = DEFAULT_Q,
+) -> None:
+    """Bulk-load one batch of KNOWN-canonical entities (id, s) into the
+    master layout — rows, gram index, and gramfreq in lockstep, exactly
+    what the sink's ADMIT step writes — skipping the link/novelty probe.
+    The initial-index-construction path: an existing deduplicated master
+    table becomes probe state without pretending it arrived as a dirty
+    stream (admission semantics would otherwise drop canonical entities
+    that happen to sit within ``max_dist`` of each other). Directory
+    overwrite keeps replays idempotent, like the sink."""
+    bdir = f"batch={batch_id}"
+    entities.select("id", "s").write.mode("overwrite").parquet(
+        os.path.join(master_dir, bdir)
+    )
+    gram_index(
+        spark.read.parquet(os.path.join(master_dir, bdir)), q=q
+    ).write.mode("overwrite").parquet(os.path.join(master_dir, "grams", bdir))
+    spark.read.parquet(os.path.join(master_dir, "grams", bdir)).groupBy(
+        "gram"
+    ).agg(F.count(F.lit(1)).alias("cnt")).write.mode("overwrite").parquet(
+        os.path.join(master_dir, "gramfreq", bdir)
+    )
+
+
 def linkage_ingest_stream(
     dirty_stream: DataFrame,
     master_dir: str,
@@ -262,7 +386,10 @@ def linkage_ingest_stream(
 
 
 def compact_linkage_master(
-    spark: SparkSession, master_dir: str, keep_latest: int = 1
+    spark: SparkSession,
+    master_dir: str,
+    keep_latest: int = 1,
+    gram_buckets: int | None = None,
 ) -> list[int]:
     """Fold the commit-stable prefix of the master and its gram index
     (links stay per-batch — they are RESULTS, not probe state).
@@ -272,13 +399,59 @@ def compact_linkage_master(
     sidecar folds leaves the sidecars lagging, and the next call's
     master fold may be a no-op — the sidecars must still catch up or
     the misalignment persists forever. Aligned state → metadata-cost
-    no-ops."""
+    no-ops.
+
+    ``gram_buckets``: lay the folded gram index out PARTITIONED BY
+    ``__gb = stable_hash(gram) % gram_buckets`` — the cluster-scale
+    layout where a probe's index lookup becomes a directory-level
+    partition prune instead of a full-index scan (`read_master_grams`
+    consumes the recorded bucket count via ``probe_grams`` and prunes
+    automatically; `probe_master_grams` is the serving read). Use with
+    ``keep_latest=0`` to bucket the whole index; batches admitted after
+    the fold stay flat until the next fold (the reader handles the
+    mixed layout). The layout is STICKY: once bucketed, later
+    compactions re-bucket at the recorded width unless overridden.
+    Erasure preserves the layout per directory
+    (`retraction._purge_linkage_sidecars`)."""
     from backend_big_data_spark.streaming.maintenance import _fold
+    from backend_big_data_spark.text.sampling import stable_hash
 
     folded = _fold(spark, master_dir, "batch", keep_latest)
     grams_dir = os.path.join(master_dir, "grams")
+    if gram_buckets is None:
+        gram_buckets = _gram_bucket_count(spark, master_dir)
     if fsutil.list_subdirs(spark, grams_dir, prefix="batch="):
-        _fold(spark, grams_dir, "batch", keep_latest)
+        if gram_buckets:
+            _fold(
+                spark,
+                grams_dir,
+                "batch",
+                keep_latest,
+                reducer=lambda df: (
+                    df.drop("__gb") if "__gb" in df.columns else df
+                )
+                .withColumn(
+                    "__gb",
+                    (stable_hash(F.col("gram")) % gram_buckets).cast("int"),
+                )
+                .sortWithinPartitions("__gb", "gram"),
+                partition_by=("__gb",),
+            )
+            fsutil.write_text_atomic(
+                spark,
+                os.path.join(grams_dir, _GRAM_BUCKET_META),
+                json.dumps({"n_buckets": int(gram_buckets)}),
+            )
+        else:
+            _fold(
+                spark,
+                grams_dir,
+                "batch",
+                keep_latest,
+                reducer=lambda df: (
+                    df.drop("__gb") if "__gb" in df.columns else df
+                ),
+            )
     gramfreq_dir = os.path.join(master_dir, "gramfreq")
     if fsutil.list_subdirs(spark, gramfreq_dir, prefix="batch="):
         # keyed sum keeps the folded sidecar one row per gram; the
@@ -301,7 +474,9 @@ __all__ = [
     "link_batch",
     "linkage_ingest_sink",
     "linkage_ingest_stream",
+    "probe_master_grams",
     "read_master",
     "read_master_gram_freq",
     "read_master_grams",
+    "seed_master_batch",
 ]

@@ -267,6 +267,8 @@ def _purge_index_sidecars(
     freq_name: str,
     key_col: str,
     rebuild,
+    bucket_col: str | None = None,
+    bucket_expr=None,
 ) -> list[str]:
     """Rewrite every inverted-index/frequency sidecar directory still
     naming a retracted id, from its (already rewritten) master directory
@@ -279,28 +281,55 @@ def _purge_index_sidecars(
 
     ``rebuild(master_df) -> (id, key_col) index frame``; the frequency
     sidecar is its per-``key_col`` count. Shared by the linkage master
-    (grams/gramfreq) and the setsim master (tokens/tokfreq)."""
+    (grams/gramfreq) and the setsim master (tokens/tokfreq).
+
+    ``bucket_col``/``bucket_expr``: bucketed-layout support (the linkage
+    gram index after a ``gram_buckets`` fold): dirs carrying the bucket
+    partition column are probed separately from flat dirs (a single
+    multi-path read would reject the mixed structure), and their
+    rewrites recompute ``bucket_col = bucket_expr`` and publish
+    PARTITIONED BY it — erasure preserves each directory's own layout."""
     index_base = os.path.join(master_dir, index_name)
     names = sorted(fsutil.list_subdirs(spark, index_base, prefix="batch="))
     if not names or not ids:
         return []
+    bucketed_names = {
+        n
+        for n in names
+        if bucket_col
+        and fsutil.list_subdirs(
+            spark, os.path.join(index_base, n), prefix=f"{bucket_col}="
+        )
+    }
     lits = [F.lit(i) for i in ids]
-    probe = spark.read.option("basePath", index_base).parquet(
-        *[os.path.join(index_base, n) for n in names]
-    )
-    hit = sorted(
-        f"batch={r['batch']}"
-        for r in probe.filter(F.col("id").isin(lits))
-        .select("batch")
-        .distinct()
-        .collect()
-    )
-    for name in hit:
+    hit: list[str] = []
+    for group in (
+        sorted(set(names) - bucketed_names),
+        sorted(bucketed_names),
+    ):
+        if not group:
+            continue
+        probe = spark.read.option("basePath", index_base).parquet(
+            *[os.path.join(index_base, n) for n in group]
+        )
+        hit.extend(
+            f"batch={r['batch']}"
+            for r in probe.filter(F.col("id").isin(lits))
+            .select("batch")
+            .distinct()
+            .collect()
+        )
+    for name in sorted(hit):
         master_path = os.path.join(master_dir, name)
         freq_rel = os.path.join(freq_name, name)
         index_rel = os.path.join(index_name, name)
+        part_by: tuple[str, ...] = (
+            (bucket_col,) if name in bucketed_names else ()
+        )
         if fsutil.exists(spark, master_path):
             fresh = rebuild(spark.read.parquet(master_path))
+            if name in bucketed_names:
+                fresh = fresh.withColumn(bucket_col, bucket_expr)
         else:
             # Master dir absent for this batch id: its rows were folded
             # into an older master dir and the sidecar folds never ran (a
@@ -322,15 +351,22 @@ def _purge_index_sidecars(
                 freq_rel,
                 fresh.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt")),
             )
-        _journaled_replace(spark, master_dir, index_rel, fresh)
-    return hit
+        _journaled_replace(
+            spark, master_dir, index_rel, fresh, partition_by=part_by
+        )
+    return sorted(hit)
 
 
 def _purge_linkage_sidecars(
     spark: SparkSession, master_dir: str, ids: list, q: int
 ) -> list[str]:
     from backend_big_data_spark.operators.fuzzyjoin import gram_index
+    from backend_big_data_spark.streaming.linkage_ingest import (
+        _gram_bucket_count,
+    )
+    from backend_big_data_spark.text.sampling import stable_hash
 
+    n_buckets = _gram_bucket_count(spark, master_dir)
     return _purge_index_sidecars(
         spark,
         master_dir,
@@ -339,6 +375,12 @@ def _purge_linkage_sidecars(
         freq_name="gramfreq",
         key_col="gram",
         rebuild=lambda df: gram_index(df, q=q),
+        bucket_col="__gb" if n_buckets else None,
+        bucket_expr=(
+            (stable_hash(F.col("gram")) % n_buckets).cast("int")
+            if n_buckets
+            else None
+        ),
     )
 
 

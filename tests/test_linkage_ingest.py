@@ -303,3 +303,131 @@ class TestLinkageTopkLinkMode:
 
         with pytest.raises(ValueError, match="link_mode"):
             linkage_ingest_sink(str(tmp_path / "m"), link_mode="nearest")
+
+
+class TestGramBucketedFold:
+    """Round 12: the BM25 term-bucket fold applied to the gram index —
+    bucketed at-rest layout, mixed-layout reader, directory-level probe
+    prune, sticky width, layout-preserving erasure."""
+
+    def _probe(self, spark, rows):
+        return _df(spark, rows)
+
+    def _seed(self, spark, mdir):
+        from backend_big_data_spark.streaming.linkage_ingest import (
+            seed_master_batch,
+        )
+
+        seed_master_batch(spark, mdir, _df(spark, B1[:2]), 0)
+        seed_master_batch(spark, mdir, _df(spark, [B1[2]]), 1)
+
+    def _served(self, spark, mdir, probe):
+        from backend_big_data_spark.operators.fuzzyjoin import (
+            edit_distance_join_indexed,
+        )
+        from backend_big_data_spark.streaming.linkage_ingest import (
+            probe_master_grams,
+        )
+
+        index = probe_master_grams(spark, mdir, probe)
+        return sorted(
+            (r.left_id, r.right_id, r.edit_dist)
+            for r in edit_distance_join_indexed(
+                probe,
+                index,
+                read_master(spark, mdir),
+                max_dist=2,
+                index_freq=read_master_gram_freq(spark, mdir),
+            ).collect()
+        )
+
+    def test_bucketed_fold_preserves_links(self, spark, tmp_path):
+        """Folding the gram index into the bucketed layout changes only
+        the at-rest structure: the pruned probe over it equals the probe
+        over the flat layout."""
+        mdir = str(tmp_path / "m")
+        self._seed(spark, mdir)
+        probe = self._probe(spark, B2)
+        want = self._served(spark, mdir, probe)
+        assert want, "probe must link something"
+        compact_linkage_master(spark, mdir, keep_latest=0, gram_buckets=4)
+        assert self._served(spark, mdir, probe) == want
+
+    def test_probe_prunes_partitions(self, spark, tmp_path):
+        """The probe's bucket set must appear as a PARTITION filter on
+        the gram-index scan — a directory-level prune."""
+        import contextlib
+        import io
+
+        from backend_big_data_spark.streaming.linkage_ingest import (
+            probe_master_grams,
+        )
+
+        mdir = str(tmp_path / "m")
+        self._seed(spark, mdir)
+        compact_linkage_master(spark, mdir, keep_latest=0, gram_buckets=4)
+        index = probe_master_grams(spark, mdir, self._probe(spark, B2))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            index.explain("formatted")
+        plan = buf.getvalue()
+        part_lines = [
+            line for line in plan.splitlines() if "PartitionFilters" in line
+        ]
+        assert any("__gb" in line for line in part_lines), part_lines
+
+    def test_mixed_layout_and_sticky_width(self, spark, tmp_path):
+        """A batch seeded AFTER the bucketed fold stays flat; the reader
+        unions the mixed layout (bulk pruned, tail scanned), and the
+        next compaction re-buckets everything at the recorded width."""
+        import json as _json
+
+        from backend_big_data_spark.sources import fsutil
+        from backend_big_data_spark.streaming.linkage_ingest import (
+            seed_master_batch,
+        )
+
+        mdir = str(tmp_path / "m")
+        self._seed(spark, mdir)
+        compact_linkage_master(spark, mdir, keep_latest=0, gram_buckets=4)
+        seed_master_batch(
+            spark, mdir, _df(spark, [(20, "gamma fabrication works")]), 2
+        )  # flat tail
+        probe = self._probe(spark, B2)
+        got = self._served(spark, mdir, probe)
+        assert (11, 20, 0) in got, "flat-tail master must be probe-visible"
+        compact_linkage_master(spark, mdir, keep_latest=0)  # sticky width
+        meta = _json.loads(
+            fsutil.read_text(spark, f"{mdir}/grams/_gram_buckets.json")
+        )
+        assert meta == {"n_buckets": 4}
+        assert self._served(spark, mdir, probe) == got
+
+    def test_retraction_preserves_bucketed_layout(self, spark, tmp_path):
+        """Erasure through the bucketed layout: the gram purge rewrites
+        the bucketed dir PARTITIONED BY __gb (layout preserved), the
+        erased entity's grams are gone, and the probe serves only
+        survivors."""
+        from backend_big_data_spark.sources import fsutil
+        from backend_big_data_spark.streaming.linkage_ingest import (
+            seed_master_batch,
+        )
+        from backend_big_data_spark.streaming.retraction import (
+            retract_from_linkage_master,
+        )
+
+        mdir = str(tmp_path / "m")
+        self._seed(spark, mdir)
+        compact_linkage_master(spark, mdir, keep_latest=0, gram_buckets=4)
+        seed_master_batch(
+            spark, mdir, _df(spark, [(20, "gamma fabrication works")]), 2
+        )  # flat tail — erasure must handle the MIXED layout probe
+        out = retract_from_linkage_master(spark, mdir, [1])
+        assert out["rows_removed"] == 1
+        grams = read_master_grams(spark, mdir)
+        assert grams.filter(F.col("id") == 1).count() == 0
+        sub = fsutil.list_subdirs(spark, f"{mdir}/grams/batch=0", prefix="__gb=")
+        assert sub, "gram purge must preserve the bucketed layout"
+        got = self._served(spark, mdir, self._probe(spark, B2))
+        assert all(m != 1 for _, m, _ in got), "erased master must not link"
+        assert (12, 2, 1) in got, "surviving masters still link"
