@@ -40,6 +40,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round9b,
     round10,
     round11,
+    round12,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -56,111 +57,85 @@ from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 #: (their prior rows certify the old code), and (b) queries REGISTERED
 #: this round get same-round slots appended up front.
 _FRONT = [
-    # Round-11 window: EXACTLY the generated 50-slot oldest-first rotation
-    # (``python tools/gen_query_index.py --rotation 50`` over r01-r10) —
-    # the full r05 residue (7) plus the 43 oldest r06 rows. Per the r10
-    # verdict, round-11 registrations and drift promotions are parked
-    # BEHIND slot 50 (appended after this block); any query whose
-    # implementation or oracle drifts in round 11 is dual-scale certified
-    # via tools/driver_sim.py when the change lands, and leads the r12
-    # generated rotation.
-    "nation_supplier_hhi",  # r05
-    "events_interarrival_profile",  # r05
-    "events_user_lifecycle",  # r05
-    "events_ab_readout",  # r05
-    "orders_seasonality_index",  # r05
-    "doc_field_completeness",  # r05
-    "doc_filter_overlap",  # r05
-    "orders_page3",  # r06
-    "parts_search_union",  # r06
-    "multimodal_fingerprint",  # r06
-    "doc_exact_dedup",  # r06
-    "doc_quality_profile",  # r06
-    "doc_stats_by_lang",  # r06
-    "doc_langid",  # r06
-    "doc_sha256_fingerprint",  # r06
-    "doc_ngram_jaccard_pairs",  # r06
-    "doc_ngram_jaccard_capped",  # r06
-    "doc_minhash_lsh_pairs",  # r06
-    "doc_simhash",  # r06
-    "doc_stratified_sample",  # r06
-    "doc_pack_sequences",  # r06
-    "doc_contamination",  # r06
-    "doc_winnowing",  # r06
-    "doc_lsh_verified_dedup",  # r06
-    "doc_corpus_deduped",  # r06
-    "doc_corpus_deduped_cc",  # r06
-    "doc_dup_clusters",  # r06
-    "doc_incremental_dedup",  # r06
-    "doc_incremental_dedup_full",  # r06
-    "doc_contamination_bloom",  # r06
-    "events_user_sessions",  # r06
-    "events_daily_gapfilled",  # r06
-    "customer_spend_distribution",  # r06
-    "orders_profile",  # r06
-    "events_value_ewma",  # r06
-    "events_zorder_codes",  # r06
-    "events_scd2_intervals",  # r06
-    "pyds_catalog_scan",  # r06
-    "doc_temperature_mix",  # r06
-    "order_value_geomean_by_priority",  # r06
-    "lineitem_stats_profile",  # r06
-    "events_daily_anomalies",  # r06
-    "doc_quality_score_lr",  # r06
-    "doc_duplicate_spans",  # r06
-    "doc_normalized_dedup",  # r06
-    "corpus_token_spectrum",  # r06
-    "ann_recall_eval",  # r06
-    "lsh_banding_eval",  # r06
-    "source_overlap_matrix",  # r06
-    "corpus_kl_drift",  # r06
-    # ---- behind slot 50: round-11 drift promotions + registrations ----
-    # (certified via driver_sim at sf0.01 AND sf0.1 when each landed,
-    # external rows expected in r12)
-    "corpus_vocab_growth",  # drift: bucket count capped at 256 (r11)
-    "lineitem_quantile_sketch",  # r11 registration (3-scale certified)
-    "lineitem_quantile_sketch_merged",  # r11 registration (3-scale certified)
-    "events_user_kmv_sidecar",  # r11 registration (3-scale certified)
-    "lineitem_quantile_sidecar",  # r11 registration (3-scale certified)
-    "lineitem_quantile_by_flag",  # r11 registration (3-scale certified)
-    "customer_spend_deciles_by_region",  # r11 registration (3-scale certified)
-    "doc_bm25_from_bucketed_index",  # r11 registration (3-scale certified)
-    "corpus_heavy_hitters_from_counts",  # r11 registration (3-scale certified)
-    "events_user_kmv_window",  # r11 registration (3-scale certified)
-    # r11 drift (ADVICE fixes touched their implementing files; all
-    # re-certified sf0.01 via the full verify sweep AND sf0.1 via
-    # driver_sim when the change landed):
-    "events_user_kmv",  # kmv.py zero-divisor guard
-    "source_vocab_kmv_overlap",  # kmv.py zero-divisor guard
-    "events_user_kmv_merged",  # kmv.py zero-divisor guard
-    "photo_top_owners",  # global_rank long + call-site int cast
-    "doc_bm25_from_index",  # bm25_ingest checked-rename + bucketed-reader
-    "doc_tfidf_from_index",  # bm25_ingest checked-rename + bucketed-reader
-    "doc_hybrid_from_index",  # bm25_ingest checked-rename + bucketed-reader
-    "part_token_containment_match",  # setsimjoin salt cap; sf0.1 skip per
-    # the quadratic-oracle convention (result identity is unit-tested and
-    # the salted path cannot arm below 2M prefix rows)
-    "events_user_kmv_window",  # r11 registration (3-scale certified)
-    # r11 drift: distributed_rank/global_rank gained the localCheckpoint
-    # single-evaluation pin (operators/windows.py — the cached-input rank
-    # corruption fix); all consumers re-certified sf0.01 via the full
-    # verify sweep AND sf0.1 via driver_sim when the fix landed:
-    "customer_rfm_segments",
-    "events_power_users_pareto",
-    "customer_spend_deciles",
-    "customer_spend_ranking",
-    "lineitem_price_deciles",
-    "lineitem_exact_quantiles",
+    # Round-12 window: EXACTLY the generated 50-slot oldest-first rotation
+    # (``python tools/gen_query_index.py --rotation 50`` over r01-r11) —
+    # the 9 never-externally-certified round-11 registrations, the 6
+    # r06 leftovers the r11 window couldn't fit, and the 35 oldest r07
+    # rows. Per the r11 verdict, round-12 registrations and drift
+    # promotions are parked BEHIND slot 50 (appended after this block);
+    # each is dual-scale certified via tools/driver_sim.py when the
+    # change lands, and leads the r13 generated rotation.
+    "lineitem_quantile_sketch",  # never
+    "lineitem_quantile_sketch_merged",  # never
+    "events_user_kmv_sidecar",  # never
+    "lineitem_quantile_sidecar",  # never
+    "lineitem_quantile_by_flag",  # never
+    "customer_spend_deciles_by_region",  # never
+    "doc_bm25_from_bucketed_index",  # never
+    "corpus_heavy_hitters_from_counts",  # never
+    "events_user_kmv_window",  # never
+    "doc_chunk_lm_prune",  # r06
+    "doc_shard_assignment",  # r06
+    "source_dup_stats",  # r06
+    "embedding_health_audit",  # r06
+    "events_hll_error_band",  # r06
+    "minhash_bias_eval",  # r06
+    "orders_by_month",  # r07
+    "events_by_hour",  # r07
+    "avg_order_value_by_year",  # r07
+    "first_order_per_customer",  # r07
+    "top_order_per_customer",  # r07
+    "distinct_order_priorities",  # r07
+    "customer_count_with_orders",  # r07
+    "top_brand_types",  # r07
+    "top3_parts_per_brand",  # r07
+    "top50_orders",  # r07
+    "order_price_buckets",  # r07
+    "avg_ship_delay_by_priority",  # r07
+    "median_order_value_by_priority",  # r07
+    "customers_without_orders",  # r07
+    "repeat_customer_order_gap",  # r07
+    "part_small_quantity_revenue",  # r07
+    "sole_delayed_supplier",  # r07
+    "top_supplier_quarter",  # r07
+    "shipping_priority_top10",  # r07
+    "large_quantity_orders",  # r07
+    "lineitem_flags_salted",  # r07
+    "returned_revenue_by_customer",  # r07
+    "events_props_json",  # r07
+    "orders_rollup",  # r07
+    "orders_grouping_sets",  # r07
+    "brand_types_intersect",  # r07
+    "brand_types_except",  # r07
+    "asof_signup_before_purchase",  # r07
+    "purchases_prior_events_1h",  # r07
+    "embedding_near_dup_pairs",  # r07
+    "streaming_tumbling_hourly",  # r07
+    "streaming_dedup_events",  # r07
+    "streaming_session_windows",  # r07
+    "sql_frontend_customers_by_nation",  # r07
+    "streaming_sliding_halfhour",  # r07
+    # ---- behind slot 50: round-12 drift promotions + registrations ----
+    # (certified via driver_sim at sf0.001+sf0.01+sf0.1 when each lands;
+    # external rows expected in r13)
+    "lineitem_quantile_by_flag_sidecar",  # r12 registration
+    "part_fuzzy_from_bucketed_index",  # r12 registration
+    # r12 drift note: lineitem_quantile_sketch/_merged/_sidecar/_by_flag
+    # (qsketch zero-survivor sentinel guard), customer_spend_deciles_by_
+    # region (grouped-rank null-safe offsets join) and corpus_heavy_
+    # hitters_from_counts (erasure-aware counts read) changed plans this
+    # round — all six ALREADY LEAD this window (slots 1-9), so the
+    # external r12 row certifies the new code directly; each was also
+    # re-certified sf0.01+sf0.1 via driver_sim when the change landed.
 ]
-# Round-11 window arithmetic: the r10 staleness backlog was exactly 50
-# (the 7 slipped r05 rows + 43 r06 rows), and per the r10 verdict NOTHING
-# jumps the queue this round — the window above IS the generated rotation
-# verbatim, so at round-11 close every registered query's newest external
-# row is r07+ (staleness backlog = 0, steady-state max-age 4 begins).
-# Round-12 rotation note: regenerate with
-# ``python tools/gen_query_index.py --rotation 50`` once CORRECTNESS_r11
-# lands; the round-11 registrations/promotions parked behind slot 50
-# lead that window.
+assert len(_FRONT) == len(set(_FRONT)), "duplicate _FRONT entries"
+# Round-12 window arithmetic: the r11 close left exactly 15 rows without
+# a fresh external row (9 never-certified r11 registrations + 6 r06
+# leftovers, all hash-certified by the r11 judge via driver_sim); they
+# lead this window, followed by the 35 oldest r07 rows. Nothing jumps
+# the queue. Round-13 rotation note: regenerate with
+# ``python tools/gen_query_index.py --rotation 50`` once CORRECTNESS_r12
+# lands; the round-12 parked block leads that window.
 
 
 def _reorder() -> None:
