@@ -459,7 +459,12 @@ def _purge_setsim_sidecars(
     spark: SparkSession, master_dir: str, ids: list
 ) -> list[str]:
     from backend_big_data_spark.operators.setsimjoin import token_index
+    from backend_big_data_spark.streaming.setsim_ingest import (
+        _token_bucket_count,
+    )
+    from backend_big_data_spark.text.sampling import stable_hash
 
+    n_buckets = _token_bucket_count(spark, master_dir)
     return _purge_index_sidecars(
         spark,
         master_dir,
@@ -468,6 +473,12 @@ def _purge_setsim_sidecars(
         freq_name="tokfreq",
         key_col="token",
         rebuild=token_index,
+        bucket_col="__tb" if n_buckets else None,
+        bucket_expr=(
+            (stable_hash(F.col("token")) % n_buckets).cast("int")
+            if n_buckets
+            else None
+        ),
     )
 
 

@@ -44,6 +44,7 @@ linkage master's gram index).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,11 +57,26 @@ from backend_big_data_spark.operators.setsimjoin import (
 from backend_big_data_spark.sources import fsutil
 from backend_big_data_spark.streaming.linkage_ingest import (
     _covered_names,
+    _gram_bucket_py as _bucket_py,  # md5-60-bit % n — shared bucket hash
     _read_dirs,
 )
 
 DEFAULT_T_NUM = 3
 DEFAULT_T_DEN = 5
+
+#: Token-bucketed at-rest layout (round 12 — the BM25/linkage bucket fold
+#: applied to the setsim token index): folded token dirs live under
+#: ``tokens/batch=N/__tb=B`` with ``B = stable_hash(token) % n_buckets``,
+#: so a probe's at-rest index read prunes to ITS tokens' buckets at the
+#: directory level — listing cost tracks the probe, not the index.
+_TOKEN_BUCKET_META = "_token_buckets.json"
+
+
+def _token_bucket_count(spark: SparkSession, master_dir: str) -> int | None:
+    raw = fsutil.read_text(
+        spark, os.path.join(master_dir, "tokens", _TOKEN_BUCKET_META)
+    )
+    return json.loads(raw)["n_buckets"] if raw else None
 
 
 def read_setsim_master(
@@ -71,10 +87,74 @@ def read_setsim_master(
 
 
 def read_master_tokens(
-    spark: SparkSession, master_dir: str, exclude_batch: int | None = None
+    spark: SparkSession,
+    master_dir: str,
+    exclude_batch: int | None = None,
+    probe_tokens: list[str] | None = None,
 ) -> DataFrame | None:
-    """The maintained (id, token) index over the admitted master."""
-    return _read_dirs(spark, os.path.join(master_dir, "tokens"), exclude_batch)
+    """The maintained (id, token) index over the admitted master.
+
+    Handles MIXED layouts after a token-bucketed fold
+    (`compact_setsim_master` with ``token_buckets``): folded dirs carry
+    the ``__tb`` partition column, the un-folded tail doesn't — per-dir
+    reads unioned by name. With ``probe_tokens`` given and a bucketed
+    layout present, the bucket filter prunes the folded bulk to the
+    probe's own tokens' buckets at the DIRECTORY level
+    (PartitionFilters); the flat tail passes the null arm. Pruning is
+    result-invariant for any candidate join keyed on the probe's
+    tokens — the linkage gram reader's argument verbatim."""
+    from backend_big_data_spark.streaming.maintenance import fold_exclusions
+
+    base = os.path.join(master_dir, "tokens")
+    skip = fold_exclusions(spark, base, "batch")
+    names = [
+        n
+        for n in fsutil.list_subdirs(spark, base, prefix="batch=")
+        if n != f"batch={exclude_batch}" and n not in skip
+    ]
+    if not names:
+        return None
+    frames = [
+        spark.read.option("basePath", base).parquet(os.path.join(base, n))
+        for n in names
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    if "batch" in out.columns:
+        out = out.drop("batch")
+    n_buckets = _token_bucket_count(spark, master_dir)
+    if n_buckets and probe_tokens is not None and "__tb" in out.columns:
+        buckets = sorted({_bucket_py(t, n_buckets) for t in probe_tokens})
+        out = out.filter(
+            F.col("__tb").isNull() | F.col("__tb").isin(buckets)
+        )
+    return out.drop("__tb") if "__tb" in out.columns else out
+
+
+def probe_master_tokens(
+    spark: SparkSession,
+    master_dir: str,
+    probe: DataFrame,
+    exclude_batch: int | None = None,
+) -> DataFrame | None:
+    """The token index pruned to a PROBE batch's own tokens — the
+    bucketed-layout serving read (vocabulary-bounded driver-side
+    collect, like `linkage_ingest.probe_master_grams`). On a flat
+    layout this is exactly `read_master_tokens`."""
+    from backend_big_data_spark.operators.setsimjoin import ws_tokens
+
+    toks = [
+        r["token"]
+        for r in probe.select(
+            F.explode(ws_tokens(F.col("s"))).alias("token")
+        )
+        .distinct()
+        .collect()
+    ]
+    return read_master_tokens(
+        spark, master_dir, exclude_batch=exclude_batch, probe_tokens=toks
+    )
 
 
 def read_master_token_freq(
@@ -220,6 +300,33 @@ def setsim_ingest_sink(
     return apply
 
 
+def seed_setsim_master_batch(
+    spark: SparkSession,
+    master_dir: str,
+    entities: DataFrame,
+    batch_id: int,
+) -> None:
+    """Bulk-load one batch of KNOWN-canonical entities (id, s) into the
+    setsim master layout — rows, token index, and tokfreq in lockstep,
+    exactly what the sink's ADMIT step writes — skipping the
+    link/novelty probe (admission semantics would drop canonical
+    entities within Jaccard τ of each other). The
+    `linkage_ingest.seed_master_batch` twin. Directory overwrite keeps
+    replays idempotent."""
+    bdir = f"batch={batch_id}"
+    entities.select("id", "s").write.mode("overwrite").parquet(
+        os.path.join(master_dir, bdir)
+    )
+    token_index(
+        spark.read.parquet(os.path.join(master_dir, bdir))
+    ).write.mode("overwrite").parquet(os.path.join(master_dir, "tokens", bdir))
+    spark.read.parquet(os.path.join(master_dir, "tokens", bdir)).groupBy(
+        "token"
+    ).agg(F.count(F.lit(1)).alias("cnt")).write.mode("overwrite").parquet(
+        os.path.join(master_dir, "tokfreq", bdir)
+    )
+
+
 def setsim_ingest_stream(
     dirty_stream: DataFrame,
     master_dir: str,
@@ -245,7 +352,10 @@ def setsim_ingest_stream(
 
 
 def compact_setsim_master(
-    spark: SparkSession, master_dir: str, keep_latest: int = 1
+    spark: SparkSession,
+    master_dir: str,
+    keep_latest: int = 1,
+    token_buckets: int | None = None,
 ) -> list[int]:
     """Fold the commit-stable prefix of the master, its token index,
     and its token-frequency sidecar (keyed sum keeps the folded sidecar
@@ -259,13 +369,56 @@ def compact_setsim_master(
     sidecars must still catch up or the misalignment persists forever
     (and `retraction._purge_index_sidecars` then sees index dirs with
     no master dir). When everything is aligned the extra calls are
-    metadata-cost no-ops."""
+    metadata-cost no-ops.
+
+    ``token_buckets``: lay the folded token index out PARTITIONED BY
+    ``__tb = stable_hash(token) % token_buckets`` — probes then prune
+    the folded bulk to their own tokens' buckets at the directory level
+    (`read_master_tokens` with ``probe_tokens`` /
+    `probe_master_tokens`). Sticky width, mixed-layout reader,
+    layout-preserving erasure — the linkage gram fold's contract
+    verbatim."""
     from backend_big_data_spark.streaming.maintenance import _fold
+    from backend_big_data_spark.text.sampling import stable_hash
 
     folded = _fold(spark, master_dir, "batch", keep_latest)
     tokens_dir = os.path.join(master_dir, "tokens")
+    if token_buckets is None:
+        token_buckets = _token_bucket_count(spark, master_dir)
     if fsutil.list_subdirs(spark, tokens_dir, prefix="batch="):
-        _fold(spark, tokens_dir, "batch", keep_latest)
+        if token_buckets:
+            _fold(
+                spark,
+                tokens_dir,
+                "batch",
+                keep_latest,
+                reducer=lambda df: (
+                    df.drop("__tb") if "__tb" in df.columns else df
+                )
+                .withColumn(
+                    "__tb",
+                    (stable_hash(F.col("token")) % token_buckets).cast(
+                        "int"
+                    ),
+                )
+                .sortWithinPartitions("__tb", "token"),
+                partition_by=("__tb",),
+            )
+            fsutil.write_text_atomic(
+                spark,
+                os.path.join(tokens_dir, _TOKEN_BUCKET_META),
+                json.dumps({"n_buckets": int(token_buckets)}),
+            )
+        else:
+            _fold(
+                spark,
+                tokens_dir,
+                "batch",
+                keep_latest,
+                reducer=lambda df: (
+                    df.drop("__tb") if "__tb" in df.columns else df
+                ),
+            )
     tokfreq_dir = os.path.join(master_dir, "tokfreq")
     if fsutil.list_subdirs(spark, tokfreq_dir, prefix="batch="):
         _fold(
@@ -282,9 +435,11 @@ def compact_setsim_master(
 
 __all__ = [
     "compact_setsim_master",
+    "probe_master_tokens",
     "read_master_token_freq",
     "read_master_tokens",
     "read_setsim_master",
+    "seed_setsim_master_batch",
     "setsim_ingest_sink",
     "setsim_ingest_stream",
     "setsim_link_batch",

@@ -494,3 +494,107 @@ class TestTopkLinkMode:
             for r in spark.read.parquet(f"{tdir}/links/batch=1").collect()
         )
         assert stream_links == twin_links and stream_links
+
+
+class TestTokenBucketedFold:
+    """Round 12: the bucket fold applied to the setsim token index —
+    completing the bucketed-layout matrix (BM25 terms, linkage grams,
+    setsim tokens). Mirrors TestGramBucketedFold in
+    tests/test_linkage_ingest.py."""
+
+    def _seed(self, spark, mdir):
+        from backend_big_data_spark.streaming.setsim_ingest import (
+            seed_setsim_master_batch,
+        )
+
+        seed_setsim_master_batch(spark, mdir, _df(spark, B1[:2]), 0)
+        seed_setsim_master_batch(spark, mdir, _df(spark, [B1[2]]), 1)
+
+    def _served(self, spark, mdir, probe):
+        from backend_big_data_spark.streaming.setsim_ingest import (
+            probe_master_tokens,
+        )
+
+        index = probe_master_tokens(spark, mdir, probe)
+        return sorted(
+            (r.probe_id, r.master_id, r.inter_cnt, r.union_cnt)
+            for r in token_jaccard_join_indexed(
+                probe,
+                index,
+                read_setsim_master(spark, mdir),
+                3,
+                5,
+                index_freq=read_master_token_freq(spark, mdir),
+            ).collect()
+        )
+
+    def test_bucketed_fold_preserves_links(self, spark, tmp_path):
+        mdir = str(tmp_path / "m")
+        self._seed(spark, mdir)
+        probe = _df(spark, B2)
+        want = self._served(spark, mdir, probe)
+        assert want, "probe must link something"
+        compact_setsim_master(spark, mdir, keep_latest=0, token_buckets=4)
+        assert self._served(spark, mdir, probe) == want
+
+    def test_probe_prunes_partitions_and_sticky_width(self, spark, tmp_path):
+        import contextlib
+        import io
+
+        from backend_big_data_spark.streaming.setsim_ingest import (
+            probe_master_tokens,
+            seed_setsim_master_batch,
+        )
+
+        mdir = str(tmp_path / "m")
+        self._seed(spark, mdir)
+        compact_setsim_master(spark, mdir, keep_latest=0, token_buckets=4)
+        index = probe_master_tokens(spark, mdir, _df(spark, B2))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            index.explain("formatted")
+        part_lines = [
+            line
+            for line in buf.getvalue().splitlines()
+            if "PartitionFilters" in line
+        ]
+        assert any("__tb" in line for line in part_lines), part_lines
+        # flat tail + sticky re-bucket
+        seed_setsim_master_batch(
+            spark, mdir, _df(spark, [(20, "gamma fabrication works west")]), 2
+        )
+        probe = _df(spark, B2)
+        got = self._served(spark, mdir, probe)
+        assert any(m == 20 for _, m, _, _ in got), "flat tail probe-visible"
+        compact_setsim_master(spark, mdir, keep_latest=0)  # sticky width
+        meta = json.loads(
+            fsutil.read_text(spark, f"{mdir}/tokens/_token_buckets.json")
+        )
+        assert meta == {"n_buckets": 4}
+        assert self._served(spark, mdir, probe) == got
+
+    def test_retraction_preserves_bucketed_layout(self, spark, tmp_path):
+        from backend_big_data_spark.streaming.retraction import (
+            retract_from_setsim_master,
+        )
+        from backend_big_data_spark.streaming.setsim_ingest import (
+            seed_setsim_master_batch,
+        )
+
+        mdir = str(tmp_path / "m")
+        self._seed(spark, mdir)
+        compact_setsim_master(spark, mdir, keep_latest=0, token_buckets=4)
+        seed_setsim_master_batch(
+            spark, mdir, _df(spark, [(20, "gamma fabrication works west")]), 2
+        )  # flat tail — the purge probe must handle the MIXED layout
+        out = retract_from_setsim_master(spark, mdir, [1])
+        assert out["rows_removed"] == 1
+        toks = read_master_tokens(spark, mdir)
+        assert toks.filter(F.col("id") == 1).count() == 0
+        sub = fsutil.list_subdirs(
+            spark, f"{mdir}/tokens/batch=0", prefix="__tb="
+        )
+        assert sub, "token purge must preserve the bucketed layout"
+        got = self._served(spark, mdir, _df(spark, B2))
+        assert all(m != 1 for _, m, _, _ in got)
+        assert any(m == 2 for _, m, _, _ in got), "survivors still link"
