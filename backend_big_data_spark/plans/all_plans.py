@@ -120,6 +120,8 @@ _FRONT = [
     # external rows expected in r13)
     "lineitem_quantile_by_flag_sidecar",  # r12 registration
     "part_fuzzy_from_bucketed_index",  # r12 registration
+    "part_token_jaccard_from_bucketed_index",  # r12 registration
+    "corpus_heavy_hitters_post_erasure",  # r12 registration
     # r12 drift note: lineitem_quantile_sketch/_merged/_sidecar/_by_flag
     # (qsketch zero-survivor sentinel guard), customer_spend_deciles_by_
     # region (grouped-rank null-safe offsets join) and corpus_heavy_

@@ -9,10 +9,18 @@
   this registers and oracle-gates that path.
 - ``part_fuzzy_from_bucketed_index`` — the fuzzy/linkage family's gram
   index folded into a GRAM-BUCKETED directory layout
-  (`operators/fuzzyjoin.compact_gram_index`, the BM25 term-bucket fold
-  pattern): a probe's directory listing tracks the probe's grams, not
-  the index size, and the oracle is the existing brute-force
-  Levenshtein twin replayed over the mixed flat+bucketed layout.
+  (`linkage_ingest.compact_linkage_master(gram_buckets=...)`, the BM25
+  term-bucket fold pattern): a probe's directory listing tracks the
+  probe's grams, not the index size, and the oracle is the existing
+  brute-force Levenshtein twin replayed over the mixed layout.
+- ``part_token_jaccard_from_bucketed_index`` — the same fold applied to
+  the setsim TOKEN index, served to a batch-sized probe — the third and
+  last cell of the bucketed-at-rest-layout matrix (BM25 terms r11,
+  linkage grams r12, setsim tokens r12).
+- ``corpus_heavy_hitters_post_erasure`` — the drift-monitor count log's
+  journaled NEGATE-DELTA erasure (`drift_monitor.retract_from_drift_
+  counts`) certified against a from-scratch recount of the surviving
+  corpus, through a compaction boundary.
 
 Reference parity note: the reference (CiccioRomeo/backend-big-data) has
 no sketch or linkage maintenance surface at all — these are additive
@@ -27,6 +35,7 @@ from pyspark.sql import functions as F
 from backend_big_data_spark.plans.registry import register
 from backend_big_data_spark.plans.round11 import (
     _H_SQL,
+    _HEAVY_HITTERS_ORACLE as _R11_HEAVY_HITTERS_ORACLE,
     _KEY_SQL,
     _QS_K,
     _QS_PCTS,
@@ -35,6 +44,7 @@ from backend_big_data_spark.plans.round11 import (
 from backend_big_data_spark.plans.round7c import (
     _FUZZY_ORACLE as _ROUND7C_FUZZY_ORACLE,
 )
+from backend_big_data_spark.plans.round8 import _TOKS
 from backend_big_data_spark.sources.catalog import load_table
 
 _QGROUPED_SIDECAR_ORACLE = f"""
@@ -188,3 +198,143 @@ def part_fuzzy_from_bucketed_index(
         )
         .orderBy("dirty_id", "clean_id")
     )
+
+
+_JACCARD_BUCKETED_ORACLE = f"""
+WITH t AS (
+  SELECT CAST(p_partkey AS BIGINT) AS id, {_TOKS} AS toks FROM part
+), s AS (
+  SELECT id, toks, len(toks) AS sz FROM t WHERE len(toks) > 0
+), p AS (
+  SELECT * FROM s WHERE id % 37 = 0
+)
+SELECT p.id AS probe_id, b.id AS master_id,
+       CAST(len(list_intersect(p.toks, b.toks)) AS BIGINT) AS inter_cnt,
+       CAST(p.sz + b.sz - len(list_intersect(p.toks, b.toks)) AS BIGINT)
+         AS union_cnt
+FROM p JOIN s b
+  ON p.id <> b.id
+ AND greatest(p.sz, b.sz) * 3 <= least(p.sz, b.sz) * 5
+WHERE len(list_intersect(p.toks, b.toks)) * 5
+      >= (p.sz + b.sz - len(list_intersect(p.toks, b.toks))) * 3
+ORDER BY probe_id, master_id
+"""
+
+
+@register(
+    "part_token_jaccard_from_bucketed_index",
+    oracle=_JACCARD_BUCKETED_ORACLE,
+)
+def part_token_jaccard_from_bucketed_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The setsim token index folded into the TOKEN-BUCKETED layout
+    (`compact_setsim_master` with ``token_buckets=8``) and served to a
+    BATCH-SIZED probe (p_partkey % 37 — the streaming sink's production
+    regime): the master seeds in two batches, compaction buckets them,
+    a third batch lands flat post-fold, and the probe's index read
+    prunes the bucketed bulk to the probe's own tokens' buckets at the
+    DIRECTORY level (`setsim_ingest.probe_master_tokens`) while
+    scanning the flat tail — listing cost tracks the probe, not the
+    index. Completes the bucketed-at-rest-layout matrix across all
+    three maintained index families (BM25 terms ✓ r11, linkage grams ✓
+    r12, setsim tokens here). The oracle brute-forces probe × master
+    with only the result-invariant length filter (`round8._JACCARD_
+    ORACLE`'s device, probe-sliced): hash equality certifies fold +
+    mixed reader + directory prune end to end. Probe ranks by the
+    maintained ``tokfreq`` sidecar; self-pairs excluded (the probe IS a
+    master slice, Jaccard 1 with itself).
+
+    Throwaway per-invocation master dir; content is path-independent."""
+    import tempfile as _tempfile
+
+    from backend_big_data_spark.operators.setsimjoin import (
+        token_jaccard_join_indexed,
+    )
+    from backend_big_data_spark.streaming.setsim_ingest import (
+        compact_setsim_master,
+        probe_master_tokens,
+        read_master_token_freq,
+        read_setsim_master,
+        seed_setsim_master_batch,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("s"),
+    )
+    mdir = _tempfile.mkdtemp(prefix="token_bucketed_")
+    for b in range(2):
+        seed_setsim_master_batch(
+            spark, mdir, part.where(F.col("id") % 3 == b), b
+        )
+    compact_setsim_master(spark, mdir, keep_latest=0, token_buckets=8)
+    seed_setsim_master_batch(
+        spark, mdir, part.where(F.col("id") % 3 == 2), 2
+    )  # flat post-fold tail
+
+    probe = part.where(F.col("id") % 37 == 0)
+    index = probe_master_tokens(spark, mdir, probe)
+    master = read_setsim_master(spark, mdir)
+    tfreq = read_master_token_freq(spark, mdir)
+    return (
+        token_jaccard_join_indexed(
+            probe, index, master, 3, 5, index_freq=tfreq
+        )
+        .where(F.col("probe_id") != F.col("master_id"))
+        .orderBy("probe_id", "master_id")
+    )
+
+
+#: The round-11 heavy-hitters oracle VERBATIM, restricted to the
+#: surviving corpus — the erasure certificate derives from its anchor.
+_HH_POST_ERASURE_ORACLE = _R11_HEAVY_HITTERS_ORACLE.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 7 <> 0"
+)
+
+
+@register("corpus_heavy_hitters_post_erasure", oracle=_HH_POST_ERASURE_ORACLE)
+def corpus_heavy_hitters_post_erasure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The drift-monitor count log's ERASURE path, oracle-certified end
+    to end: documents arrive as three micro-batches through the monitor
+    sink (auto-compaction folding the delta log mid-stream), then every
+    document with ``doc_id % 7 == 0`` is erased via the journaled
+    NEGATE-DELTA append (`drift_monitor.retract_from_drift_counts` —
+    counts are exactly subtractable, so no batch is recounted and no
+    corpus rescanned; cost is O(erased docs)), and the top-20 readout
+    is served from the maintained deltas alone. The oracle recounts the
+    SURVIVING corpus from scratch (`round11._HEAVY_HITTERS_ORACLE`
+    verbatim with the erasure predicate): hash equality certifies
+    maintained-minus-negated ≡ full recount through BOTH a compaction
+    boundary and an erasure — the registered twin of the
+    test_erasure_readout_parity crash-window suite.
+
+    Throwaway per-invocation dirs; content is path-independent."""
+    import tempfile as _tempfile
+
+    from backend_big_data_spark.streaming.drift_monitor import (
+        drift_monitor_sink,
+        read_corpus_counts,
+        retract_from_drift_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cdir = _tempfile.mkdtemp(prefix="hh_erase_counts_")
+    mdir = _tempfile.mkdtemp(prefix="hh_erase_metrics_")
+    sink = drift_monitor_sink(cdir, mdir, auto_compact_every=1)
+    for b in range(3):
+        sink(docs.where(F.col("doc_id") % 3 == b), b)
+    retract_from_drift_counts(
+        spark, cdir, docs.where(F.col("doc_id") % 7 == 0)
+    )
+
+    counts = read_corpus_counts(spark, cdir)
+    top = counts.orderBy(F.desc("n"), "tok").limit(20)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), "tok")  # 20 rows — bounded by the limit
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("int")
+    ).select("rnk", "tok", "n").orderBy("rnk")

@@ -235,6 +235,8 @@ HEADLINE = [
     # capability, like the other maintained-state certificates).
     "lineitem_quantile_by_flag_sidecar",
     "part_fuzzy_from_bucketed_index",
+    "part_token_jaccard_from_bucketed_index",
+    "corpus_heavy_hitters_post_erasure",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
