@@ -375,6 +375,11 @@ _BOUNDED_GLOBAL_WINDOWS = {
         {"n"},
         "k: rank window over the limit(20) TakeOrderedAndProject result",
     ),
+    "corpus_heavy_hitters_post_erasure": (
+        {"n"},
+        "k: rank window over the limit(20) TakeOrderedAndProject result "
+        "(the from_counts shape, post-negate-delta)",
+    ),
     "lineitem_quantile_sidecar": (
         {"__h", "val"},
         "counts+k: per-batch qsketch survivor frames at ingest; the "
