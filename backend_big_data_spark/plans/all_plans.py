@@ -41,6 +41,7 @@ from backend_big_data_spark.plans import (  # noqa: F401
     round10,
     round11,
     round12,
+    round12b,
 )
 from backend_big_data_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
 
@@ -122,6 +123,9 @@ _FRONT = [
     "part_fuzzy_from_bucketed_index",  # r12 registration
     "part_token_jaccard_from_bucketed_index",  # r12 registration
     "corpus_heavy_hitters_post_erasure",  # r12 registration
+    "corpus_token_cms_estimates",  # r12 registration (CMS family)
+    "corpus_token_cms_merged",  # r12 registration (CMS family)
+    "corpus_token_cms_post_erasure",  # r12 registration (CMS family)
     # r12 drift note: lineitem_quantile_sketch/_merged/_sidecar/_by_flag
     # (qsketch zero-survivor sentinel guard), customer_spend_deciles_by_
     # region (grouped-rank null-safe offsets join) and corpus_heavy_

@@ -32,7 +32,6 @@ never a silent corruption.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +39,7 @@ from pyspark.sql import functions as F
 
 from backend_big_data_spark.functions.textfns import tokens
 from backend_big_data_spark.sources import fsutil
+from backend_big_data_spark.streaming import negdelta
 
 #: fixed-point scale for per-token log-ratios (the DSIR convention)
 DRIFT_SCALE = 10_000
@@ -208,37 +208,11 @@ def read_drift_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
     )
 
 
-def _erase_journal_path(counts_dir: str) -> str:
-    return os.path.join(counts_dir, "_erase_journal.json")
-
-
 def recover_drift_retraction(spark: SparkSession, counts_dir: str) -> None:
     """Roll a crashed `retract_from_drift_counts` forward (idempotent;
-    called on entry by every reader and by the retraction itself).
-
-    The journal is written only AFTER the negate-delta temp directory is
-    completely on disk (the fold/retraction commit-point discipline), so
-    its presence means publish is safe to repeat: rename temp over the
-    target if the target is still missing, then drop the journal. A
-    temp directory with NO journal is a pre-commit crash — rolled BACK
-    by deleting it (the erasure never happened; the caller re-runs)."""
-    raw = fsutil.read_text(spark, _erase_journal_path(counts_dir))
-    if raw is None:
-        return
-    meta = json.loads(raw)
-    target = os.path.join(counts_dir, meta["dir"])
-    tmp = os.path.join(counts_dir, meta["tmp"])
-    if not fsutil.exists(spark, target):
-        if not fsutil.exists(spark, tmp):
-            raise RuntimeError(
-                f"drift erasure journal {_erase_journal_path(counts_dir)} "
-                f"names {meta['dir']} but neither it nor {meta['tmp']} "
-                "exists"
-            )
-        fsutil.rename_checked(spark, tmp, target)
-    elif fsutil.exists(spark, tmp):
-        fsutil.delete(spark, tmp)
-    fsutil.delete(spark, _erase_journal_path(counts_dir), recursive=False)
+    called on entry by every reader and by the retraction itself) — the
+    shared commit-point choreography, `streaming/negdelta`."""
+    negdelta.recover_negdelta(spark, counts_dir, family="drift")
 
 
 def retract_from_drift_counts(
@@ -268,35 +242,11 @@ def retract_from_drift_counts(
     rolled back (no-op); journal present → rolled forward by any reader
     (`recover_drift_retraction`). Returns ``{"dir": name,
     "tokens_negated": n_rows}``."""
-    recover_drift_retraction(spark, counts_dir)
     neg = token_counts(erased_docs, text_col=text_col).select(
         "tok", (-F.col("n")).alias("n")
     )
-    ids = [
-        int(n.split("=", 1)[1])
-        for n in fsutil.list_subdirs(spark, counts_dir, prefix="delta=")
-    ]
-    next_id = min([i for i in ids if i < 0], default=0) - 1
-    name = f"delta={next_id}"
-    tmp = f"_erasing_{-next_id}"
-    neg.write.mode("overwrite").parquet(os.path.join(counts_dir, tmp))
-    n_rows = spark.read.parquet(os.path.join(counts_dir, tmp)).count()
-    if n_rows == 0:
-        # nothing to subtract (empty erasure set / all-empty texts):
-        # publishing an empty delta would be harmless but noisy
-        fsutil.delete(spark, os.path.join(counts_dir, tmp))
-        return {"dir": None, "tokens_negated": 0}
-    # commit point: journal AFTER the temp dir is complete on disk
-    fsutil.write_text_atomic(
-        spark,
-        _erase_journal_path(counts_dir),
-        json.dumps({"dir": name, "tmp": tmp}),
-    )
-    fsutil.rename_checked(
-        spark, os.path.join(counts_dir, tmp), os.path.join(counts_dir, name)
-    )
-    fsutil.delete(spark, _erase_journal_path(counts_dir), recursive=False)
-    return {"dir": name, "tokens_negated": n_rows}
+    res = negdelta.append_negdelta(spark, counts_dir, neg, family="drift")
+    return {"dir": res["dir"], "tokens_negated": res["rows"]}
 
 
 __all__ = [

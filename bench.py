@@ -237,6 +237,13 @@ HEADLINE = [
     "part_fuzzy_from_bucketed_index",
     "part_token_jaccard_from_bucketed_index",
     "corpus_heavy_hitters_post_erasure",
+    # round-12b: the Count-Min frequency-sketch family — direct build,
+    # merge closure, and the maintained sidecar's full lifecycle
+    # (3-batch ingest + compaction fold + negate-delta erasure inside
+    # the query, the certification shape).
+    "corpus_token_cms_estimates",
+    "corpus_token_cms_merged",
+    "corpus_token_cms_post_erasure",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.
@@ -306,7 +313,14 @@ def _emit(payload: dict) -> None:
 
 def _run_children() -> None:
     """Default entry: the sweep in JVM_RUNS child processes (each a fresh
-    JVM), merged to a best-of-N payload."""
+    JVM), merged to a best-of-N payload.
+
+    The best-so-far payload is emitted (stdout line + BENCH_FULL.json)
+    after EVERY child run, not only at the end: if the recording
+    harness times the process out mid-run-2, the last complete line is
+    run 1's table instead of nothing. The final emission (all runs
+    merged) is the last line printed, so a tail-window parse always
+    lands on the most complete record available."""
     import subprocess
     import sys
 
@@ -326,7 +340,7 @@ def _run_children() -> None:
             )
         last = proc.stdout.strip().splitlines()[-1]
         runs.append(json.loads(last))
-    _emit(_merged_payload(runs))
+        _emit(_merged_payload(runs))
 
 
 def main() -> None:
