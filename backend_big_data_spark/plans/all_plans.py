@@ -126,6 +126,7 @@ _FRONT = [
     "corpus_token_cms_estimates",  # r12 registration (CMS family)
     "corpus_token_cms_merged",  # r12 registration (CMS family)
     "corpus_token_cms_post_erasure",  # r12 registration (CMS family)
+    "corpus_heavy_hitters_from_cms",  # r12 registration (CMS family)
     # r12 drift note: lineitem_quantile_sketch/_merged/_sidecar/_by_flag
     # (qsketch zero-survivor sentinel guard), customer_spend_deciles_by_
     # region (grouped-rank null-safe offsets join) and corpus_heavy_

@@ -218,7 +218,130 @@ def corpus_token_cms_post_erasure(
     return _probe_and_emit(surviving, cells)
 
 
+_HH_CMS_K = 32  # per-batch candidate top-k (exact within the batch)
+_HH_CMS_TOP = 20  # final heavy-hitter list length
+
+_HH_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), batch_counts AS (
+  SELECT doc_id % 3 AS b, tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks GROUP BY 1, 2
+), ranked_b AS (
+  SELECT b, tok,
+         row_number() OVER (PARTITION BY b ORDER BY n DESC, tok) AS r
+  FROM batch_counts
+), cand AS (
+  SELECT DISTINCT tok FROM ranked_b WHERE r <= {_HH_CMS_K}
+), counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+), cells AS (
+  SELECT t.r,
+         CAST(CAST(concat('0x', substr(md5(concat(CAST(t.r AS VARCHAR),
+              ':', tok)), 1, 15)) AS BIGINT) % {_CMS_W} AS INTEGER) AS c,
+         SUM(n) AS cn
+  FROM counts, range({_CMS_D}) t(r)
+  GROUP BY 1, 2
+), pcells AS (
+  SELECT p.tok, t.r,
+         CAST(CAST(concat('0x', substr(md5(concat(CAST(t.r AS VARCHAR),
+              ':', p.tok)), 1, 15)) AS BIGINT) % {_CMS_W} AS INTEGER) AS c
+  FROM cand p, range({_CMS_D}) t(r)
+), est AS (
+  SELECT pc.tok, MIN(COALESCE(ce.cn, 0)) AS cms_est
+  FROM pcells pc LEFT JOIN cells ce ON ce.r = pc.r AND ce.c = pc.c
+  GROUP BY 1
+), hh AS (
+  SELECT tok, cms_est,
+         row_number() OVER (ORDER BY cms_est DESC, tok) AS rnk
+  FROM est
+), ex20 AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS r FROM counts
+  ) WHERE r <= {_HH_CMS_TOP}
+)
+SELECT CAST(h.rnk AS INTEGER) AS rnk, h.tok,
+       CAST(h.cms_est AS BIGINT) AS cms_est,
+       c.n AS exact_n,
+       (h.tok IN (SELECT tok FROM ex20)) AS in_exact_top20
+FROM hh h JOIN counts c USING (tok)
+WHERE h.rnk <= {_HH_CMS_TOP}
+ORDER BY h.rnk
+"""
+
+
+@register("corpus_heavy_hitters_from_cms", oracle=_HH_CMS_ORACLE)
+def corpus_heavy_hitters_from_cms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Heavy hitters with BOUNDED maintained state — the 100 TB form of
+    `corpus_heavy_hitters_from_counts`, whose exact count log is
+    O(vocabulary): here the sink keeps only the CM sketch (4096 cells)
+    plus each batch's exact top-32 as a CANDIDATE log (a corpus-wide
+    heavy key must be heavy in at least one batch), total state
+    O(k·batches + depth·width) however large the vocabulary grows. The
+    readout estimates the ≤ k·batches candidates against the merged
+    sketch and ranks the top 20 by estimate.
+
+    Certification columns keep the approximation honest: ``exact_n``
+    (gate-only corpus recount) and ``in_exact_top20`` (membership in
+    the exact top-20 — at gate scale the list is recall-perfect; the
+    oracle reproduces estimates AND booleans exactly since the hashes
+    are deterministic). Both ordered windows are bounded: per-batch
+    rank over one batch's counts feeds a LIMIT k, and the final rank
+    runs over the ≤ 20-row TakeOrdered result.
+
+    Throwaway per-invocation sidecar dir; content is path-independent."""
+    import tempfile as _tempfile
+
+    from pyspark.sql import Window
+
+    from backend_big_data_spark.streaming.cms_ingest import (
+        cms_candidate_keys,
+        cms_ingest_sink,
+        read_cms_cells,
+    )
+
+    tokrows = _token_stream(spark, sf_dir)
+    sdir = _tempfile.mkdtemp(prefix="cms_hh_")
+    sink = cms_ingest_sink(
+        sdir, "tok", depth=_CMS_D, width=_CMS_W, candidates_k=_HH_CMS_K
+    )
+    for b in range(3):
+        sink(tokrows.where(F.col("doc_id") % 3 == b).select("tok"), b)
+
+    cands = cms_candidate_keys(spark, sdir).select(
+        F.col("key").alias("tok")
+    )
+    est = cms_estimate(
+        read_cms_cells(spark, sdir), cands, "tok", depth=_CMS_D, width=_CMS_W
+    )
+    top = est.orderBy(F.desc("cms_est"), "tok").limit(_HH_CMS_TOP)
+    w = Window.orderBy(F.desc("cms_est"), "tok")  # ≤ 20 rows — post-limit
+    ranked = top.withColumn("rnk", F.row_number().over(w).cast("int"))
+    exact = tokrows.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    ex20 = (
+        exact.orderBy(F.desc("exact_n"), "tok")
+        .limit(_HH_CMS_TOP)
+        .select(F.col("tok").alias("__ext"), F.lit(True).alias("__in"))
+    )
+    return (
+        ranked.join(exact, "tok")
+        .join(ex20, ranked["tok"] == F.col("__ext"), "left")
+        .select(
+            "rnk",
+            "tok",
+            "cms_est",
+            "exact_n",
+            F.coalesce(F.col("__in"), F.lit(False)).alias("in_exact_top20"),
+        )
+        .orderBy("rnk")
+    )
+
+
 __all__ = [
+    "corpus_heavy_hitters_from_cms",
     "corpus_token_cms_estimates",
     "corpus_token_cms_merged",
     "corpus_token_cms_post_erasure",

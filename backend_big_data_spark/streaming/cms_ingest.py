@@ -93,16 +93,34 @@ def cms_ingest_sink(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     group_cols: list[str] | None = None,
+    candidates_k: int | None = None,
 ):
     """``foreachBatch`` function appending one CM-sketch delta per
     micro-batch under ``cells_dir/delta=N``. Per-batch cost: one
     map-side hash per row ×depth and a cell aggregate whose shuffle is
     bounded by depth·width per group — flat in the corpus size AND in
-    the vocabulary. Directory overwrite makes replays byte-idempotent."""
+    the vocabulary. Directory overwrite makes replays byte-idempotent.
+
+    ``candidates_k``: also append the batch's top-k keys by weight
+    (exact WITHIN the batch, ``(key, n)`` with a deterministic
+    ``n DESC, key`` order) under ``cand=N`` — the candidate log for
+    bounded-state heavy hitters (`cms_candidate_keys`): a corpus-wide
+    heavy key must be heavy in at least one batch, so the union of
+    per-batch top-k is the candidate set and the sketch supplies the
+    corpus-wide estimate. Total maintained state is O(k·batches +
+    depth·width), independent of the vocabulary — the log the exact
+    count table (`drift_monitor`) cannot bound. Candidate rows are
+    HINTS, not counts: erasure adjusts the cells (estimates land on the
+    surviving corpus) and leaves the candidate log alone."""
     g = list(group_cols or [])
+    if candidates_k is not None and g:
+        raise ValueError("candidates_k is only supported ungrouped")
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         _ensure_meta(batch.sparkSession, cells_dir, depth, width, g)
+        w = (
+            F.lit(1) if weight_col is None else F.col(weight_col)
+        ).cast("long")
         cms_cells(
             batch,
             F.col(key_col),
@@ -113,8 +131,33 @@ def cms_ingest_sink(
         ).write.mode("overwrite").parquet(
             os.path.join(cells_dir, f"delta={batch_id}")
         )
+        if candidates_k is not None:
+            (
+                batch.groupBy(F.col(key_col).alias("key"))
+                .agg(F.sum(w).alias("n"))
+                .orderBy(F.desc("n"), "key")
+                .limit(candidates_k)
+                .write.mode("overwrite")
+                .parquet(os.path.join(cells_dir, f"cand={batch_id}"))
+            )
 
     return apply
+
+
+def cms_candidate_keys(spark: SparkSession, cells_dir: str) -> DataFrame | None:
+    """Distinct union of the per-batch top-k candidate keys (``key``
+    rows), or None when the sink never ran with ``candidates_k``. Input
+    to `operators/cms.cms_estimate` for the bounded-state heavy-hitters
+    readout — ≤ k·n_batches rows, never vocabulary-sized."""
+    names = fsutil.list_subdirs(spark, cells_dir, prefix="cand=")
+    if not names:
+        return None
+    return (
+        spark.read.option("basePath", cells_dir)
+        .parquet(*[os.path.join(cells_dir, n) for n in names])
+        .select("key")
+        .distinct()
+    )
 
 
 def recover_cms_retraction(spark: SparkSession, cells_dir: str) -> None:
@@ -234,6 +277,7 @@ def compact_cms_cells(
 
 
 __all__ = [
+    "cms_candidate_keys",
     "cms_ingest_sink",
     "compact_cms_cells",
     "read_cms_cells",

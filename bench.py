@@ -244,6 +244,7 @@ HEADLINE = [
     "corpus_token_cms_estimates",
     "corpus_token_cms_merged",
     "corpus_token_cms_post_erasure",
+    "corpus_heavy_hitters_from_cms",
     # doc_dup_clusters stays off the headline: its wall time is fixed
     # per-round overhead (checkpoint + convergence probe on a tiny edge
     # set), not data throughput — bench it at a real edge scale instead.

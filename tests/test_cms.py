@@ -280,3 +280,45 @@ def test_cms_retract_without_meta_raises(spark, tmp_path):
             _tok_frame(spark, [0]).select("tok"),
             "tok",
         )
+
+
+def test_cms_candidate_log_bounded_and_idempotent(spark, tmp_path):
+    from backend_big_data_spark.streaming.cms_ingest import (
+        cms_candidate_keys,
+        cms_ingest_sink,
+    )
+
+    sdir = str(tmp_path / "cmsc")
+    sink = cms_ingest_sink(sdir, "tok", width=64, candidates_k=2)
+    for b in range(3):
+        sink(_tok_frame(spark, range(b * 10, b * 10 + 10)).select("tok"), b)
+    cands = cms_candidate_keys(spark, sdir)
+    n = cands.count()
+    assert 0 < n <= 2 * 3  # ≤ k·batches, never vocabulary-sized
+    before = _rows(cands)
+    sink(_tok_frame(spark, range(10, 20)).select("tok"), 1)  # replay
+    assert _rows(cms_candidate_keys(spark, sdir)) == before
+    # per-batch top-k is deterministic: heaviest batch token always kept
+    batch0 = _tok_frame(spark, range(10)).select("tok")
+    top0 = (
+        batch0.groupBy("tok").count().orderBy(F.desc("count"), "tok").first()
+    )
+    assert (top0["tok"],) in before
+
+
+def test_cms_candidates_grouped_unsupported(spark, tmp_path):
+    from backend_big_data_spark.streaming.cms_ingest import cms_ingest_sink
+
+    with pytest.raises(ValueError, match="ungrouped"):
+        cms_ingest_sink(
+            str(tmp_path / "x"), "tok", candidates_k=4, group_cols=["g"]
+        )
+
+
+def test_cms_candidate_log_absent_returns_none(spark, tmp_path):
+    from backend_big_data_spark.streaming.cms_ingest import (
+        cms_candidate_keys,
+    )
+
+    sdir = _sidecar(spark, tmp_path, "nocand")
+    assert cms_candidate_keys(spark, sdir) is None

@@ -380,6 +380,11 @@ _BOUNDED_GLOBAL_WINDOWS = {
         "k: rank window over the limit(20) TakeOrderedAndProject result "
         "(the from_counts shape, post-negate-delta)",
     ),
+    "corpus_heavy_hitters_from_cms": (
+        {"cms_est"},
+        "k: rank window over the limit(20) TakeOrderedAndProject of the "
+        "≤ k·batches candidate estimates (plans/round12b.py)",
+    ),
     "lineitem_quantile_sidecar": (
         {"__h", "val"},
         "counts+k: per-batch qsketch survivor frames at ingest; the "
