@@ -3,17 +3,23 @@
 
 Question: does the bucket fold actually make a probe's at-rest index
 read track the PROBE (its vocabulary's buckets) instead of the INDEX
-(every file of every batch)? Measures, for the linkage gram index built
-from the sf dir's part table:
+(every file of every batch)? Measured on the linkage gram index built
+from the sf dir's part table, at growing index multiples (1×/2×/4×,
+id-shifted copies) and point-lookup probe sizes (1 and 8 records — the
+serving regime the fold exists for; a corpus-sized probe's gram
+vocabulary covers every bucket, so directory pruning can't help there
+by construction).
 
-- files touched and wall time of the probe-pruned read
-  (`probe_master_grams` — bucketed layout, directory-level prune)
-  vs the full flat read (`read_master_grams`, never folded);
-- the same end-to-end through the fuzzy probe result (count of links),
-  so pruning is measured inside a real query, not just a scan;
-- at growing index multiples (the master seeded 1×, 2×, 4× with
-  id-shifted copies) — the flat read cost grows with the index, the
-  pruned read cost should track the probe's bucket subset.
+Bucket-width note: q-gram vocabularies are DENSE — one record yields
+~60 distinct grams, so with B buckets a single-record probe touches
+about B·(1 − (1−1/B)^60) of them. B=256 here: 1 record ≈ 54 buckets
+(~21 % of the index dirs), 8 records ≈ 200 (~78 %). The fold pays in
+the point-lookup regime and fades as probes widen — that boundary is
+what this study records.
+
+Columns: files/rows actually read by the pruned read vs the flat read,
+plus the end-to-end indexed fuzzy join (count of links) so pruning is
+measured inside a real query.
 
 Run on an idle box (this is a timing study):
 
@@ -54,24 +60,24 @@ from backend_big_data_spark.streaming.linkage_ingest import (  # noqa: E402
     seed_master_batch,
 )
 
-BUCKETS = 32
+BUCKETS = 256
 
 
 def _build(spark, clean, mult: int, bucketed: bool) -> str:
-    """Master dir holding ``mult`` id-shifted copies of ``clean``; one
-    seed batch per copy; bucket-folded when asked."""
+    """Master dir holding ``mult`` id-shifted copies of ``clean``; two
+    seed batches per copy so the fold always has a commit-stable prefix
+    to bucket; bucket-folded when asked."""
     mdir = tempfile.mkdtemp(prefix=f"scale_gram_{mult}x_")
     shift = 10_000_000
     for m in range(mult):
+        copy = clean.select(
+            (F.col("id") + m * shift).alias("id"),
+            # perturb copies so they are distinct entities, not dups
+            F.concat_ws("#", "s", F.lit(str(m))).alias("s"),
+        )
+        seed_master_batch(spark, mdir, copy.where(F.col("id") % 2 == 0), 2 * m)
         seed_master_batch(
-            spark,
-            mdir,
-            clean.select(
-                (F.col("id") + m * shift).alias("id"),
-                # perturb copies so they are distinct entities, not dups
-                F.concat_ws("#", "s", F.lit(str(m))).alias("s"),
-            ),
-            m,
+            spark, mdir, copy.where(F.col("id") % 2 == 1), 2 * m + 1
         )
     if bucketed:
         compact_linkage_master(spark, mdir, keep_latest=0, gram_buckets=BUCKETS)
@@ -106,20 +112,36 @@ def main() -> None:
     spark = get_spark(app_name="scale_bucketed_probe")
     spark.sparkContext.setLogLevel("ERROR")
     clean = _entities(spark, sf_dir)
-    # batch-sized probe: ~1/37 of the 1x master — the sink regime
-    probe = _corrupt(clean).where(F.col("id") % 37 == 0).persist()
-    probe.count()
+    # probes corrupt MASTER content (the m=0 copy carries a '#0' suffix),
+    # so every probe record sits at edit distance ≤ 2 from its entity
+    master0 = clean.select(
+        "id", F.concat_ws("#", "s", F.lit("0")).alias("s")
+    )
 
-    print(f"{'mult':>4} {'layout':>8} {'files':>6} {'idx_rows':>9} "
-          f"{'scan_s':>7} {'links':>6} {'probe_s':>8}")
+    print(
+        f"{'mult':>4} {'nprobe':>6} {'layout':>8} {'files':>6} "
+        f"{'idx_rows':>9} {'scan_s':>7} {'links':>6} {'probe_s':>8}"
+    )
     for mult in (1, 2, 4):
-        for bucketed in (False, True):
-            mdir = _build(spark, clean, mult, bucketed)
-            nf, rows, scan_s, links, e2e_s = _probe_stats(
-                spark, mdir, probe, pruned=bucketed
+        for nprobe, modulus in ((1, 20_011), (8, 2_503)):
+            probe = (
+                _corrupt(master0)
+                .where(F.col("id") % modulus == 7)
+                .limit(nprobe)
+                .persist()
             )
-            print(f"{mult:>4} {'bucketed' if bucketed else 'flat':>8} "
-                  f"{nf:>6} {rows:>9} {scan_s:>7} {links:>6} {e2e_s:>8}")
+            got = probe.count()
+            for bucketed in (False, True):
+                mdir = _build(spark, clean, mult, bucketed)
+                nf, rows, scan_s, links, e2e_s = _probe_stats(
+                    spark, mdir, probe, pruned=bucketed
+                )
+                print(
+                    f"{mult:>4} {got:>6} "
+                    f"{'bucketed' if bucketed else 'flat':>8} "
+                    f"{nf:>6} {rows:>9} {scan_s:>7} {links:>6} {e2e_s:>8}"
+                )
+            probe.unpersist()
 
 
 if __name__ == "__main__":
