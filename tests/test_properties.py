@@ -282,3 +282,48 @@ def test_token_jaccard_join_equals_brute_force(spark, texts, t):
         if inter * t_den >= union * t_num:
             want.append((i, j, inter, union))
     assert got == sorted(want)
+
+
+tokens_strategy = st.lists(
+    st.tuples(
+        st.text(alphabet="abcdef", min_size=1, max_size=4),  # key
+        st.integers(min_value=0, max_value=3),               # shard
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(toks=tokens_strategy, width=st.sampled_from([2, 8, 64]))
+@_settings
+def test_cms_never_underestimates_and_merges_losslessly(spark, toks, width):
+    """CM sketch invariants on arbitrary multisets at arbitrary widths:
+    every estimate ≥ the true count (cells only accumulate non-negative
+    mass), and per-shard sketches merged by cell sum equal the
+    single-pass sketch (additivity) — so estimates from the merged
+    sketch are identical too."""
+    from backend_big_data_spark.operators.cms import (
+        cms_cells,
+        cms_estimate,
+        cms_merge,
+    )
+
+    df = spark.createDataFrame(toks, "tok string, shard int")
+    exact = {
+        r["tok"]: r["n"]
+        for r in df.groupBy("tok").agg(F.count("*").alias("n")).collect()
+    }
+    direct = cms_cells(df.select("tok"), F.col("tok"), width=width)
+    probes = df.select("tok").distinct()
+    est = {
+        r["tok"]: r["cms_est"]
+        for r in cms_estimate(direct, probes, "tok", width=width).collect()
+    }
+    assert all(est[t] >= n for t, n in exact.items())
+    sharded = cms_cells(
+        df, F.col("tok"), width=width, group_cols=["shard"]
+    )
+    merged = cms_merge(sharded.drop("shard"))
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
