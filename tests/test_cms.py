@@ -322,3 +322,24 @@ def test_cms_candidate_log_absent_returns_none(spark, tmp_path):
 
     sdir = _sidecar(spark, tmp_path, "nocand")
     assert cms_candidate_keys(spark, sdir) is None
+
+
+def test_cms_grouped_sidecar_matches_direct(spark, tmp_path):
+    """Grouped sink: the reader recovers group_cols from the pinned meta
+    and merges per-group cells identically to a direct grouped build."""
+    from backend_big_data_spark.streaming.cms_ingest import (
+        cms_ingest_sink,
+        read_cms_cells,
+    )
+
+    sdir = str(tmp_path / "cmsg")
+    sink = cms_ingest_sink(sdir, "tok", width=64, group_cols=["g"])
+    frame = _tok_frame(spark, range(30)).withColumn(
+        "g", (F.col("doc_id") % 2).cast("int")
+    )
+    for b in range(3):
+        sink(frame.where(F.col("doc_id") % 3 == b).select("g", "tok"), b)
+    direct = cms_cells(
+        frame.select("g", "tok"), F.col("tok"), width=64, group_cols=["g"]
+    )
+    assert _rows(read_cms_cells(spark, sdir)) == _rows(direct)
