@@ -121,7 +121,25 @@ def _dense_ids(freq: DataFrame) -> DataFrame:
     spent 2.7 s of fixed jobs at build time; this is one 2.4 s stage
     inside the query itself at a 1M-token vocabulary, PERF.md round 9).
     Order-faithfulness + injectivity asserted in
-    tests/test_setsimjoin.py::TestDenseIds."""
+    tests/test_setsimjoin.py::TestDenseIds.
+
+    Two-branch determinism note (audited round 12 after the
+    `operators/windows.py` mid-divergence bug): the UNARMED joins
+    consume `_ranked_sets` — and therefore this mid assignment — from
+    both the left and right side-filters without a pin. That is safe
+    here, unlike the ranking family's counts/data split, because the
+    two consuming subtrees are byte-identical below the side filter
+    (same scans, same exchanges, same runtime statistics), so AQE makes
+    identical re-planning decisions for both evaluations even when the
+    exchange is not physically reused — there is no structurally
+    DIFFERENT sibling branch whose stats could diverge. The armed paths
+    additionally localCheckpoint `sets` (one scan feeds bound + join),
+    which pins the ids outright. Persisted-input determinism of the
+    unarmed path is a standing regression test
+    (tests/test_setsimjoin.py::TestDenseIds::
+    test_unarmed_join_deterministic_over_persisted_input); 4
+    adversarial sf0.1 trials (persisted input, shuffle partitions
+    varied 7..200) reproduced zero divergence on 916k pairs."""
     return (
         freq.repartitionByRange(F.col("cnt"), F.col("token"))
         .sortWithinPartitions("cnt", "token")

@@ -259,6 +259,51 @@ class TestDenseIds:
         tids = [got[t] for _, t in ranked]
         assert tids == sorted(tids)  # order-faithful in (cnt, token)
 
+    def test_unarmed_join_deterministic_over_persisted_input(self, spark):
+        """The UNARMED joins consume `_ranked_sets` (and its
+        monotonically_increasing_id token ids) from two side-filter
+        branches with no pin — safe because both subtrees are
+        byte-identical below the filter, so AQE plans them identically
+        (see the `_dense_ids` docstring; this is the
+        `operators/windows.py` r11 mid-divergence hazard audited for
+        this family). Regression: results over a PERSISTED input must
+        be run-to-run stable and equal the unpersisted truth — if a
+        future engine version breaks branch-identical planning, this
+        is the test that catches it."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from backend_big_data_spark.operators.setsimjoin import (
+            token_jaccard_join,
+        )
+
+        rng = random.Random(1311)
+        words = [f"w{i}" for i in range(40)]
+        rows = [
+            (i, " ".join(rng.sample(words, rng.randint(3, 8))))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "id long, s string")
+
+        def pairs(frame):
+            return sorted(
+                tuple(r)
+                for r in token_jaccard_join(frame, frame, 3, 5)
+                .where(F.col("left_id") < F.col("right_id"))
+                .collect()
+            )
+
+        truth = pairs(df)
+        assert truth, "fixture must produce matching pairs"
+        p = df.persist()
+        p.count()
+        try:
+            assert pairs(p) == truth
+            assert pairs(p) == truth  # second evaluation, same cache
+        finally:
+            p.unpersist()
+
     def test_empty_vocabulary(self, spark):
         from backend_big_data_spark.operators.setsimjoin import _dense_ids
 
