@@ -310,6 +310,35 @@ def _emit(payload: dict) -> None:
         pass  # read-only checkout: the stdout line is still the contract
     line = {k: v for k, v in payload.items() if k != "runs"}
     print(json.dumps(line, separators=(",", ":")))
+    if os.environ.get("SPARK_GRAFT_BENCH_SINGLE"):
+        # child of _run_children: the parent parses this process's LAST
+        # stdout line as the complete per-run table — no abridged line.
+        return
+    # The recording harness keeps a 2000-BYTE stdout tail (measured:
+    # every BENCH_r{09,10,11}.json carries parsed=None with the full
+    # line truncated mid-dict — the per-query table outgrew the window
+    # at ~60 rows and the official record has silently depended on
+    # BENCH_FULL.json since). The LAST line printed is therefore an
+    # ABRIDGED payload guaranteed to fit: headline metric + the slowest
+    # rows that fit a 1.5 KiB budget + an explicit omission count and a
+    # pointer to the complete table. A tail-window parse of the last
+    # complete line now always succeeds.
+    slowest = sorted(
+        line.get("queries", {}).items(), key=lambda kv: -kv[1]
+    )
+    abridged = {k: v for k, v in line.items() if k != "queries"}
+    abridged["full_table"] = "BENCH_FULL.json"
+    kept: dict = {}
+    for name, sec in slowest:
+        kept[name] = sec
+        abridged["queries"] = kept
+        abridged["queries_omitted"] = len(slowest) - len(kept)
+        if len(json.dumps(abridged, separators=(",", ":"))) > 1536:
+            del kept[name]
+            abridged["queries"] = kept
+            abridged["queries_omitted"] = len(slowest) - len(kept)
+            break
+    print(json.dumps(abridged, separators=(",", ":")))
 
 
 def _run_children() -> None:
