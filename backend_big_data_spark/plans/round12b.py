@@ -107,13 +107,23 @@ def _probe_and_emit(toks: DataFrame, cells: DataFrame) -> DataFrame:
     frame), estimates via the broadcast sketch join, exact-vs-estimate
     columns. The exact side exists only at GATE scale — it is what makes
     the estimates hash-checkable and the overcount honest; production
-    readouts use the sketch alone."""
+    readouts use the sketch alone.
+
+    The probe frame (≤ PROBE_DIV rows by construction — each carries
+    ≥ 1/PROBE_DIV of total mass) is pinned with an eager
+    localCheckpoint: it feeds THREE consumers (estimate probe side,
+    final join, and its own tot branch), and without the pin each
+    reference re-scans and re-aggregates the corpus — 5 corpus scans in
+    the un-pinned plan vs 2 after (sketch build + one probe
+    derivation). Same eager-pin discipline as the armed setsim joins;
+    the checkpointed frame is tiny and bounded by construction."""
     exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
     tot = exact.agg(F.sum("exact_n").alias("__total"))
     probes = (
         exact.crossJoin(F.broadcast(tot))
         .where(F.col("exact_n") * _PROBE_DIV >= F.col("__total"))
         .select("tok", "exact_n")
+        .localCheckpoint(eager=True)
     )
     est = cms_estimate(
         cells, probes.select("tok"), "tok", depth=_CMS_D, width=_CMS_W
