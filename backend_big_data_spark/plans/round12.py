@@ -176,8 +176,19 @@ def part_fuzzy_from_bucketed_index(
     clean = _entities(spark, sf_dir)
     dirty = _corrupt(clean)
     mdir = _tempfile.mkdtemp(prefix="gram_bucketed_")
-    for b in range(2):
-        seed_master_batch(spark, mdir, clean.where(F.col("id") % 3 == b), b)
+    # the two pre-fold bulk-load batches are independent (disjoint id
+    # slices, disjoint batch dirs) — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=2) as _pool:
+        for f in [
+            _pool.submit(
+                seed_master_batch,
+                spark, mdir, clean.where(F.col("id") % 3 == b), b,
+            )
+            for b in range(2)
+        ]:
+            f.result()
     compact_linkage_master(spark, mdir, keep_latest=0, gram_buckets=8)
     seed_master_batch(
         spark, mdir, clean.where(F.col("id") % 3 == 2), 2
@@ -189,7 +200,7 @@ def part_fuzzy_from_bucketed_index(
     return (
         edit_distance_join_indexed(
             dirty, index, F.broadcast(master), max_dist=2, q=3,
-            index_freq=gfreq,
+            index_freq=gfreq, inline_strings=True,
         )
         .select(
             F.col("left_id").alias("dirty_id"),
@@ -264,10 +275,18 @@ def part_token_jaccard_from_bucketed_index(
         F.concat_ws(" ", "p_name", "p_brand", "p_type").alias("s"),
     )
     mdir = _tempfile.mkdtemp(prefix="token_bucketed_")
-    for b in range(2):
-        seed_setsim_master_batch(
-            spark, mdir, part.where(F.col("id") % 3 == b), b
-        )
+    # independent pre-fold bulk-load batches — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=2) as _pool:
+        for f in [
+            _pool.submit(
+                seed_setsim_master_batch,
+                spark, mdir, part.where(F.col("id") % 3 == b), b,
+            )
+            for b in range(2)
+        ]:
+            f.result()
     compact_setsim_master(spark, mdir, keep_latest=0, token_buckets=8)
     seed_setsim_master_batch(
         spark, mdir, part.where(F.col("id") % 3 == 2), 2

@@ -161,6 +161,10 @@ def part_fuzzy_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         edit_distance_join_indexed(
             dirty, index, F.broadcast(clean), max_dist=_FUZZY_K, q=3,
             rank_by_index_freq=True,
+            # broadcast master ⇒ the inline-strings verify applies: the
+            # length + levenshtein filters run inside the candidate-join
+            # stage instead of after two more 54M-row hash joins (r12)
+            inline_strings=True,
         )
         .select(
             F.col("left_id").alias("dirty_id"),

@@ -353,14 +353,28 @@ def seed_master_batch(
     entities.select("id", "s").write.mode("overwrite").parquet(
         os.path.join(master_dir, bdir)
     )
-    gram_index(
-        spark.read.parquet(os.path.join(master_dir, bdir)), q=q
-    ).write.mode("overwrite").parquet(os.path.join(master_dir, "grams", bdir))
-    spark.read.parquet(os.path.join(master_dir, "grams", bdir)).groupBy(
-        "gram"
-    ).agg(F.count(F.lit(1)).alias("cnt")).write.mode("overwrite").parquet(
-        os.path.join(master_dir, "gramfreq", bdir)
-    )
+    # grams and gramfreq both derive from the just-written admitted rows
+    # (gramfreq = the gram multiset's per-gram counts, whether counted
+    # from the grams dir or from the same explode lineage) — two
+    # independent outputs, so overlap the writes (guide §2.6: concurrent
+    # jobs back-fill each other's scheduling/commit tails)
+    from concurrent.futures import ThreadPoolExecutor
+
+    grams = gram_index(spark.read.parquet(os.path.join(master_dir, bdir)), q=q)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fg = pool.submit(
+            lambda: grams.write.mode("overwrite").parquet(
+                os.path.join(master_dir, "grams", bdir)
+            )
+        )
+        ff = pool.submit(
+            lambda: grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(master_dir, "gramfreq", bdir))
+        )
+        fg.result()
+        ff.result()
 
 
 def linkage_ingest_stream(
@@ -413,14 +427,26 @@ def compact_linkage_master(
     compactions re-bucket at the recorded width unless overridden.
     Erasure preserves the layout per directory
     (`retraction._purge_linkage_sidecars`)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from backend_big_data_spark.streaming.maintenance import _fold
     from backend_big_data_spark.text.sampling import stable_hash
 
-    folded = _fold(spark, master_dir, "batch", keep_latest)
-    grams_dir = os.path.join(master_dir, "grams")
     if gram_buckets is None:
         gram_buckets = _gram_bucket_count(spark, master_dir)
-    if fsutil.list_subdirs(spark, grams_dir, prefix="batch="):
+    grams_dir = os.path.join(master_dir, "grams")
+    gramfreq_dir = os.path.join(master_dir, "gramfreq")
+
+    # The three folds touch DISJOINT directories (master rows, grams,
+    # gramfreq), each with its own crash journal — independent jobs, so
+    # overlap them (guide §2.6). The sidecar folds stay unconditional
+    # exactly as before; only the sequencing changed.
+    def _fold_master() -> list[int]:
+        return _fold(spark, master_dir, "batch", keep_latest)
+
+    def _fold_grams() -> None:
+        if not fsutil.list_subdirs(spark, grams_dir, prefix="batch="):
+            return
         if gram_buckets:
             _fold(
                 spark,
@@ -452,8 +478,10 @@ def compact_linkage_master(
                     df.drop("__gb") if "__gb" in df.columns else df
                 ),
             )
-    gramfreq_dir = os.path.join(master_dir, "gramfreq")
-    if fsutil.list_subdirs(spark, gramfreq_dir, prefix="batch="):
+
+    def _fold_gramfreq() -> None:
+        if not fsutil.list_subdirs(spark, gramfreq_dir, prefix="batch="):
+            return
         # keyed sum keeps the folded sidecar one row per gram; the
         # reader sums anyway, so this is tightness, not correctness
         _fold(
@@ -465,6 +493,14 @@ def compact_linkage_master(
                 F.sum("cnt").alias("cnt")
             ),
         )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fm = pool.submit(_fold_master)
+        fg = pool.submit(_fold_grams)
+        ff = pool.submit(_fold_gramfreq)
+        folded = fm.result()
+        fg.result()
+        ff.result()
     return folded
 
 

@@ -317,14 +317,26 @@ def seed_setsim_master_batch(
     entities.select("id", "s").write.mode("overwrite").parquet(
         os.path.join(master_dir, bdir)
     )
-    token_index(
-        spark.read.parquet(os.path.join(master_dir, bdir))
-    ).write.mode("overwrite").parquet(os.path.join(master_dir, "tokens", bdir))
-    spark.read.parquet(os.path.join(master_dir, "tokens", bdir)).groupBy(
-        "token"
-    ).agg(F.count(F.lit(1)).alias("cnt")).write.mode("overwrite").parquet(
-        os.path.join(master_dir, "tokfreq", bdir)
-    )
+    # tokens and tokfreq both derive from the just-written admitted rows
+    # — independent outputs, so overlap the writes (guide §2.6; the
+    # linkage seed's pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    toks = token_index(spark.read.parquet(os.path.join(master_dir, bdir)))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ft = pool.submit(
+            lambda: toks.write.mode("overwrite").parquet(
+                os.path.join(master_dir, "tokens", bdir)
+            )
+        )
+        ff = pool.submit(
+            lambda: toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(master_dir, "tokfreq", bdir))
+        )
+        ft.result()
+        ff.result()
 
 
 def setsim_ingest_stream(
@@ -378,14 +390,24 @@ def compact_setsim_master(
     `probe_master_tokens`). Sticky width, mixed-layout reader,
     layout-preserving erasure — the linkage gram fold's contract
     verbatim."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from backend_big_data_spark.streaming.maintenance import _fold
     from backend_big_data_spark.text.sampling import stable_hash
 
-    folded = _fold(spark, master_dir, "batch", keep_latest)
-    tokens_dir = os.path.join(master_dir, "tokens")
     if token_buckets is None:
         token_buckets = _token_bucket_count(spark, master_dir)
-    if fsutil.list_subdirs(spark, tokens_dir, prefix="batch="):
+    tokens_dir = os.path.join(master_dir, "tokens")
+    tokfreq_dir = os.path.join(master_dir, "tokfreq")
+
+    # Disjoint directories, independent crash journals — overlap the
+    # three folds (guide §2.6; the linkage compactor's pattern).
+    def _fold_master() -> list[int]:
+        return _fold(spark, master_dir, "batch", keep_latest)
+
+    def _fold_tokens() -> None:
+        if not fsutil.list_subdirs(spark, tokens_dir, prefix="batch="):
+            return
         if token_buckets:
             _fold(
                 spark,
@@ -419,8 +441,10 @@ def compact_setsim_master(
                     df.drop("__tb") if "__tb" in df.columns else df
                 ),
             )
-    tokfreq_dir = os.path.join(master_dir, "tokfreq")
-    if fsutil.list_subdirs(spark, tokfreq_dir, prefix="batch="):
+
+    def _fold_tokfreq() -> None:
+        if not fsutil.list_subdirs(spark, tokfreq_dir, prefix="batch="):
+            return
         _fold(
             spark,
             tokfreq_dir,
@@ -430,6 +454,14 @@ def compact_setsim_master(
                 F.sum("cnt").alias("cnt")
             ),
         )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fm = pool.submit(_fold_master)
+        ft = pool.submit(_fold_tokens)
+        ff = pool.submit(_fold_tokfreq)
+        folded = fm.result()
+        ft.result()
+        ff.result()
     return folded
 
 
