@@ -283,8 +283,14 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     data."""
     from backend_big_data_spark.plans.registry import QUERIES
 
-    brute = QUERIES["ann_cosine_topk"](spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    brute = (
+        QUERIES["ann_cosine_topk"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        # pinned: the brute-force baseline is a ≤ 50-row frame feeding
+        # FOUR consumers (tot + one semi join per method) — without the
+        # pin each consumer re-ran the full corpus cosine top-k (r12
+        # plan audit: 41 scans, zero ReusedExchange)
+        .localCheckpoint(eager=True)
     )
     tot = brute.agg(F.count("*").alias("t"))
     outs = []

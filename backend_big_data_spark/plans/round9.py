@@ -477,7 +477,10 @@ def doc_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         "nll_fp",
         F.expr("nll_fp div (n_bigrams * 100)").alias("bin"),
-    )
+    ).localCheckpoint(eager=True)
+    # pinned: the per-doc frame (3 ints/doc) feeds THREE consumers (the
+    # bin histogram, its total, and the final bucket aggregate) — each
+    # otherwise re-ran the whole KN scoring join end to end (r12)
     hist = scored.groupBy("bin").agg(F.count(F.lit(1)).alias("bn"))
     # partition-less window over the BIN HISTOGRAM only: ≤ a few hundred
     # rows regardless of corpus size (bounded by the nll range / 0.01 nat)

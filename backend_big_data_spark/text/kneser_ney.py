@@ -71,7 +71,20 @@ def kn_bigram_model_from_counts(c12: DataFrame) -> DataFrame:
     `doc_kn_incremental_model` sharing `doc_kn_bigram_model`'s SQL
     twin). Everything KN needs beyond the counts (context totals,
     distinct-continuation counts) derives from the count TABLE, never
-    the corpus."""
+    the corpus.
+
+    The count table is PINNED eagerly before fan-out: it feeds FOUR
+    consumers (the model join itself plus the c1 / cont / cont_total
+    aggregates), and Spark plans each branch as an independent subtree
+    — over the occurrence path that re-ran the corpus explode + bigram
+    aggregation once PER BRANCH (r12 plan audit: zero ReusedExchange
+    nodes, 4 corpus scans), and over the sidecar path it re-ran the
+    delta-union keyed sum per branch. One materialization of the
+    bigram-TYPE table (vocabulary-sized, orders of magnitude under the
+    occurrence stream) feeds all branches instead. Same eager-pin
+    discipline as the armed setsim joins; content is an aggregate, so
+    the pin is determinism-neutral."""
+    c12 = c12.localCheckpoint(eager=True)
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"),
         F.count(F.lit(1)).alias("n1plus_fw"),  # N1+(w1 ·)
@@ -235,14 +248,25 @@ def kn_trigram_model_from_counts(c123: DataFrame) -> DataFrame:
     (w1, w2, w3, c123) — the incremental entry point (see
     `kn_bigram_model_from_counts`); every lower order of the recursion
     is a continuation count over the trigram TYPES, so the count table
-    alone determines the whole model."""
+    alone determines the whole model.
+
+    Both count tables are PINNED eagerly before fan-out (the
+    `kn_bigram_model_from_counts` rationale): c123 feeds the model join
+    + ctx3 + the c23p derivation, and c23p feeds the model join + ctx2
+    + u3 + utot — without the pins every branch re-ran the corpus
+    trigram explode and aggregation (r12 plan audit: 6 corpus scans,
+    zero ReusedExchange). The pinned tables are trigram/bigram-TYPE
+    sized (vocabulary-bounded), not occurrence-stream sized."""
+    c123 = c123.localCheckpoint(eager=True)
     # highest order: context totals + distinct continuations
     ctx3 = c123.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12dot"),
         F.count(F.lit(1)).alias("n3lam"),  # N1+(w1w2 ·)
     )
     # modified bigram counts: c'(w2w3) = N1+(· w2w3) over trigram types
-    c23p = c123.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c23p"))
+    c23p = c123.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("c23p")
+    ).localCheckpoint(eager=True)
     ctx2 = c23p.groupBy("w2").agg(
         F.sum("c23p").alias("c2pdot"),  # N1+(· w2 ·)
         F.count(F.lit(1)).alias("n2lam"),  # N1+(w2 ·)
