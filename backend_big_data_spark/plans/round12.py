@@ -115,8 +115,15 @@ def lineitem_quantile_by_flag_sidecar(
         sdir, ["flag"], _key(), F.col("price"), k=_QS_K,
         prefilter=sample_prefilter(cell_min, 4096),
     )
-    for b in range(3):
-        sink(li.where(F.col("b") == b).drop("b"), b)
+    # independent batch jobs — overlap (guide §2.6, the linkage pattern)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=3) as _pool:
+        for f in [
+            _pool.submit(sink, li.where(F.col("b") == b).drop("b"), b)
+            for b in range(3)
+        ]:
+            f.result()
 
     sidecar = read_qsketch_sidecar(spark, sdir)
     n_batches = sidecar.select(F.countDistinct("batch").alias("nb"))

@@ -116,7 +116,12 @@ def _probe_and_emit(toks: DataFrame, cells: DataFrame) -> DataFrame:
     reference re-scans and re-aggregates the corpus — 5 corpus scans in
     the un-pinned plan vs 2 after (sketch build + one probe
     derivation). Same eager-pin discipline as the armed setsim joins;
-    the checkpointed frame is tiny and bounded by construction."""
+    the checkpointed frame is tiny and bounded by construction.
+
+    The exact count table is NOT pinned (r12 measured): its two
+    consumers (total + probe filter) share an identical aggregate
+    exchange that runtime exchange reuse computes once — a pin here
+    measured 1.09s → 1.24s."""
     exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
     tot = exact.agg(F.sum("exact_n").alias("__total"))
     probes = (
@@ -214,8 +219,19 @@ def corpus_token_cms_post_erasure(
     tokrows = _token_stream(spark, sf_dir)
     sdir = _tempfile.mkdtemp(prefix="cms_sidecar_")
     sink = cms_ingest_sink(sdir, "tok", depth=_CMS_D, width=_CMS_W)
-    for b in range(3):
-        sink(tokrows.where(F.col("doc_id") % 3 == b).select("tok"), b)
+    # the three batch sinks are independent jobs (disjoint input slices,
+    # disjoint delta dirs) — overlap them (guide §2.6); the compaction
+    # fold below is the first dependent step
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=3) as _pool:
+        for f in [
+            _pool.submit(
+                sink, tokrows.where(F.col("doc_id") % 3 == b).select("tok"), b
+            )
+            for b in range(3)
+        ]:
+            f.result()
     compact_cms_cells(spark, sdir, keep_latest=1)
     retract_from_cms_cells(
         spark,
@@ -318,8 +334,17 @@ def corpus_heavy_hitters_from_cms(
     sink = cms_ingest_sink(
         sdir, "tok", depth=_CMS_D, width=_CMS_W, candidates_k=_HH_CMS_K
     )
-    for b in range(3):
-        sink(tokrows.where(F.col("doc_id") % 3 == b).select("tok"), b)
+    # independent batch jobs — overlap (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=3) as _pool:
+        for f in [
+            _pool.submit(
+                sink, tokrows.where(F.col("doc_id") % 3 == b).select("tok"), b
+            )
+            for b in range(3)
+        ]:
+            f.result()
 
     cands = cms_candidate_keys(spark, sdir).select(
         F.col("key").alias("tok")

@@ -59,6 +59,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(word_shingles(tokens(F.col("text")), n=3)).alias("shingle"),
     ).distinct()
+    # pinned: the distinct (source, shingle) frame feeds THREE consumers
+    # (per-source sizes + both sides of the overlap self-join) — without
+    # the pin each branch re-ran the tokenize→shingle→explode→distinct
+    # chain end to end (r12 plan audit: 7 scans, zero ReusedExchange).
+    # The frame is vocabulary×sources-bounded, far under the corpus.
+    sh = sh.localCheckpoint(eager=True)
     sz = sh.groupBy("source").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("source").alias("source_a"), "shingle")
     b = sh.select(F.col("source").alias("source_b"), "shingle")

@@ -281,6 +281,10 @@ def ivf_pq_cosine_topk(
             F.col("neighbor_vec"), F.col("centroid"), lambda x, c: x - c
         ).alias("rvec"),
     )
+    # NOT pinned (r12 measured): the residual table feeds three branches
+    # (codebooks, encode, recon re-attach) but their shared assignment
+    # subtree plans identical exchanges, which runtime exchange reuse
+    # already de-duplicates — an eager pin measured 4.3s → 6.0s.
     codebooks = anchor_codebooks(
         resid, m=m, d_sub=d_sub, ksub=ksub, id_col=id_col, vec_col="rvec"
     )

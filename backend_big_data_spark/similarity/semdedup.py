@@ -73,6 +73,9 @@ def semdedup(
         ),
         on=id_col,
     )
+    # NOT pinned (r12 measured): the labeled frame's three consumers
+    # share an identical assignment subtree that runtime exchange reuse
+    # already computes once — an eager pin measured 3.4s → 3.9s.
     dropped = (
         blocked_cosine_pairs(
             labeled, "cluster", threshold, id_col=id_col, vec_col=array_col
@@ -130,6 +133,9 @@ def incremental_semdedup(
         ),
         on=id_col,
     )
+    # NOT pinned (r12 measured): the labeled batch's consumers share an
+    # identical assignment subtree that runtime exchange reuse already
+    # computes once — an eager pin measured 5.8s → 6.3s.
     if corpus is None:
         corpus_lab = None
     elif "cluster" in corpus.columns:

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,6 +57,16 @@ def _meta_path(cells_dir: str) -> str:
     return os.path.join(cells_dir, "_cms_meta.json")
 
 
+#: Serializes the meta check-and-write: batch sinks are independent jobs
+#: (disjoint delta dirs) and may legally run OVERLAPPED from a driver
+#: thread pool (guide §2.6 — the round-12 certificate queries do), but
+#: the geometry sidecar is one shared file, and two first-writers racing
+#: through write_text_atomic's fixed tmp path lose the tmp from under
+#: each other (measured: chmod ENOENT on _cms_meta.json.tmp). The race
+#: is driver-process-local, so a module lock is the complete fix.
+_META_LOCK = threading.Lock()
+
+
 def _ensure_meta(
     spark: SparkSession,
     cells_dir: str,
@@ -67,11 +78,14 @@ def _ensure_meta(
     sticky-width discipline): first writer records it, every later
     writer/eraser must match — estimates are only meaningful when every
     delta hashed with the same (depth, width)."""
-    raw = fsutil.read_text(spark, _meta_path(cells_dir))
-    want = {"depth": depth, "width": width, "group_cols": group_cols}
-    if raw is None:
-        fsutil.write_text_atomic(spark, _meta_path(cells_dir), json.dumps(want))
-        return
+    with _META_LOCK:
+        raw = fsutil.read_text(spark, _meta_path(cells_dir))
+        want = {"depth": depth, "width": width, "group_cols": group_cols}
+        if raw is None:
+            fsutil.write_text_atomic(
+                spark, _meta_path(cells_dir), json.dumps(want)
+            )
+            return
     have = json.loads(raw)
     if have != want:
         raise ValueError(

@@ -137,8 +137,18 @@ def importance_weights(
     """Per-raw-document DSIR importance weight: ``weight_fp`` (integer,
     1e-4 units — exact) and ``weight`` (double, derived). Higher = more
     target-like. Docs with no extractable grams weigh 0."""
-    raw_counts = doc_bucket_counts(raw, text_col, id_col, num_buckets)
-    target_counts = doc_bucket_counts(target, text_col, id_col, num_buckets)
+    # pinned: the raw count table feeds THREE consumers (the raw model's
+    # per-bucket sum, its total, and the per-doc scoring join) and the
+    # target table TWO (model + total) — without the pins every branch
+    # re-ran the gram explode + hash + per-doc aggregation end to end
+    # (r12 plan audit: 13 scans, zero ReusedExchange in doc_dsir_weights).
+    # Both tables are (doc, bucket≤256, n) — far under the gram stream.
+    raw_counts = doc_bucket_counts(
+        raw, text_col, id_col, num_buckets
+    ).localCheckpoint(eager=True)
+    target_counts = doc_bucket_counts(
+        target, text_col, id_col, num_buckets
+    ).localCheckpoint(eager=True)
     lam = bucket_log_ratios(target_counts, raw_counts, num_buckets)
     scored = (
         raw_counts.join(F.broadcast(lam), on="bucket")

@@ -60,6 +60,11 @@ def prefix_filtered_jaccard_pairs(
             lambda s: s["shingle"],
         ).alias("ord_toks")
     )
+    # NOT pinned (r12 measured): the ordered doc table feeds both sides
+    # of the prefix self-join, but the two sides' upstream exchanges are
+    # IDENTICAL, so runtime exchange reuse already computes the chain
+    # once — an eager pin here measured 3.2s → 10.0s (serialized
+    # materialization + lost pipelining beats the reuse it duplicates).
     sz = F.size("ord_toks")
     prefix_len = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
     pref = docs.select(

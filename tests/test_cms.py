@@ -343,3 +343,37 @@ def test_cms_grouped_sidecar_matches_direct(spark, tmp_path):
         frame.select("g", "tok"), F.col("tok"), width=64, group_cols=["g"]
     )
     assert _rows(read_cms_cells(spark, sdir)) == _rows(direct)
+
+
+def test_cms_sink_batches_overlap_safely(spark, tmp_path):
+    """Concurrent batch sinks (the guide-§2.6 overlapped-ingest shape the
+    round-12 certificate queries use) must not race on the shared
+    geometry sidecar: the delta dirs are disjoint, but _ensure_meta's
+    first-writer write goes through one fixed tmp path — unserialized,
+    two first writers deleted it from under each other (chmod ENOENT).
+    Run the three batches from a pool repeatedly and assert the merged
+    cells equal a direct build."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from backend_big_data_spark.streaming.cms_ingest import (
+        cms_ingest_sink,
+        read_cms_cells,
+    )
+
+    frame = _tok_frame(spark, range(30)).select("doc_id", "tok")
+    direct = _rows(cms_cells(frame.select("tok"), F.col("tok"), width=64))
+    for trial in range(3):
+        sdir = str(tmp_path / f"cms_conc{trial}")
+        sink = cms_ingest_sink(sdir, "tok", width=64)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [
+                pool.submit(
+                    sink,
+                    frame.where(F.col("doc_id") % 3 == b).select("tok"),
+                    b,
+                )
+                for b in range(3)
+            ]
+            for f in futures:
+                f.result()  # raises if any batch hit the meta race
+        assert _rows(read_cms_cells(spark, sdir)) == direct
