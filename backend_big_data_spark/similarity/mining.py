@@ -60,6 +60,11 @@ def _margin_scores(pairs: DataFrame, k: int) -> DataFrame:
     ranking key ``mkey`` is the margin rounded to 9 dp so both engines
     (Spark / the DuckDB oracle) rank identically with an id tie-break — a
     sub-1e-9 float wobble can't flip a winner.
+
+    Windows sharing a partition key are chained adjacently (rn_a→da on
+    a_id, then rn_b→db on b_id) so each key's hash exchange is
+    established once and reused by the next Window operator (guide §2.4);
+    the a,b,a,b interleaving this replaced planned four exchanges.
     """
     w_rank_a = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.col("b_id"))
     w_rank_b = Window.partitionBy("b_id").orderBy(F.desc("sim"), F.col("a_id"))
@@ -68,10 +73,10 @@ def _margin_scores(pairs: DataFrame, k: int) -> DataFrame:
 
     return (
         pairs.withColumn("rn_a", F.row_number().over(w_rank_a))
-        .withColumn("rn_b", F.row_number().over(w_rank_b))
         .withColumn(
             "da", F.avg(F.when(F.col("rn_a") <= k, F.col("sim"))).over(w_part_a)
         )
+        .withColumn("rn_b", F.row_number().over(w_rank_b))
         .withColumn(
             "db", F.avg(F.when(F.col("rn_b") <= k, F.col("sim"))).over(w_part_b)
         )
@@ -96,17 +101,23 @@ def _margin_best_matches(
     pairs: DataFrame, k: int, threshold: float, mutual: bool
 ) -> DataFrame:
     """Mutual (or A-side) best matches above ``threshold`` over
-    :func:`_margin_scores`."""
+    :func:`_margin_scores`.
+
+    The b_id-keyed best window runs FIRST: the scored frame arrives
+    partitioned by b_id (db is the last window in `_margin_scores`), so
+    bb needs no new exchange and ba pays the only one (guide §2.4)."""
     scored = _margin_scores(pairs, k)
-    w_best_a = Window.partitionBy("a_id").orderBy(F.desc("mkey"), F.col("b_id"))
-    best = scored.withColumn("ba", F.row_number().over(w_best_a))
-    keep = (F.col("ba") == 1) & (F.col("mkey") >= threshold)
+    best = scored
+    keep = F.col("mkey") >= threshold
     if mutual:
         w_best_b = Window.partitionBy("b_id").orderBy(
             F.desc("mkey"), F.col("a_id")
         )
         best = best.withColumn("bb", F.row_number().over(w_best_b))
         keep = keep & (F.col("bb") == 1)
+    w_best_a = Window.partitionBy("a_id").orderBy(F.desc("mkey"), F.col("b_id"))
+    best = best.withColumn("ba", F.row_number().over(w_best_a))
+    keep = keep & (F.col("ba") == 1)
     return (
         best.filter(keep)
         .select(
@@ -257,52 +268,73 @@ def truncated_recall_eval(
     (query_id, dim, hits, recall).
 
     The query side is broadcast (bounded eval set — same contract as
-    ann_recall_eval); the corpus streams map-side once per arm. Ranking
-    ties break on neighbor_id so both engines pick identical sets.
+    ann_recall_eval); the corpus streams map-side ONCE for all arms
+    (r12, guide §2.4/§1.2): every arm's cosine comes from the same pair
+    row (full-dim plus one prefix-slice per d), the per-arm rankings are
+    row_numbers over the same query_id partitioning — one exchange, one
+    linear window chain, no per-arm corpus re-scan — and the truth∩cand
+    overlap is counted directly as Σ(rnk_full≤k ∧ rnk_d≤k), which makes
+    the per-arm truth⋈cand join and arm union disappear. Ranking ties
+    break on neighbor_id so both engines pick identical sets.
     """
+    vec = F.col(vec_col).cast("array<double>")
+    q = queries.select(F.col(id_col).alias("query_id"), vec.alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), vec.alias("nv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("nv")).alias("sim_full"),
+            *[
+                cosine_sim(
+                    F.slice(F.col("qv"), 1, d), F.slice(F.col("nv"), 1, d)
+                ).alias(f"sim_{d}")
+                for d in dims
+            ],
+        )
+    )
 
-    def topk_ids(d: int | None) -> DataFrame:
-        vec = F.col(vec_col).cast("array<double>")
-        if d is not None:
-            vec = F.slice(vec, 1, d)
-        q = queries.select(
-            F.col(id_col).alias("query_id"), vec.alias("qv")
-        )
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"), vec.alias("nv")
-        )
-        scored = (
-            c.crossJoin(F.broadcast(q))
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                cosine_sim(F.col("qv"), F.col("nv")).alias("sim"),
-            )
-        )
+    def rank_of(sim_col: str):
         w = Window.partitionBy("query_id").orderBy(
-            F.desc("sim"), F.col("neighbor_id")
+            F.desc(sim_col), F.col("neighbor_id")
         )
-        return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("query_id", "neighbor_id")
-        )
+        return F.row_number().over(w)
 
-    truth = topk_ids(None)
-    out = None
+    ranked = scored.withColumn("rnk_full", rank_of("sim_full"))
     for d in dims:
-        cand = topk_ids(d).withColumn("hit", F.lit(1))
-        arm = (
-            truth.join(cand, ["query_id", "neighbor_id"], "left")
-            .groupBy("query_id")
-            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
-            .select(
-                "query_id",
-                F.lit(d).cast("int").alias("dim"),
-                F.col("hits").cast("int").alias("hits"),
-                F.round(F.col("hits") / F.lit(float(k)), 6).alias("recall"),
+        ranked = ranked.withColumn(f"rnk_{d}", rank_of(f"sim_{d}"))
+    per_q = ranked.groupBy("query_id").agg(
+        *[
+            F.sum(
+                (
+                    (F.col("rnk_full") <= k) & (F.col(f"rnk_{d}") <= k)
+                ).cast("long")
+            ).alias(f"hits_{d}")
+            for d in dims
+        ]
+    )
+    arms = per_q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("dim"),
+                        F.col(f"hits_{d}").alias("h"),
+                    )
+                    for d in dims
+                ]
             )
+        ).alias("arm"),
+    )
+    return (
+        arms.select(
+            "query_id",
+            F.col("arm.dim").alias("dim"),
+            F.col("arm.h").cast("int").alias("hits"),
+            F.round(F.col("arm.h") / F.lit(float(k)), 6).alias("recall"),
         )
-        out = arm if out is None else out.unionByName(arm)
-    return out.orderBy("query_id", "dim")
+        .orderBy("query_id", "dim")
+    )
