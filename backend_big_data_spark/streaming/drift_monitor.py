@@ -167,10 +167,31 @@ def drift_monitor_sink(
         metric = drift_score(bc, corpus).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
-        metric.write.mode("overwrite").parquet(
-            f"{metrics_dir}/batch={batch_id}"
-        )
-        bc.write.mode("overwrite").parquet(f"{counts_dir}/delta={batch_id}")
+        # The metric row and the batch's own delta are independent
+        # outputs of the same (persisted) batch counts — the NEXT
+        # batch's corpus merge is the only reader of delta=N, and
+        # read_corpus_counts froze ITS delta listing above, before
+        # either job starts. Overlap the two jobs so the delta write
+        # back-fills the metric aggregation's straggler tail (guide
+        # §2.6; the block-level cache lock on `bc` keeps the shared
+        # token count computed once).
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2) as _pool:
+            jobs = [
+                _pool.submit(
+                    lambda: metric.write.mode("overwrite").parquet(
+                        f"{metrics_dir}/batch={batch_id}"
+                    )
+                ),
+                _pool.submit(
+                    lambda: bc.write.mode("overwrite").parquet(
+                        f"{counts_dir}/delta={batch_id}"
+                    )
+                ),
+            ]
+            for j in jobs:
+                j.result()
         bc.unpersist()
         if auto_compact_every is not None:
             n_deltas = len(
