@@ -11,6 +11,23 @@ positional filter is omitted here; candidates go straight to the exact
 verify, so results are invariant either way and only candidate volume
 differs).
 
+POSITIONAL FILTER — measured rejection (r12 optimization round, do not
+re-try without a new argument): the PPJoin positional bound
+min(i,j)+1+min(|x|−1−i, |y|−1−j) ≥ required-overlap was implemented
+three ways and A/B-bracketed at sf0.1. It prunes **0.0 % of the 16M
+containment candidate rows** (measured directly): under the global
+rarity order a probe's rare prefix token sits near the FRONT of every
+base array too (the set's other tokens are more common ⇒ larger ids),
+so min(i,j) is always small and the tails always long — the bound
+never fails on rarity-ordered prefix candidates. Expression shape made
+it actively harmful besides: as a stacked ``.where`` Catalyst merged
+it into the join condition BEHIND the array_intersect verify (no
+short-circuit win), and as a CASE-WHEN guard around the intersect it
+measured 7.3 s → 10.3 s (the conditional defeats the join-condition
+codegen fast path). ``text/setjoin.py`` keeps its positional filter
+for the document-shingle regime (large sets, deep prefixes) where the
+geometry differs; here it is pure cost at every tested shape.
+
 Why it scales — no all-pairs stage, and every filter is algebraic:
 
 1. ONE pass tokenizes both sides and builds the global token-frequency

@@ -158,6 +158,79 @@ class TestTokenContainmentJoin:
         assert (3, 0) in got and (0, 3) not in got
 
 
+class TestPositionalAdversarial:
+    """Randomized + positional-adversarial invariance (added r12 while
+    evaluating PPJoin's positional filter — measured 0 % prune on
+    rarity-ordered prefixes and REJECTED, see the module docstring;
+    the corpora built to stress it are kept as standing brute-force
+    gates): records sharing rare tokens LATE in one array and EARLY in
+    the other, true matches whose shared tokens span both ends, and
+    pairs exactly at the threshold — any future candidate-pruning
+    change must keep all of these byte-identical to brute force."""
+
+    def _rand_rows(self, n=60, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"t{i:02d}" for i in range(30)]
+        rows = []
+        for i in range(n):
+            sz = rng.randint(1, 12)
+            rows.append((i, " ".join(rng.sample(vocab, sz))))
+        return rows
+
+    def test_jaccard_equals_brute_force_randomized(self, spark):
+        rows = self._rand_rows()
+        df = _df(spark, rows)
+        for t_num, t_den in ((3, 5), (4, 5), (1, 2)):
+            got = sorted(
+                (r.left_id, r.right_id, r.inter_cnt, r.union_cnt)
+                for r in token_jaccard_join(df, df, t_num, t_den)
+                .where("left_id < right_id")
+                .collect()
+            )
+            assert got == _brute_jaccard(rows, t_num, t_den), (t_num, t_den)
+
+    def test_containment_equals_brute_force_randomized(self, spark):
+        rows = self._rand_rows(seed=11)
+        df = _df(spark, rows)
+        for t_num, t_den in ((4, 5), (2, 3)):
+            got = sorted(
+                (r.probe_id, r.base_id, r.inter_cnt, r.probe_sz)
+                for r in token_containment_join(df, df, t_num, t_den)
+                .where("probe_id != base_id")
+                .collect()
+            )
+            assert got == _brute_containment(rows, t_num, t_den), (
+                t_num,
+                t_den,
+            )
+
+    def test_match_via_late_base_position_survives(self, spark):
+        """Probe fully contained in a base whose copy of the probe's
+        tokens sits at the TAIL of the base's rarity order — the exact
+        geometry a positional filter prunes hardest; the match must
+        survive any candidate-pruning scheme."""
+        rows = [
+            (0, "x1 x2 x3 x4"),  # probe
+            # base: shares all four probe tokens; its many hapax tokens
+            # (unique → rarest) fill the head of its sorted array, so
+            # the shared tokens sit at the tail — but t·|probe| = 4 of 4
+            # still must match (containment 1/1).
+            (1, "x1 x2 x3 x4 u1 u2 u3 u4 u5 u6"),
+        ]
+        # make x1..x4 COMMON (high count → late in the global order)
+        rows += [(10 + i, "x1 x2 x3 x4") for i in range(8)]
+        df = _df(spark, rows)
+        got = {
+            (r.probe_id, r.base_id)
+            for r in token_containment_join(df, df, 1, 1)
+            .where("probe_id != base_id")
+            .collect()
+        }
+        assert (0, 1) in got
+
+
 class TestWsTokens:
     def test_distinct_and_empty_dropped(self, spark):
         from pyspark.sql import functions as F
