@@ -25,6 +25,19 @@ Why it scales — the candidate generator never compares all pairs:
 
 Requires len(s) ≥ q on both sides (shorter strings have no q-gram;
 callers route them through an exact/short-block path).
+
+LENGTH-BANDED JOIN KEY — measured rejection (r12 optimization round,
+do not re-try without a new corpus argument): moving the length
+pre-filter INTO the candidate join key ((gram, floor(len/w)) with the
+streamed side exploding to the ≤2 adjacent buckets, so length-failing
+pairs never materialize from the hash probe) was A/B-bracketed on the
+54M-candidate sf0.1 probe: current 3.19/3.36 s vs banded 3.46/3.08 s
+min-of-3 — a wash. The length filter passes 68 % of candidates on this
+corpus (part-name lengths concentrate in a ~10-char range, so a ±2
+band excludes little), and the ~1.7× streamed-side bucket explode eats
+exactly what the skipped materializations save. Worth re-measuring
+only on a corpus whose length distribution is wide relative to
+max_dist.
 """
 
 from __future__ import annotations
