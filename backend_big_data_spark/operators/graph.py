@@ -13,9 +13,11 @@ floods outward one hop per round and the loop converges in
 O(graph diameter) rounds — dup clusters are shallow (near-clique), so this
 is 2-4 rounds in practice. Convergence is detected by the label-sum
 invariant: labels only ever decrease, so an unchanged sum means a fixed
-point. Lineage is truncated every round (``localCheckpoint``; on a real
-cluster use a checkpoint dir on durable storage) — without it the plan
-doubles per iteration and Catalyst analysis time explodes.
+point. Lineage is truncated every round via the shared pin switch
+(``operators/pinning`` — executor-local by default; a configured
+checkpoint dir upgrades every round's pin to a durable checkpoint with
+no code change) — without it the plan doubles per iteration and
+Catalyst analysis time explodes.
 
 For graphs with large diameters at 100 TB scale (web graphs, not dup
 clusters), the round count itself becomes the bottleneck; the published
@@ -29,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from backend_big_data_spark.operators.pinning import pin_single_evaluation
 
 
 def connected_components(
@@ -50,7 +54,7 @@ def connected_components(
     sym = sym.union(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    sym = sym.localCheckpoint()
+    sym = pin_single_evaluation(sym)
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -68,7 +72,7 @@ def connected_components(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        labels = pin_single_evaluation(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
@@ -76,7 +80,6 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         new_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
@@ -120,14 +123,13 @@ def connected_components_star(
     (same contract as :func:`connected_components`); with
     ``return_rounds=True`` returns ``(labels, rounds_used)``.
     """
-    e = (
+    e = pin_single_evaluation(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
     )
 
     def _cert(df: DataFrame):
@@ -166,7 +168,7 @@ def connected_components_star(
     prev = _cert(e)
     rounds = 0
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = pin_single_evaluation(_small_star(_large_star(e)))
         rounds += 1
         cur = _cert(e)
         if cur == prev:
@@ -229,9 +231,11 @@ def label_propagation(
     ).filter(F.col("a") != F.col("b"))
     agg = F.sum("w") if weight else F.count(F.lit(1))
     und = und.groupBy("a", "b").agg(agg.cast("long").alias("w"))
-    sym = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-    ).localCheckpoint()
+    sym = pin_single_evaluation(
+        und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+    )
 
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -242,14 +246,13 @@ def label_propagation(
             .groupBy("a", "label")
             .agg(F.sum("w").alias("v"))
         )
-        labels = (
+        labels = pin_single_evaluation(
             votes.groupBy(F.col("a").alias("node"))
             .agg(
                 F.min_by(
                     F.col("label"), F.struct((-F.col("v")).alias("nv"), "label")
                 ).alias("label")
             )
-            .localCheckpoint()
         )
     return labels.select("node", F.col("label").alias("community"))
 
@@ -327,7 +330,7 @@ def k_core(
     sym = sym.union(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    sym = sym.localCheckpoint()
+    sym = pin_single_evaluation(sym)
     n_edges = sym.count()
 
     for _ in range(max_iter):
@@ -340,7 +343,7 @@ def k_core(
         pruned = sym.join(keep, "a", "left_semi").join(
             keep.select(F.col("a").alias("b")), "b", "left_semi"
         )
-        pruned = pruned.localCheckpoint()
+        pruned = pin_single_evaluation(pruned)
         n_new = pruned.count()
         if n_new == n_edges:
             break

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.operators.pinning import pin_single_evaluation
+
 DEFAULT_SCALE = 1_000_000_000
 
 
@@ -38,21 +40,20 @@ def pagerank(
     rank_fp BIGINT). Nodes are the distinct edge endpoints; nodes with
     no out-edge contribute their mass as uniformly-redistributed
     dangling mass."""
-    nodes = (
+    nodes = pin_single_evaluation(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     teleport = (15 * scale) // (100 * n)
     outd = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("deg")
     )
-    dangling = nodes.join(outd, "node", "left_anti").localCheckpoint(eager=True)
-    ranks = nodes.select(
-        "node", F.lit(scale // n).cast("long").alias("r")
-    ).localCheckpoint(eager=True)
+    dangling = pin_single_evaluation(nodes.join(outd, "node", "left_anti"))
+    ranks = pin_single_evaluation(
+        nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    )
     for _ in range(iterations):
         contrib = (
             ranks.join(outd, "node")
@@ -64,7 +65,7 @@ def pagerank(
             ranks.join(dangling, "node")
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
         )
-        nxt = (
+        nxt = pin_single_evaluation(
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
@@ -77,7 +78,6 @@ def pagerank(
                     )
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
         ranks.unpersist()
         ranks = nxt

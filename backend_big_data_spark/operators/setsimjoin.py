@@ -79,6 +79,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.operators.pinning import pin_single_evaluation
+
 
 class SetSimCandidateBlowup(ValueError):
     """Raised by `token_jaccard_join` when ``candidate_cap`` is set and
@@ -238,7 +240,7 @@ def token_jaccard_join(
     closed-vocabulary regime instead of silently running quadratic."""
     sets = _ranked_sets(_tag(left, right)).filter(F.col("sz") > 0)
     if candidate_cap is not None:
-        sets = sets.localCheckpoint(eager=True)  # one scan feeds bound + join
+        sets = pin_single_evaluation(sets)  # one scan feeds bound + join
     keep = F.greatest(
         F.lit(1), (F.col("sz") - _ceil_frac(F.col("sz"), t_num, t_den) + 1)
     ).cast("int")
@@ -541,7 +543,7 @@ def token_containment_join(
     per shared tid, so the result is identical."""
     sets = _ranked_sets(_tag(probe, base))
     if candidate_cap is not None:
-        sets = sets.localCheckpoint(eager=True)  # one scan: bound + join
+        sets = pin_single_evaluation(sets)  # one scan: bound + join
     ps = sets.filter((F.col("side") == "l") & (F.col("sz") > 0))
     bs = sets.filter((F.col("side") == "r") & (F.col("sz") > 0))
     keep = F.greatest(

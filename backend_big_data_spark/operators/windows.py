@@ -20,39 +20,19 @@ def _pin_single_evaluation(df: DataFrame, pin: str) -> DataFrame:
     same physical partitioning (the ``monotonically_increasing_id``
     two-branch contract — see :func:`distributed_rank`).
 
-    ``pin="local"`` (default): ``localCheckpoint(eager=True)`` —
-    executor-local, UNREPLICATED blocks, lineage truncated. One range
-    shuffle + one local write, no DFS involved: the right mode for
-    gate/bench runs and short jobs. Operational caveat at cluster
-    scale: losing ANY executor after the pin kills the job (no
-    recompute path), and dynamic-allocation executor decommission has
-    the same effect — do not use under executor churn.
-
-    ``pin="reliable"``: ``checkpoint(eager=True)`` — writes the frame to
-    the directory set via ``spark.sparkContext.setCheckpointDir`` (must
-    be a DFS path on a real cluster) and reads it back with DFS
-    replication semantics: survives executor loss and dynamic
-    allocation, at the cost of one distributed write+read of the frame.
-    The mode for long-lived cluster jobs. Raises at call time with a
-    clear message if no checkpoint dir is configured.
-
-    Both modes are EAGER — a Spark job runs at plan-construction time,
-    not at the first action. That is the point: the pin must happen
-    before either branch compiles its plan.
+    Delegates to the repo-wide switch
+    :func:`backend_big_data_spark.operators.pinning.pin_single_evaluation`
+    — ``pin="local"`` (executor-local, fast, does not survive executor
+    loss), ``pin="reliable"`` (DFS checkpoint dir, churn-safe), or
+    ``pin="auto"`` (reliable when a checkpoint dir is configured, local
+    otherwise; ``SPARK_GRAFT_PIN`` overrides). Both modes are EAGER — a
+    Spark job runs at plan-construction time, not at the first action.
+    That is the point: the pin must happen before either branch compiles
+    its plan.
     """
-    if pin == "local":
-        return df.localCheckpoint(eager=True)
-    if pin == "reliable":
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
-            raise ValueError(
-                "pin='reliable' needs spark.sparkContext.setCheckpointDir"
-                "(<DFS path>) — on a cluster, point it at replicated "
-                "storage; localCheckpoint (pin='local') does not survive "
-                "executor loss"
-            )
-        return df.checkpoint(eager=True)
-    raise ValueError(f"pin must be 'local' or 'reliable', got {pin!r}")
+    from backend_big_data_spark.operators.pinning import pin_single_evaluation
+
+    return pin_single_evaluation(df, pin)
 
 
 def paginate(df: DataFrame, order_by: Sequence[Column | str], page: int, page_size: int) -> DataFrame:
@@ -129,7 +109,7 @@ def distributed_rank(
     order_by: Sequence[Column | str],
     rank_col: str = "rank",
     total_col: str | None = None,
-    pin: str = "local",
+    pin: str = "auto",
 ) -> DataFrame:
     """Exact global 1-based ``row_number`` over a total order WITHOUT a
     partition-less window — the two-pass distributed ranking that
@@ -180,11 +160,12 @@ def distributed_rank(
     (:func:`_pin_single_evaluation`) materializes one evaluation that
     both branches read — the setsimjoin one-scan discipline: one range
     shuffle + one materialization, no extra shuffle, eager (a Spark
-    job runs at plan-construction). ``pin="local"`` (default) is
-    executor-local and unreplicated — fast, but the job CANNOT survive
-    executor loss after the pin; ``pin="reliable"`` checkpoints to the
-    configured DFS checkpoint dir and is the mode for long-lived
-    cluster runs under executor churn. Persisted-input determinism
+    job runs at plan-construction). ``pin="local"`` is executor-local
+    and unreplicated — fast, but the job CANNOT survive executor loss
+    after the pin; ``pin="reliable"`` checkpoints to the configured DFS
+    checkpoint dir and is the mode for long-lived cluster runs under
+    executor churn; ``pin="auto"`` (default) picks reliable exactly
+    when a checkpoint dir is configured. Persisted-input determinism
     tests in tests/test_operators.py guard the contract for both forms
     in both modes.
     """
@@ -273,7 +254,7 @@ def grouped_distributed_rank(
     order_by: Sequence[Column | str],
     rank_col: str = "rank",
     total_col: str | None = None,
-    pin: str = "local",
+    pin: str = "auto",
 ) -> DataFrame:
     """Exact per-group 1-based ``row_number() OVER (PARTITION BY group
     ORDER BY order_by)`` with NO per-group window over the data rows —

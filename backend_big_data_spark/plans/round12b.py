@@ -40,6 +40,7 @@ from backend_big_data_spark.operators.cms import (
     cms_estimate,
     cms_merge,
 )
+from backend_big_data_spark.operators.pinning import pin_single_evaluation
 from backend_big_data_spark.plans.registry import register
 from backend_big_data_spark.sources.catalog import load_table
 
@@ -110,8 +111,8 @@ def _probe_and_emit(toks: DataFrame, cells: DataFrame) -> DataFrame:
     readouts use the sketch alone.
 
     The probe frame (≤ PROBE_DIV rows by construction — each carries
-    ≥ 1/PROBE_DIV of total mass) is pinned with an eager
-    localCheckpoint: it feeds THREE consumers (estimate probe side,
+    ≥ 1/PROBE_DIV of total mass) is pinned eagerly (the shared
+    pin switch — local-or-reliable): it feeds THREE consumers (estimate probe side,
     final join, and its own tot branch), and without the pin each
     reference re-scans and re-aggregates the corpus — 5 corpus scans in
     the un-pinned plan vs 2 after (sketch build + one probe
@@ -128,8 +129,8 @@ def _probe_and_emit(toks: DataFrame, cells: DataFrame) -> DataFrame:
         exact.crossJoin(F.broadcast(tot))
         .where(F.col("exact_n") * _PROBE_DIV >= F.col("__total"))
         .select("tok", "exact_n")
-        .localCheckpoint(eager=True)
     )
+    probes = pin_single_evaluation(probes)
     est = cms_estimate(
         cells, probes.select("tok"), "tok", depth=_CMS_D, width=_CMS_W
     )

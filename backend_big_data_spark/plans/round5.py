@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.operators.pinning import pin_single_evaluation
 from backend_big_data_spark.plans.registry import register
 from backend_big_data_spark.sources.catalog import load_table
 
@@ -286,12 +287,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = (
         QUERIES["ann_cosine_topk"](spark, sf_dir)
         .select("query_id", "neighbor_id")
-        # pinned: the brute-force baseline is a ≤ 50-row frame feeding
-        # FOUR consumers (tot + one semi join per method) — without the
-        # pin each consumer re-ran the full corpus cosine top-k (r12
-        # plan audit: 41 scans, zero ReusedExchange)
-        .localCheckpoint(eager=True)
     )
+    # pinned: the brute-force baseline is a ≤ 50-row frame feeding
+    # FOUR consumers (tot + one semi join per method) — without the
+    # pin each consumer re-ran the full corpus cosine top-k (r12
+    # plan audit: 41 scans, zero ReusedExchange)
+    brute = pin_single_evaluation(brute)
     tot = brute.agg(F.count("*").alias("t"))
     outs = []
     for method in ("ivf", "lsh", "sq8"):

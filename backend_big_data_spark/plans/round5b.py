@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.operators.pinning import pin_single_evaluation
 from backend_big_data_spark.plans.registry import register
 from backend_big_data_spark.sources.catalog import load_table
 
@@ -64,7 +65,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pin each branch re-ran the tokenize→shingle→explode→distinct
     # chain end to end (r12 plan audit: 7 scans, zero ReusedExchange).
     # The frame is vocabulary×sources-bounded, far under the corpus.
-    sh = sh.localCheckpoint(eager=True)
+    sh = pin_single_evaluation(sh)
     sz = sh.groupBy("source").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("source").alias("source_a"), "shingle")
     b = sh.select(F.col("source").alias("source_b"), "shingle")

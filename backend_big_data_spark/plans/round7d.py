@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.operators.pinning import pin_single_evaluation
 from backend_big_data_spark.plans.registry import register
 from backend_big_data_spark.sources.catalog import load_table
 
@@ -417,7 +418,7 @@ def tokenizer_fertility_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from backend_big_data_spark.text.bpe import apply_bpe, learn_bpe
     from backend_big_data_spark.text.unigram import hard_em, viterbi_segment
 
-    wc = _uni_word_counts(spark, sf_dir).localCheckpoint(eager=True)
+    wc = pin_single_evaluation(_uni_word_counts(spark, sf_dir))
     merges = [
         (r.left_sym, r.right_sym)
         for r in learn_bpe(wc, num_merges=12).orderBy("step").collect()
@@ -557,8 +558,8 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
     )
+    und = pin_single_evaluation(und)
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
     )

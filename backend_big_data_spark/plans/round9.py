@@ -27,6 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.operators.pinning import pin_single_evaluation
 from backend_big_data_spark.plans.registry import register
 from backend_big_data_spark.sources.catalog import load_table
 
@@ -473,11 +474,13 @@ def doc_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from backend_big_data_spark.text.kneser_ney import kn_doc_nll
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = kn_doc_nll(docs).select(
-        F.col("n_bigrams").cast("long").alias("n_bigrams"),
-        "nll_fp",
-        F.expr("nll_fp div (n_bigrams * 100)").alias("bin"),
-    ).localCheckpoint(eager=True)
+    scored = pin_single_evaluation(
+        kn_doc_nll(docs).select(
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            "nll_fp",
+            F.expr("nll_fp div (n_bigrams * 100)").alias("bin"),
+        )
+    )
     # pinned: the per-doc frame (3 ints/doc) feeds THREE consumers (the
     # bin histogram, its total, and the final bucket aggregate) — each
     # otherwise re-ran the whole KN scoring join end to end (r12)

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.operators.pinning import pin_single_evaluation
+
 #: default number of merge operations to learn
 DEFAULT_NUM_MERGES = 12
 
@@ -91,7 +93,7 @@ def learn_bpe(
     pair_count long) in learning order. Stops early if the vocabulary
     runs out of adjacent pairs."""
     spark = word_counts.sparkSession
-    words = word_symbols(word_counts).localCheckpoint(eager=True)
+    words = pin_single_evaluation(word_symbols(word_counts))
     out = []
     for step in range(num_merges):
         best = (
@@ -108,9 +110,11 @@ def learn_bpe(
             break
         left, right, cnt = best.b.l, best.b.r, best.b.cnt
         out.append((step, left, right, left + right, cnt))
-        nxt = words.select(
-            merge_pair(F.col("syms"), left, right).alias("syms"), "n"
-        ).localCheckpoint(eager=True)
+        nxt = pin_single_evaluation(
+            words.select(
+                merge_pair(F.col("syms"), left, right).alias("syms"), "n"
+            )
+        )
         words.unpersist()
         words = nxt
     words.unpersist()
@@ -156,7 +160,7 @@ def learn_wordpiece(
     long, pair_count long) in learning order; stops early when no
     adjacent pair remains."""
     spark = word_counts.sparkSession
-    words = word_symbols(word_counts).localCheckpoint(eager=True)
+    words = pin_single_evaluation(word_symbols(word_counts))
     out = []
     for step in range(num_merges):
         pc = _pair_counts(words)
@@ -186,9 +190,11 @@ def learn_wordpiece(
             break
         left, right, cnt, score_fp = best.b.l, best.b.r, best.b.cnt, best.b.score_fp
         out.append((step, left, right, left + right, score_fp, cnt))
-        nxt = words.select(
-            merge_pair(F.col("syms"), left, right).alias("syms"), "n"
-        ).localCheckpoint(eager=True)
+        nxt = pin_single_evaluation(
+            words.select(
+                merge_pair(F.col("syms"), left, right).alias("syms"), "n"
+            )
+        )
         words.unpersist()
         words = nxt
     words.unpersist()

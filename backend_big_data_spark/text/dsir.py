@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.operators.pinning import pin_single_evaluation
 from backend_big_data_spark.text.sampling import stable_hash
 
 #: Feature-space size. The paper uses 10k buckets; tests use the default.
@@ -143,12 +144,12 @@ def importance_weights(
     # re-ran the gram explode + hash + per-doc aggregation end to end
     # (r12 plan audit: 13 scans, zero ReusedExchange in doc_dsir_weights).
     # Both tables are (doc, bucket≤256, n) — far under the gram stream.
-    raw_counts = doc_bucket_counts(
-        raw, text_col, id_col, num_buckets
-    ).localCheckpoint(eager=True)
-    target_counts = doc_bucket_counts(
-        target, text_col, id_col, num_buckets
-    ).localCheckpoint(eager=True)
+    raw_counts = pin_single_evaluation(
+        doc_bucket_counts(raw, text_col, id_col, num_buckets)
+    )
+    target_counts = pin_single_evaluation(
+        doc_bucket_counts(target, text_col, id_col, num_buckets)
+    )
     lam = bucket_log_ratios(target_counts, raw_counts, num_buckets)
     scored = (
         raw_counts.join(F.broadcast(lam), on="bucket")

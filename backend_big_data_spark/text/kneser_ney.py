@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.operators.pinning import pin_single_evaluation
 from backend_big_data_spark.text.lm import (
     LOGP_SCALE,
     doc_bigram_occurrences,
@@ -84,7 +85,7 @@ def kn_bigram_model_from_counts(c12: DataFrame) -> DataFrame:
     occurrence stream) feeds all branches instead. Same eager-pin
     discipline as the armed setsim joins; content is an aggregate, so
     the pin is determinism-neutral."""
-    c12 = c12.localCheckpoint(eager=True)
+    c12 = pin_single_evaluation(c12)
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"),
         F.count(F.lit(1)).alias("n1plus_fw"),  # N1+(w1 ·)
@@ -94,9 +95,18 @@ def kn_bigram_model_from_counts(c12: DataFrame) -> DataFrame:
     disc = F.greatest(
         F.col("c12") * D_DEN - F.lit(D_NUM), F.lit(0).cast("long")
     )
+    # c1 / cont are SINGLE-WORD-keyed aggregates of the pinned count
+    # table — vocabulary-bounded under the module's documented scale
+    # contract (train on a sample / maintained vocab-sized sidecars), so
+    # they carry explicit broadcast hints: the checkpointed pin loses
+    # its size estimate and the static planner otherwise falls back to
+    # SortMergeJoin until AQE rescues it at runtime — after both sides'
+    # shuffle writes have already happened (r12 verdict item 3 / guide
+    # §3.1). The w1×w2-keyed c12 table itself is TYPE-table-sized and is
+    # deliberately NOT hinted (it can be billions of rows at scale).
     return (
-        c12.join(c1, "w1")
-        .join(cont, "w2")
+        c12.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
         .crossJoin(F.broadcast(cont_total))
         .select(
             "w1",
@@ -257,16 +267,16 @@ def kn_trigram_model_from_counts(c123: DataFrame) -> DataFrame:
     trigram explode and aggregation (r12 plan audit: 6 corpus scans,
     zero ReusedExchange). The pinned tables are trigram/bigram-TYPE
     sized (vocabulary-bounded), not occurrence-stream sized."""
-    c123 = c123.localCheckpoint(eager=True)
+    c123 = pin_single_evaluation(c123)
     # highest order: context totals + distinct continuations
     ctx3 = c123.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12dot"),
         F.count(F.lit(1)).alias("n3lam"),  # N1+(w1w2 ·)
     )
     # modified bigram counts: c'(w2w3) = N1+(· w2w3) over trigram types
-    c23p = c123.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).alias("c23p")
-    ).localCheckpoint(eager=True)
+    c23p = pin_single_evaluation(
+        c123.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c23p"))
+    )
     ctx2 = c23p.groupBy("w2").agg(
         F.sum("c23p").alias("c2pdot"),  # N1+(· w2 ·)
         F.count(F.lit(1)).alias("n2lam"),  # N1+(w2 ·)
@@ -284,11 +294,17 @@ def kn_trigram_model_from_counts(c123: DataFrame) -> DataFrame:
         "u3"
     )
     p2_den = F.lit(D_DEN) * F.col("c2pdot") * F.col("utot")
+    # ctx2 / u3 are SINGLE-WORD-keyed, vocabulary-bounded — explicit
+    # broadcast hints for the same reason as the bigram chain (the pin
+    # loses its size estimate; static SMJ otherwise pays both shuffle
+    # writes before AQE converts). c23p and ctx3 are bigram-TYPE-keyed
+    # and deliberately NOT hinted: at scale they are the big tables the
+    # r12 disposition said must never be broadcast-forced.
     return (
         c123.join(c23p, ["w2", "w3"])
         .join(ctx3, ["w1", "w2"])
-        .join(ctx2, "w2")
-        .join(u3, "w3")
+        .join(F.broadcast(ctx2), "w2")
+        .join(F.broadcast(u3), "w3")
         .crossJoin(F.broadcast(utot))
         .select(
             "w1",

@@ -53,6 +53,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.operators.pinning import pin_single_evaluation
+
 #: cost quantization: milli-nats per unit (floor(-1000·ln p))
 COST_SCALE = 1000.0
 
@@ -255,9 +257,9 @@ def hard_em(
     rounds. Returns (piece, cnt, cost) — ``cnt`` is the final E-step's
     occurrence-weighted usage (seed counts if rounds=0), single-char
     counts floored at 1 so coverage never dies."""
-    wc = word_counts.localCheckpoint(eager=True)
-    vocab = piece_costs(seed_counts(wc, max_piece_len, vocab_size)).localCheckpoint(
-        eager=True
+    wc = pin_single_evaluation(word_counts)
+    vocab = pin_single_evaluation(
+        piece_costs(seed_counts(wc, max_piece_len, vocab_size))
     )
     singles = _substrings(wc, 1).select("piece").distinct()
     for _ in range(rounds):
@@ -278,8 +280,8 @@ def hard_em(
             .orderBy(F.desc("cnt"), "piece")
             .limit(vocab_size)
         )
-        vocab = piece_costs(kept_singles.unionByName(kept_multi)).localCheckpoint(
-            eager=True
+        vocab = pin_single_evaluation(
+            piece_costs(kept_singles.unionByName(kept_multi))
         )
     return vocab
 

@@ -11,6 +11,13 @@ SF_ORACLE = "/root/testdata/sf0.01"
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # Auto-mode pins (operators/pinning.py) resolve by checkpoint-dir
+    # presence, and a SparkContext checkpoint dir cannot be UNSET once a
+    # reliable-pin test configures one on the session-scoped context —
+    # pin the suite to local mode so test order never flips later
+    # auto-pin sites to DFS checkpoints (explicit pin="reliable" args in
+    # the dedicated mode tests still win over this env default).
+    os.environ.setdefault("SPARK_GRAFT_PIN", "local")
     from backend_big_data_spark.session import get_spark
 
     s = get_spark(app_name="tests", shuffle_partitions=8)
