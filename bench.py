@@ -296,19 +296,34 @@ def _emit(payload: dict) -> None:
     # (metric/value + the first ~40 rows) is lost (r10: 65 of 107 rows
     # captured, parsed=None). Two mitigations: (a) the printed line is
     # COMPACT and carries the best table only (per-run tables live in
-    # the file), (b) the complete payload also lands in BENCH_FULL.json
-    # next to this script, so every row survives whatever stdout window
-    # the harness keeps.
-    try:
-        full = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-        )
-        with open(full, "w") as f:
-            json.dump(payload, f, separators=(",", ":"))
-            f.write("\n")
-    except OSError:
-        pass  # read-only checkout: the stdout line is still the contract
+    # the file), (b) the complete payload also lands in a per-config
+    # file next to this script, so every row survives whatever stdout
+    # window the harness keeps.
+    #
+    # Per-config file naming (r12 verdict item 6): a plain
+    # BENCH_FULL.json was clobbered by whichever run executed LAST —
+    # the driver's 8-core scaling run overwrote the committed 32-core
+    # closing payload. The full table now lands in
+    # BENCH_FULL_c{cpus}_sf{sf}.json (timestamp-free, so reruns of the
+    # same config still replace their own record), and the canonical
+    # BENCH_FULL.json pointer is written ONLY by the default-config run
+    # (32 cpus, sf0.1) — a scaling or off-SF run can no longer clobber
+    # the official table.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    tag = f"BENCH_FULL_c{cpus}_sf{payload.get('sf')}.json"
+    here = os.path.dirname(os.path.abspath(__file__))
+    targets = [os.path.join(here, tag)]
+    if cpus == "32" and payload.get("sf") == 0.1:
+        targets.append(os.path.join(here, "BENCH_FULL.json"))
+    for full in targets:
+        try:
+            with open(full, "w") as f:
+                json.dump(payload, f, separators=(",", ":"))
+                f.write("\n")
+        except OSError:
+            pass  # read-only checkout: the stdout line is still the contract
     line = {k: v for k, v in payload.items() if k != "runs"}
+    line["full_table"] = tag
     print(json.dumps(line, separators=(",", ":")))
     if os.environ.get("SPARK_GRAFT_BENCH_SINGLE"):
         # child of _run_children: the parent parses this process's LAST
@@ -327,7 +342,7 @@ def _emit(payload: dict) -> None:
         line.get("queries", {}).items(), key=lambda kv: -kv[1]
     )
     abridged = {k: v for k, v in line.items() if k != "queries"}
-    abridged["full_table"] = "BENCH_FULL.json"
+    abridged["full_table"] = tag
     kept: dict = {}
     for name, sec in slowest:
         kept[name] = sec
