@@ -9,6 +9,8 @@ equals a fresh scan of the surviving corpus (no ghost postings)."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from backend_big_data_spark.sources import fsutil
@@ -50,6 +52,7 @@ def _ingest(spark, idir, batches):
 
 
 class TestIndexEqualsFullScan:
+    @pytest.mark.slow
     def test_scoring_matches_one_shot(self, spark, tmp_path):
         idir = str(tmp_path / "ix")
         _ingest(spark, idir, [DOCS[:3], DOCS[3:]])

@@ -154,6 +154,7 @@ def test_funnel_requires_stage_order(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_stream_ingest_dedup_matches_sequential_batches(spark, tmp_path):
     from backend_big_data_spark.streaming.ingest_dedup import (
         dedup_batch_against_corpus,
@@ -477,6 +478,7 @@ def test_streaming_funnel_two_batches_ordered_stages(spark, tmp_path):
     assert pd.isna(final[20]["t_click"]) and pd.isna(final[20]["t_purchase"])
 
 
+@pytest.mark.slow
 def test_trained_pq_codebooks_dominate_anchors_on_distortion(spark):
     from backend_big_data_spark.similarity.pq import (
         _sq_l2,
@@ -522,6 +524,7 @@ def test_trained_pq_codebooks_dominate_anchors_on_distortion(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_late_router_splits_by_event_clock(spark, tmp_path):
     from backend_big_data_spark.streaming.latedata import (
         read_event_clock,
@@ -684,6 +687,7 @@ def test_strip_boilerplate_is_idempotent_on_real_corpus(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_stream_curated_ingest_scrubs_filters_and_dedups(spark, tmp_path):
     from backend_big_data_spark.streaming.curated_ingest import (
         curate_batch,
@@ -762,6 +766,7 @@ def test_removal_audit_consistent_with_funnel(spark):
     assert by_status.get("dropped_mix", 0) == funnel["4_quality"] - funnel["5_temperature_mix"]
 
 
+@pytest.mark.slow
 def test_stream_ingest_maintains_fp_bloom_sidecar(spark, tmp_path):
     """The maintained (incrementally merged) corpus-fingerprint bitmap
     equals a from-scratch build over the final corpus, and the pre-filter
@@ -900,6 +905,7 @@ def test_embedding_health_audit_flags_degenerates(spark, tmp_path):
     assert math.isfinite(out2.norm_sum_fp)
 
 
+@pytest.mark.slow
 def test_stream_ingest_dedup_replay_is_idempotent(spark, tmp_path):
     """At-least-once retry of a micro-batch must reproduce the SAME
     survivor set: the sink excludes batch N's own earlier output from the
@@ -1003,6 +1009,7 @@ def test_corpus_probe_has_no_corpus_side_exchange(spark, tmp_path):
     release_dedup_caches()
 
 
+@pytest.mark.slow
 def test_indexed_corpus_probe_matches_union_path(spark, tmp_path):
     """dedup_batch_against_corpus_indexed (maintained band sidecar) must
     produce the identical survivor set to the re-shingling union path —
@@ -1051,6 +1058,7 @@ def test_indexed_corpus_probe_matches_union_path(spark, tmp_path):
     assert 10 not in got and 11 not in got and 12 in got
 
 
+@pytest.mark.slow
 def test_stream_ingest_band_index_maintained_and_self_heals(spark, tmp_path):
     """The sink writes bands/batch=N per admission; deleting the sidecar
     and re-running ensure_band_index rebuilds it bit-for-bit (the
@@ -1113,6 +1121,7 @@ def test_indexed_probe_corpus_band_scan_has_no_exchange(spark, tmp_path):
     release_dedup_caches()
 
 
+@pytest.mark.slow
 def test_compact_ingest_corpus_preserves_semantics(spark, tmp_path):
     """Folding the commit-stable batch prefix (survivors + bands + bloom
     repoint) must leave reads identical AND leave the next batch's
@@ -1175,6 +1184,7 @@ def test_compact_ingest_corpus_preserves_semantics(spark, tmp_path):
     assert got == want and 5 not in got and 6 in got
 
 
+@pytest.mark.slow
 def test_fold_crash_recovery_all_interrupt_points(spark, tmp_path):
     """A fold interrupted at ANY point must never lose folded batches OR
     double-count them.
@@ -1365,6 +1375,7 @@ def test_embedding_diversity_sample_strata(spark, tmp_path):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+@pytest.mark.slow
 def test_sink_auto_compaction_policy(spark, tmp_path):
     """auto_compact_every bounds the directory count while preserving
     reads and admission decisions vs an uncompacted twin."""

@@ -78,6 +78,7 @@ def _scan_stats(master):
     )
 
 
+@pytest.mark.slow
 def test_post_erasure_covariance_moments_equal_recompute(spark, tmp_path):
     from backend_big_data_spark.similarity.pca import (
         covariance_from_moments,
@@ -99,6 +100,7 @@ def test_post_erasure_covariance_moments_equal_recompute(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_post_erasure_drift_from_moments_equals_recompute(spark, tmp_path):
     """The embedding_drift_from_moments serving shape: reference master
     untouched, current master loses rows to erasure — the drift report
@@ -126,6 +128,7 @@ def test_post_erasure_drift_from_moments_equals_recompute(spark, tmp_path):
     assert got == want and len(got) == DIM
 
 
+@pytest.mark.slow
 def test_drift_parity_through_crash_window(spark, tmp_path):
     """Crash matrix for the moment path: rows removed and journal
     written, but moment/bucket/link purges LOST — recovery must roll
@@ -233,6 +236,7 @@ def _serve_recomputed(spark, corpus, queries):
     return ivf_maintained_topk(fresh, queries, _centroids(spark), k=3, nprobe=2)
 
 
+@pytest.mark.slow
 def test_post_erasure_ivf_maintained_equals_recompute(spark, tmp_path):
     from backend_big_data_spark.streaming.semdedup_ingest import (
         read_embedding_corpus,
@@ -252,6 +256,7 @@ def test_post_erasure_ivf_maintained_equals_recompute(spark, tmp_path):
     assert not served_ids & {2, 13, 20}, "erased ids must never be served"
 
 
+@pytest.mark.slow
 def test_ivf_parity_through_crash_window(spark, tmp_path):
     """Crash matrix for the list index: the survivors tmp dir and the
     journal exist but the publish was lost — the next retraction call

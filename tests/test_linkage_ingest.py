@@ -8,6 +8,8 @@ unchanged, and the no-Exchange-above-the-index-scan plan guarantee.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from backend_big_data_spark.streaming.linkage_ingest import (
@@ -77,6 +79,7 @@ class TestLinkageSink:
         after = (_master_rows(spark, mdir), _links(spark, mdir, 1))
         assert before == after
 
+    @pytest.mark.slow
     def test_stream_matches_sequential_batches(self, spark, tmp_path):
         from backend_big_data_spark.streaming.linkage_ingest import (
             linkage_ingest_stream,
@@ -266,6 +269,7 @@ class TestLinkageSink:
 
 
 class TestLinkageTopkLinkMode:
+    @pytest.mark.slow
     def test_topk_links_are_deterministic_closest(self, spark, tmp_path):
         """topk mode emits each batch record's k CLOSEST masters
         (edit_dist ASC, master_id ASC) while ADMISSION stays identical

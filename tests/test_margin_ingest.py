@@ -106,6 +106,7 @@ class TestLinkAdmit:
         margin_ingest_sink(mdir, **SINK_KW)(_df(spark, B2), 1)  # retry
         assert (_master_ids(spark, mdir), _links(spark, mdir, 1)) == before
 
+    @pytest.mark.slow
     def test_stream_matches_sequential_batches(self, spark, tmp_path):
         from backend_big_data_spark.streaming.margin_ingest import (
             margin_ingest_stream,
@@ -163,6 +164,7 @@ class TestLinkAdmit:
         }
         assert stored == fresh
 
+    @pytest.mark.slow
     def test_compaction_preserves_results(self, spark, tmp_path):
         mdir = str(tmp_path / "m")
         sink = margin_ingest_sink(mdir, **SINK_KW)
@@ -185,6 +187,7 @@ class TestLinkAdmit:
 
 
 class TestErasure:
+    @pytest.mark.slow
     def test_erase_then_reingest_and_sidecars_rewritten(self, spark, tmp_path):
         from backend_big_data_spark.streaming.retraction import (
             retract_from_margin_master,
@@ -233,6 +236,7 @@ class TestErasure:
         recover_margin_retraction(spark, mdir)
         assert {r.id for r in read_master_buckets(spark, mdir).collect()} == {2}
 
+    @pytest.mark.slow
     def test_orphan_bucket_dir_rewritten_in_place(self, spark, tmp_path):
         """Compaction crash window: the master dir folded away but the
         bucket sidecar fold never ran. A retraction must rewrite the
@@ -307,6 +311,7 @@ class TestMomentSidecars:
             covariance_from_moments(read_master_moments(spark, mdir))
         ) == self._cov_rows(embedding_covariance(master, dim=DIM))
 
+    @pytest.mark.slow
     def test_compaction_folds_moments_keyed(self, spark, tmp_path):
         from backend_big_data_spark.similarity.pca import (
             covariance_from_moments,
@@ -333,6 +338,7 @@ class TestMomentSidecars:
             self._cov_rows(covariance_from_moments(moments)) == before
         )
 
+    @pytest.mark.slow
     def test_erasure_recounts_moments(self, spark, tmp_path):
         from backend_big_data_spark.similarity.pca import (
             covariance_from_moments,
@@ -359,6 +365,7 @@ class TestMomentSidecars:
             embedding_covariance(read_margin_master(spark, mdir), dim=DIM)
         )
 
+    @pytest.mark.slow
     def test_misaligned_fold_erasure_heals_moments(self, spark, tmp_path):
         """Master-only fold (compaction crash window) relocates batch-1's
         rows into batch=0, then an erasure arrives: the orphan
@@ -468,6 +475,7 @@ class TestMomentSidecars:
         with pytest.raises(ValueError, match="coverage guard"):
             covariance_from_moments(None)
 
+    @pytest.mark.slow
     def test_dedup_exact_false_moments_cover_duplicate_rows(
         self, spark, tmp_path
     ):

@@ -74,7 +74,26 @@ def test_stateful_running_totals(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    rows = {r.user_id: (r.event_count, r.value_sum) for r in spark.sql("SELECT * FROM running_t").collect()}
+    # applyInPandasWithState with a PROCESSING-TIME timeout never
+    # self-terminates under availableNow (the state-timeout clock keeps
+    # scheduling batches; processAllAvailable blocks on the same
+    # treadmill), so the original awaitTermination(120) burned its full
+    # timeout — 120 s of suite wall for a 3-row stream (r12 verdict
+    # item 4: the suite outgrew the driver's window). Poll the memory
+    # sink until the expected totals appear instead — the assertion is
+    # unchanged; only the wait is no longer a blind timeout.
+    import time as _time
+
+    want = {7: (2, 4.0), 9: (1, 10.0)}
+    deadline = _time.time() + 120
+    rows: dict = {}
+    while _time.time() < deadline:
+        rows = {
+            r.user_id: (r.event_count, r.value_sum)
+            for r in spark.sql("SELECT * FROM running_t").collect()
+        }
+        if rows == want:
+            break
+        _time.sleep(0.25)
     q.stop()
     assert rows == {7: (2, 4.0), 9: (1, 10.0)}

@@ -13,6 +13,8 @@ id allocation under an already-negative log)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from backend_big_data_spark.operators.cms import cms_cells
@@ -97,6 +99,7 @@ def _run_script(spark, script, ingest, replay, erase, fold, rebuild, read):
         )
 
 
+@pytest.mark.slow
 def test_drift_counts_lifecycle_interleavings(spark, tmp_path):
     from backend_big_data_spark.streaming.drift_monitor import (
         retract_from_drift_counts,
@@ -131,6 +134,7 @@ def test_drift_counts_lifecycle_interleavings(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_cms_cells_lifecycle_interleavings(spark, tmp_path):
     from backend_big_data_spark.streaming.cms_ingest import (
         cms_ingest_sink,

@@ -35,6 +35,7 @@ def app(spark):
     return create_pipeline_app(spark, SF_SMALL, extra_allowed={"doc_langid"})
 
 
+@pytest.mark.slow
 def test_named_operational_routes(app):
     status, payload, _ = _call(app, "/ops/sourceDupStats")
     assert status == "200 OK"

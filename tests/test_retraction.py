@@ -11,6 +11,8 @@ idempotently and never loses surviving rows.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -53,6 +55,7 @@ def _ids(spark, corpus_dir):
     return sorted(r.doc_id for r in read_corpus(spark, corpus_dir).collect())
 
 
+@pytest.mark.slow
 def test_retract_then_reingest_is_admitted(spark, tmp_path):
     """The no-ghost-dedup contract: after erasing doc 1, both an exact
     twin and a near-dup of its text are ADMITTED by the next batch."""
@@ -74,6 +77,7 @@ def test_retract_then_reingest_is_admitted(spark, tmp_path):
     assert covered == set(fsutil.list_subdirs(spark, cdir, prefix="batch="))
 
 
+@pytest.mark.slow
 def test_stale_sidecars_stay_correct(spark, tmp_path):
     """Correctness is not sidecar-dependent: leave the Bloom AND band
     sidecars completely stale (raw retract_ids, no rebuild) — the exact
@@ -93,6 +97,7 @@ def test_stale_sidecars_stay_correct(spark, tmp_path):
     assert 10 in _ids(spark, cdir)
 
 
+@pytest.mark.slow
 def test_retract_is_idempotent_and_unknown_ids_noop(spark, tmp_path):
     cdir = str(tmp_path / "corpus")
     _build(spark, cdir)
@@ -107,6 +112,7 @@ def test_retract_is_idempotent_and_unknown_ids_noop(spark, tmp_path):
     assert _ids(spark, cdir) == [1, 3]
 
 
+@pytest.mark.slow
 def test_fully_retracted_dir_is_deleted(spark, tmp_path):
     """Retracting every row of a directory deletes the directory (an
     empty parquet dir would break the union readers)."""
@@ -121,6 +127,7 @@ def test_fully_retracted_dir_is_deleted(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_crash_before_journal_rolls_back(spark, tmp_path):
     """Temp dir written but no journal: the retraction never committed —
     recovery leaves the corpus exactly as it was (rollback)."""
@@ -132,6 +139,7 @@ def test_crash_before_journal_rolls_back(spark, tmp_path):
     assert _ids(spark, cdir) == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_crash_after_journal_rolls_forward(spark, tmp_path):
     """Journal committed with the temp dir complete: recovery publishes
     the rewrite, drops the recorded band dir, drops the journal —
@@ -160,6 +168,7 @@ def test_crash_after_journal_rolls_forward(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_retraction_survives_fold_compaction(spark, tmp_path):
     """Folded directories are ordinary batch dirs to retraction: compact
     first, then erase a doc that lives inside the folded prefix."""
@@ -203,6 +212,7 @@ def test_partitioned_layout_preserved(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_linkage_master_retraction(spark, tmp_path):
     """Erase master entity 1: its rows, gram-index rows, and link rows
     naming it all go; a dirty record of the erased entity then ADMITS as

@@ -4,6 +4,8 @@ registered queries at sf0.001/sf0.01)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from backend_big_data_spark.similarity.semdedup import semdedup
@@ -575,6 +577,7 @@ def test_incremental_semdedup_uses_stored_cluster(spark):
     assert out == {4: False, 5: False, 6: True}
 
 
+@pytest.mark.slow
 def test_stream_semdedup_ingest_matches_sequential_batches(spark, tmp_path):
     """Streaming foreachBatch ingest ≡ sequential batch application of
     semdedup_batch_against_corpus — the embedding twin of the text
@@ -650,6 +653,7 @@ def test_bigram_nll_separate_model_frame(spark):
     assert out.n_bigrams == 1 and out.nll_fp == want
 
 
+@pytest.mark.slow
 def test_stream_semdedup_replay_is_idempotent(spark, tmp_path):
     """At-least-once retry of an embedding micro-batch reproduces the SAME
     admissions: the sink excludes batch N's own earlier directory, else

@@ -4,6 +4,8 @@ batch sessionizer for every emitted session."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from backend_big_data_spark.streaming.session_close import close_user_sessions
@@ -79,6 +81,7 @@ def test_event_time_session_close_matches_batch_sessions(spark, tmp_path):
     assert closed <= batch  # closed sessions are a subset, field-for-field
 
 
+@pytest.mark.slow
 def test_out_of_order_event_lowers_session_start(spark, tmp_path):
     """An event that predates the stored session_start (possible whenever
     watermark delay > 0) must MERGE by lowering the start, so the emitted
@@ -115,6 +118,7 @@ def test_out_of_order_event_lowers_session_start(spark, tmp_path):
     assert closed == {(1, _m(5), _m(10), 2, 300)}
 
 
+@pytest.mark.slow
 def test_early_event_beyond_gap_closes_own_session(spark, tmp_path):
     """A late event that predates the stored start by MORE than the gap
     (possible whenever watermark delay > gap) must NOT be folded into the

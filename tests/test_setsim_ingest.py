@@ -11,6 +11,8 @@ and journaled erasure with crash-window replay.
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 import json
 import os
@@ -123,6 +125,7 @@ class TestSetsimSink:
         setsim_ingest_sink(mdir)(_df(spark, B2), 1)  # at-least-once retry
         assert (_master_rows(spark, mdir), _links(spark, mdir, 1)) == before
 
+    @pytest.mark.slow
     def test_stream_matches_sequential_batches(self, spark, tmp_path):
         from backend_big_data_spark.streaming.setsim_ingest import (
             setsim_ingest_stream,
@@ -169,6 +172,7 @@ class TestSetsimSink:
         shutil.rmtree(f"{mdir}/tokfreq/batch=0")
         assert read_master_token_freq(spark, mdir) is None
 
+    @pytest.mark.slow
     def test_compaction_preserves_results(self, spark, tmp_path):
         mdir = str(tmp_path / "m")
         sink = setsim_ingest_sink(mdir)
@@ -261,6 +265,7 @@ class TestSetsimSink:
 
 
 class TestSetsimRetraction:
+    @pytest.mark.slow
     def test_erase_then_reingest_and_sidecars_rewritten(self, spark, tmp_path):
         from backend_big_data_spark.streaming.retraction import (
             retract_from_setsim_master,
@@ -361,6 +366,7 @@ class TestCompactionCrashMisalignment:
         assert token_dirs == {"batch=0", "batch=1", "batch=2"}
         return mdir
 
+    @pytest.mark.slow
     def test_retraction_preserves_other_entities_in_orphan_dir(
         self, spark, tmp_path
     ):
@@ -460,6 +466,7 @@ class TestTopkLinkMode:
         with pytest.raises(ValueError, match="link_mode"):
             setsim_ingest_sink(str(tmp_path / "m"), link_mode="best")
 
+    @pytest.mark.slow
     def test_stream_matches_sequential_batches_topk(self, spark, tmp_path):
         from backend_big_data_spark.streaming.setsim_ingest import (
             setsim_ingest_stream,
@@ -537,6 +544,7 @@ class TestTokenBucketedFold:
         compact_setsim_master(spark, mdir, keep_latest=0, token_buckets=4)
         assert self._served(spark, mdir, probe) == want
 
+    @pytest.mark.slow
     def test_probe_prunes_partitions_and_sticky_width(self, spark, tmp_path):
         import contextlib
         import io
