@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from backend_big_data_spark.operators.pinning import pin_single_evaluation
+
 
 class FuzzyJoinCandidateBlowup(ValueError):
     """Raised by `edit_distance_join` when ``candidate_cap`` is set and the
@@ -147,37 +149,59 @@ def edit_distance_join(
     grams = tagged.select(
         "side",
         "id",
+        F.length("s").alias("slen"),
         F.posexplode(qgrams(F.col("s"), q)).alias("p", "gram"),
     )
     # ONE gram scan feeds both the shared frequency order and both
     # sides' prefix ranking (sides may reuse ids, so the prefix groupBy
     # keys on (side, id)). Prefix rows carry ALL occurrence positions of
-    # each chosen gram for the Ed-Join position filter below.
+    # each chosen gram for the Ed-Join position filter below, plus the
+    # string LENGTH (one int — unlike the rejected inline-strings
+    # attach, it cannot push the join sides' size estimates past the
+    # broadcast threshold) so the length band prunes candidates INSIDE
+    # the candidate-join stage, before the verify's id-joins see them.
     freq = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
     pre = (
         grams.join(freq, "gram")
         .groupBy("side", "id", "gram")
-        .agg(F.first("cnt").alias("cnt"), F.collect_list("p").alias("poss"))
+        .agg(
+            F.first("cnt").alias("cnt"),
+            F.first("slen").alias("slen"),
+            F.collect_list("p").alias("poss"),
+        )
         .groupBy("side", "id")
         .agg(
             F.slice(
                 F.array_sort(F.collect_list(F.struct("cnt", "gram", "poss"))),
                 1,
                 prefix_len,
-            ).alias("pre")
+            ).alias("pre"),
+            F.first("slen").alias("slen"),
         )
-        .select("side", "id", F.explode("pre").alias("pg"))
-        .select("side", "id", F.col("pg.gram").alias("gram"), F.col("pg.poss").alias("poss"))
-        # materialized once: BOTH join branches read it (without this the
-        # whole gram-scan + ranking subtree executes twice); prefix rows
-        # are (k·q+1)·|ids| — tiny next to the inputs
-        .localCheckpoint()
+        .select("side", "id", "slen", F.explode("pre").alias("pg"))
+        .select(
+            "side",
+            "id",
+            "slen",
+            F.col("pg.gram").alias("gram"),
+            F.col("pg.poss").alias("poss"),
+        )
     )
+    # materialized once: BOTH join branches read it (without this the
+    # whole gram-scan + ranking subtree executes twice); prefix rows
+    # are (k·q+1)·|ids| — tiny next to the inputs
+    pre = pin_single_evaluation(pre)
     lp = pre.filter(F.col("side") == "l").select(
-        F.col("id").alias("left_id"), "gram", F.col("poss").alias("l_poss")
+        F.col("id").alias("left_id"),
+        F.col("slen").alias("l_len"),
+        "gram",
+        F.col("poss").alias("l_poss"),
     )
     rp = pre.filter(F.col("side") == "r").select(
-        F.col("id").alias("right_id"), "gram", F.col("poss").alias("r_poss")
+        F.col("id").alias("right_id"),
+        F.col("slen").alias("r_len"),
+        "gram",
+        F.col("poss").alias("r_poss"),
     )
     if candidate_cap is not None:
         # exact pre-position-filter fan-out of the equi-join below, from
@@ -219,6 +243,23 @@ def edit_distance_join(
                 + "; use longer grams (escalate_q_to) or block on a "
                 "coarser key first"
             )
+    # INLINE-STRINGS VERIFY — measured rejection (r13 optimization
+    # round; do not re-try without a new plan argument): attaching both
+    # sides' strings to the prefix tables BEFORE the gram equi-join (the
+    # r12 indexed-variant win) demoted the candidate join from a
+    # BroadcastHashJoin to a SortMergeJoin at sf0.1 — the string attach
+    # inflated the join sides' size estimates past
+    # autoBroadcastJoinThreshold, so the 50.8M-row fan-out paid two
+    # exchanges + sorts instead of streaming map-side (plan diff:
+    # plans/r13/part_fuzzy_match_{before,after}.txt at the rejection
+    # commit, 6 BHJ/6 Exchange -> 4 BHJ + 2 SMJ/8 Exchange; noop probe
+    # 9.0 s -> 16.5 s, same 126,775 rows). The indexed variant wins with
+    # inline strings only because its caller ASSERTS broadcastability
+    # with an explicit hint; here both sides are corpus-scale by
+    # contract, so no such hint is sound. The post-candidate id-joins in
+    # _verify_pairs broadcast automatically at gate scale and AQE picks
+    # the strategy at real scale — keep them.
+    #
     # Ed-Join position filter: k edits shift a surviving occurrence by at
     # most k, so a true match must have SOME occurrence pair of the
     # shared gram within |Δpos| ≤ k. Prefix rows keep every occurrence
@@ -226,6 +267,7 @@ def edit_distance_join(
     # happens; arrays are per-string-tiny, the check is codegen-local.
     cand = (
         lp.join(rp, "gram")
+        .where(F.abs(F.col("l_len") - F.col("r_len")) <= max_dist)
         .where(
             F.exists(
                 F.col("l_poss"),
@@ -334,7 +376,11 @@ def edit_distance_join_indexed(
             )
         else:
             ifreq = right_index.groupBy("gram").agg(F.count("*").alias("cnt"))
-        ranked = lg.join(ifreq, "gram", "left").select(
+        # the frequency table is DISTINCT-GRAM-bounded (alphabet^q, q
+        # fixed at the call site for this probe path) — broadcast it so
+        # the probe's occurrence stream never shuffles for the ranking
+        # join (guide §3.1; the static planner can't size the aggregate)
+        ranked = lg.join(F.broadcast(ifreq), "gram", "left").select(
             "id", "gram", F.coalesce("cnt", F.lit(0)).alias("cnt")
         )
         lp = (
