@@ -179,9 +179,24 @@ def lsh_cosine_topk(
 
     cb = with_buckets(corpus, "neighbor")
     qb = with_buckets(queries, "query")
+    # overlapping LSH tables DO need the pair dedup — but partitioning
+    # the candidate stream by query_id FIRST lets one exchange serve
+    # both the dedup (HashPartitioning(query_id) satisfies
+    # ClusteredDistribution(query_id, neighbor_id) — subset key) and the
+    # downstream per-query top-k window: 2 exchanges → 1 (guide §2.4,
+    # same-key operations share one exchange; r13 bracket: 5→4
+    # exchanges, wall neutral-to-better at sf0.1). Trade-off, priced:
+    # the single exchange carries the RAW pair stream (the old dedup
+    # exchange ran a map-side partial aggregate first), inflating bytes
+    # by the pair-duplication factor — bounded by num_tables, and ≈1 for
+    # sparse LSH; the old plan shipped the deduped pairs TWICE, so the
+    # crossover is dup_factor ≈ 2 and fewer stages wins the block-count
+    # game (§2.2) below it. Per-query skew exposure is unchanged — the
+    # top-k window already collapsed each query to one task.
     cand = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     sim = cosine_sim(F.col("query_vec"), F.col("neighbor_vec"))
@@ -368,10 +383,14 @@ def ivf_cosine_topk(
 
     lists = nearest_lists(corpus, "neighbor", 1)          # inverted lists
     probes = nearest_lists(queries, "query", nprobe)      # probed lists
-    cand = (
-        lists.join(F.broadcast(probes), "list_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    # no pair dedup: the corpus assignment is top-1, so each neighbor
+    # lives in EXACTLY one inverted list and a (query, neighbor) pair can
+    # materialize at most once — a distinct here would shuffle the whole
+    # candidate stream on (query_id, neighbor_id) for nothing (guide
+    # §2.4: a distinct on already-unique data). The overlapping-bucket
+    # LSH paths keep theirs.
+    cand = lists.join(F.broadcast(probes), "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
     sim = cosine_sim(F.col("query_vec"), F.col("neighbor_vec"))
     top = topk_per_group(
@@ -449,10 +468,11 @@ def ivf_sq8_cosine_topk(
         "neighbor_id",
     )
     probes = nearest_lists(queries, "query", nprobe, payload=cvec)
+    # no pair dedup: top-1 corpus assignment ⇒ one list per neighbor ⇒
+    # (query, neighbor) pairs are already distinct (see ivf_cosine_topk)
     approx = (
         lists.join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
@@ -572,9 +592,13 @@ def lsh_multiprobe_topk(
 
     cb = with_buckets(corpus, "neighbor", 0)  # base buckets only
     qb = with_buckets(queries, "query", probes)
+    # same subset-key exchange share as lsh_cosine_topk: partition by
+    # query_id once; the (query, neighbor) dedup and the per-query
+    # top-k window both run on that single exchange (guide §2.4)
     cand = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     sim = cosine_sim(F.col("query_vec"), F.col("neighbor_vec"))

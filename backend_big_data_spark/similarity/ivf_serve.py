@@ -98,6 +98,11 @@ def ivf_maintained_topk(
         k=nprobe,
         rank_col="_prnk",
     ).select("query_id", "query_vec", "list_id")
+    # no pair dedup: ``assigned`` is an inverted-list table — one list
+    # per id (assign_lists is a top-1 argmin; the embedding sink stores
+    # one cluster per vector) — so (query, neighbor) pairs are already
+    # distinct and a distinct here would shuffle the whole candidate
+    # stream on (query_id, neighbor_id) for nothing (guide §2.4)
     cand = (
         assigned.select(
             F.col(id_col).alias("neighbor_id"),
@@ -106,7 +111,6 @@ def ivf_maintained_topk(
         )
         .join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     sim = cosine_sim(F.col("query_vec"), F.col("neighbor_vec"))
     top = topk_per_group(

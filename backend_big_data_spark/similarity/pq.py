@@ -302,10 +302,12 @@ def ivf_pq_cosine_topk(
         )
     )
     probes = nearest_lists(queries, "query", nprobe)
+    # no pair dedup: the argmax assignment above puts each neighbor in
+    # EXACTLY one list, so (query, neighbor) pairs are already distinct —
+    # a distinct would shuffle the candidate stream for nothing (§2.4)
     approx = (
         recon.join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
