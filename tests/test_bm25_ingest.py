@@ -60,6 +60,7 @@ class TestIndexEqualsFullScan:
         want = _rows(bm25_topk(_df(spark, DOCS), QUERY, k=10))
         assert got == want and len(got) > 0
 
+    @pytest.mark.slow
     def test_single_vs_many_batches_identical(self, spark, tmp_path):
         one = str(tmp_path / "one")
         many = str(tmp_path / "many")
@@ -82,6 +83,7 @@ class TestIndexEqualsFullScan:
 
 
 class TestCompaction:
+    @pytest.mark.slow
     def test_fold_preserves_scores(self, spark, tmp_path):
         idir = str(tmp_path / "ix")
         _ingest(spark, idir, [DOCS[:2], DOCS[2:4], DOCS[4:]])
@@ -114,6 +116,7 @@ class TestErasure:
             survivors
         )
 
+    @pytest.mark.slow
     def test_crash_window_replays_from_journal(self, spark, tmp_path):
         """A journal written but not cleared (crash between commit point
         and purge) must roll forward on the next entry — recount and
@@ -139,6 +142,7 @@ class TestErasure:
         out = retract_from_bm25_index(spark, idir, [1])
         assert out["rows_removed"] == 0
 
+    @pytest.mark.slow
     def test_erase_after_fold_recounts_folded_stats(self, spark, tmp_path):
         idir = str(tmp_path / "ix")
         _ingest(spark, idir, [DOCS[:2], DOCS[2:4], DOCS[4:]])
@@ -204,6 +208,7 @@ class TestIndexPlanShape:
 
 
 class TestTermBucketedFold:
+    @pytest.mark.slow
     def test_bucketed_fold_preserves_scores(self, spark, tmp_path):
         """Folding the postings into a term-bucketed layout changes only
         the at-rest directory structure — scoring through it equals the
@@ -235,6 +240,7 @@ class TestTermBucketedFold:
         ]
         assert any("__tb" in l for l in part_lines), part_lines
 
+    @pytest.mark.slow
     def test_mixed_layout_reads_and_next_fold_rebuckets(self, spark, tmp_path):
         """Batches arriving AFTER a bucketed fold stay flat; the reader
         unions the mixed layout (flat tail scanned, bulk pruned) and the
@@ -253,6 +259,7 @@ class TestTermBucketedFold:
         got2 = _rows(bm25_topk_from_index(spark, idir, QUERY, k=10))
         assert got2 == got
 
+    @pytest.mark.slow
     def test_retraction_on_bucketed_index(self, spark, tmp_path):
         """Erasure through the bucketed layout: purge preserves the
         __tb partitioning (and folds any flat tail first), and scoring

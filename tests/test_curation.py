@@ -1276,6 +1276,7 @@ def test_fold_crash_recovery_all_interrupt_points(spark, tmp_path):
         "delta=0", "delta=2"]
 
 
+@pytest.mark.slow
 def test_compact_drift_counts_preserves_scores(spark, tmp_path):
     """Folding token-count deltas into one pre-summed delta leaves both
     the merged counts and the NEXT batch's drift metric identical."""

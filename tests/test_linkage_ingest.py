@@ -103,6 +103,7 @@ class TestLinkageSink:
         assert _master_rows(spark, sdir) == _master_rows(spark, tdir)
         assert _links(spark, sdir, 1) == _links(spark, tdir, 1)
 
+    @pytest.mark.slow
     def test_compaction_preserves_results(self, spark, tmp_path):
         mdir = str(tmp_path / "m")
         sink = linkage_ingest_sink(mdir)
@@ -380,6 +381,7 @@ class TestGramBucketedFold:
         ]
         assert any("__gb" in line for line in part_lines), part_lines
 
+    @pytest.mark.slow
     def test_mixed_layout_and_sticky_width(self, spark, tmp_path):
         """A batch seeded AFTER the bucketed fold stays flat; the reader
         unions the mixed layout (bulk pruned, tail scanned), and the
@@ -407,6 +409,7 @@ class TestGramBucketedFold:
         assert meta == {"n_buckets": 4}
         assert self._served(spark, mdir, probe) == got
 
+    @pytest.mark.slow
     def test_retraction_preserves_bucketed_layout(self, spark, tmp_path):
         """Erasure through the bucketed layout: the gram purge rewrites
         the bucketed dir PARTITIONED BY __gb (layout preserved), the

@@ -11,6 +11,8 @@ misalignment).
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from pyspark.sql import functions as F
@@ -232,6 +234,7 @@ class TestErasure:
         recover_lm_retraction(spark, cdir)  # idempotent
         assert _counts2(spark, cdir) == _direct2(spark, survivors)
 
+    @pytest.mark.slow
     def test_erasure_in_misaligned_crash_window(self, spark, tmp_path):
         """Docs folded {0,1}->0, sidecar folds never ran, THEN an
         erasure arrives: the orphaned count dirs must be purged after

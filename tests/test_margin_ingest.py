@@ -99,6 +99,7 @@ class TestLinkAdmit:
         assert _links(spark, mdir, 1) == []
         assert sorted(_master_ids(spark, mdir)) == [1, 20]
 
+    @pytest.mark.slow
     def test_replay_idempotent(self, spark, tmp_path):
         mdir = str(tmp_path / "m")
         _run_two_batches(spark, mdir)

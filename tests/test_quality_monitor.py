@@ -3,6 +3,8 @@ replay idempotency, auto-compaction semantics preservation."""
 
 from __future__ import annotations
 
+import pytest
+
 from backend_big_data_spark.plans.round6c import (
     calibration_from_grid,
     score_grid,
@@ -61,6 +63,7 @@ def test_replay_idempotent(spark, tmp_path):
     assert grid == again
 
 
+@pytest.mark.slow
 def test_auto_compaction_preserves_calibration(spark, tmp_path):
     import os
 

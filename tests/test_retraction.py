@@ -323,6 +323,7 @@ def _gramfreq_consistent(spark, mdir):
     assert maintained == on_the_fly
 
 
+@pytest.mark.slow
 def test_linkage_retraction_rewrites_gramfreq(spark, tmp_path):
     from backend_big_data_spark.streaming.retraction import (
         retract_from_linkage_master,
@@ -334,6 +335,7 @@ def test_linkage_retraction_rewrites_gramfreq(spark, tmp_path):
     _gramfreq_consistent(spark, mdir)
 
 
+@pytest.mark.slow
 def test_linkage_crash_between_row_removal_and_sidecar_purge(spark, tmp_path):
     """The advisor's crash window: master rows already removed (inner
     journal cleared) but the gram/gramfreq/link purges not yet run. The
@@ -373,6 +375,7 @@ def test_linkage_crash_between_row_removal_and_sidecar_purge(spark, tmp_path):
     assert {r.id for r in read_master_grams(spark, mdir).collect()} == {2, 9}
 
 
+@pytest.mark.slow
 def test_linkage_sink_still_probes_after_crash_recovery(spark, tmp_path):
     """After a recovered retraction the maintained-freq probe path keeps
     working (coverage intact) and links stay correct."""

@@ -410,6 +410,7 @@ class TestCompactionCrashMisalignment:
         sink(_df(spark, [(30, self.C1[1][1])]), 3)
         assert _links(spark, mdir, 3) == [(30, 12, 4, 4)]
 
+    @pytest.mark.slow
     def test_next_compaction_realigns_sidecars(self, spark, tmp_path):
         from backend_big_data_spark.streaming.setsim_ingest import (
             compact_setsim_master,
@@ -430,6 +431,7 @@ class TestCompactionCrashMisalignment:
 
 
 class TestTopkLinkMode:
+    @pytest.mark.slow
     def test_topk_links_are_deterministic_winners(self, spark, tmp_path):
         """topk mode must emit, per batch record, exactly its best-match
         rows in `token_jaccard_topk` order (exact-fraction key, master-id
