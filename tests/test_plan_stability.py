@@ -422,6 +422,10 @@ def _unpartitioned_windows(plan: str) -> list[str]:
     return sorted(set(out))
 
 
+# slow tier: a 263-way re-plan sweep (~4-5 min) - the invariant is a
+# static code contract enforced by the in-session full-tier run;
+# the driver-window tier keeps the feature gates in test_plan_golden
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_ordered_window_inputs_are_bounded(spark, name):
     plan = _plan(spark, name)

@@ -5,6 +5,8 @@ example counts are capped because each example is a Spark job."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -26,6 +28,7 @@ rows_strategy = st.lists(
 
 @given(rows=rows_strategy, page_size=st.integers(min_value=1, max_value=7))
 @_settings
+@pytest.mark.slow
 def test_pagination_partitions_ordered_result(spark, rows, page_size):
     df = spark.createDataFrame(rows, "id long, grp long, val long").dropDuplicates(["id"])
     expected = [r.id for r in df.orderBy("id").collect()]
@@ -296,6 +299,7 @@ tokens_strategy = st.lists(
 
 @given(toks=tokens_strategy, width=st.sampled_from([2, 8, 64]))
 @_settings
+@pytest.mark.slow
 def test_cms_never_underestimates_and_merges_losslessly(spark, toks, width):
     """CM sketch invariants on arbitrary multisets at arbitrary widths:
     every estimate ≥ the true count (cells only accumulate non-negative
